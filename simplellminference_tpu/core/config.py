@@ -1,0 +1,233 @@
+"""Typed configuration for models, quantization, KV cache, and the engine.
+
+Successor of the reference's hard-coded ``LlamaModelConfig`` struct
+(reference: include/model/config.h:5-17) and its absent engine/flag system
+(SURVEY.md §5 "Config / flag system"): model configs are parsed from HF
+``config.json`` instead of being baked in, and engine behavior is a typed
+dataclass instead of compile-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from typing import Any, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for a Llama-family decoder.
+
+    Field-for-field covers everything the reference hard-codes
+    (config.h:5-17: vocab, head_dim, hidden, kv-hidden, intermediate,
+    max_length, layer_num, head_num, kv_head_num, eps, theta) plus what a
+    real checkpoint zoo needs (tied embeddings, rope scaling, dtype).
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int = 4
+    head_dim: int = 64
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_seq_len: int = 2048
+    tie_word_embeddings: bool = False
+    dtype: str = "bfloat16"  # parameter/compute dtype ("float32" for parity tests)
+    # Optional rope scaling (Llama-3 style); None = plain RoPE.
+    rope_scaling: Optional[dict] = None
+    model_type: str = "llama"
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def kv_group_size(self) -> int:
+        """Heads per KV head (GQA group; reference: mha.cpp:23)."""
+        return self.num_heads // self.num_kv_heads
+
+    def __post_init__(self):
+        if self.num_heads % self.num_kv_heads != 0:
+            raise ValueError(
+                f"num_heads ({self.num_heads}) must be divisible by "
+                f"num_kv_heads ({self.num_kv_heads})"
+            )
+
+    @classmethod
+    def from_hf_dict(cls, d: dict[str, Any], **overrides) -> "ModelConfig":
+        """Build from a HuggingFace ``config.json`` dict.
+
+        The reference ignores checkpoint metadata entirely and copies
+        hard-coded defaults (model.cpp:219-230); we parse the real thing.
+        """
+        head_dim = d.get("head_dim") or d["hidden_size"] // d["num_attention_heads"]
+        kw = dict(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_layers=d["num_hidden_layers"],
+            num_heads=d["num_attention_heads"],
+            num_kv_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            head_dim=head_dim,
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_theta=d.get("rope_theta", 10000.0),
+            max_seq_len=d.get("max_position_embeddings", 2048),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            rope_scaling=d.get("rope_scaling"),
+            model_type=d.get("model_type", "llama"),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def from_hf_json(cls, path: str, **overrides) -> "ModelConfig":
+        with open(path) as f:
+            return cls.from_hf_dict(json.load(f), **overrides)
+
+    @classmethod
+    def from_pretrained_dir(cls, model_dir: str, **overrides) -> "ModelConfig":
+        return cls.from_hf_json(os.path.join(model_dir, "config.json"), **overrides)
+
+    # Well-known architectures, for tests/benches without checkpoint files.
+    @classmethod
+    def _preset(cls, base: dict, ov: dict) -> "ModelConfig":
+        base.update(ov)
+        return cls(**base)
+
+    @classmethod
+    def tinyllama_1_1b(cls, **ov) -> "ModelConfig":
+        return cls._preset(dict(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_layers=22, num_heads=32, num_kv_heads=4, head_dim=64,
+            rope_theta=10000.0, max_seq_len=2048), ov)
+
+    @classmethod
+    def llama2_7b(cls, **ov) -> "ModelConfig":
+        return cls._preset(dict(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+            rope_theta=10000.0, max_seq_len=4096), ov)
+
+    @classmethod
+    def llama2_13b(cls, **ov) -> "ModelConfig":
+        return cls._preset(dict(
+            vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+            num_layers=40, num_heads=40, num_kv_heads=40, head_dim=128,
+            rope_theta=10000.0, max_seq_len=4096), ov)
+
+    @classmethod
+    def llama3_2_3b(cls, **ov) -> "ModelConfig":
+        # The reference's hard-coded defaults approximate this model
+        # (config.h:5-17: vocab 128256, hidden 3072, 28 layers, 24/8 heads).
+        return cls._preset(dict(
+            vocab_size=128256, hidden_size=3072, intermediate_size=8192,
+            num_layers=28, num_heads=24, num_kv_heads=8, head_dim=128,
+            rope_theta=500000.0, max_seq_len=8192,
+            tie_word_embeddings=True), ov)
+
+    @classmethod
+    def tiny_test(cls, **ov) -> "ModelConfig":
+        """Small config for unit tests (runs in seconds on 1 CPU core)."""
+        kw = dict(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            rope_theta=10000.0, max_seq_len=128, dtype="float32",
+        )
+        kw.update(ov)
+        return cls(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Weight/KV quantization spec.
+
+    The reference is FP32-only (alloc.h:12 hard-codes 4-byte dtype); this is
+    the BASELINE.json north-star extension: weight-only INT8 group quant with
+    fused Pallas dequant+matmul, and INT8/FP8 paged KV.
+    """
+
+    mode: str = "none"          # "none" | "int8"  (weight-only group quant)
+    group_size: int = 128       # contraction-dim group for scales
+    kv_dtype: str = "bf16"      # "bf16" | "int8" | "fp8"  (KV cache storage)
+    scale_dtype: str = "float32"
+
+    @property
+    def enabled(self) -> bool:
+        return self.mode != "none"
+
+    def __post_init__(self):
+        if self.mode not in ("none", "int8"):
+            raise ValueError(f"unknown quant mode {self.mode!r}")
+        if self.kv_dtype not in ("bf16", "f32", "int8", "fp8"):
+            raise ValueError(f"unknown kv dtype {self.kv_dtype!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class KVCacheConfig:
+    """Paged KV cache geometry.
+
+    Successor of the reference's dense static arena
+    (``key_cache/value_cache [L, max_len, kv_hidden]``, model.cpp:264-268)
+    — capacity is bounded by HBM pages, not per-sequence max length.
+    """
+
+    page_size: int = 16            # tokens per page
+    num_pages: int = 2048          # total device pages (per layer tier)
+    max_pages_per_seq: int = 512   # block-table width
+    kv_dtype: str = "bf16"
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.page_size * self.max_pages_per_seq
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Serving engine configuration (continuous batching scheduler)."""
+
+    max_batch_size: int = 8
+    max_seq_len: int = 8192
+    prefill_chunk: int = 512        # chunked-prefill bucket size
+    max_queue: int = 256
+    kv: KVCacheConfig = dataclasses.field(default_factory=KVCacheConfig)
+    quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+    # Mesh geometry: axis name -> size. Absent axes = 1.
+    mesh_shape: Optional[dict] = None   # e.g. {"data": 1, "model": 4}
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling configuration.
+
+    The reference supports only greedy argmax on CPU with a per-token D2H
+    logits copy (model.cpp:166-184); here sampling runs on-device and
+    supports temperature / top-k / top-p.
+    """
+
+    max_new_tokens: int = 128
+    temperature: float = 0.0       # 0 => greedy
+    top_k: int = 0                 # 0 => disabled
+    top_p: float = 1.0             # 1.0 => disabled
+    stop_token_ids: tuple = ()
+    seed: int = 0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def next_power_of_2(x: int) -> int:
+    return 1 if x <= 1 else 2 ** math.ceil(math.log2(x))

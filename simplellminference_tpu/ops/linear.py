@@ -1,0 +1,62 @@
+"""Linear layer dispatch: plain matmul or INT8-group fused dequant+matmul.
+
+Successor of the reference's ``MatmulLayer`` (matmul.cpp:14-26), which is a
+GEMV-only FP32 dispatcher. Here a weight is either a plain ``jax.Array``
+[K, N] or a :class:`QuantizedWeight`; ``linear`` routes to the MXU-tiled
+Pallas dequant+matmul on TPU and to the jnp reference elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from simplellminference_tpu.ops import ref_ops
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedWeight:
+    """INT8 group-quantized weight: q [K, N] int8, scales [K//G, N]."""
+
+    q: jax.Array
+    scales: jax.Array
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def group_size(self) -> int:
+        return self.q.shape[-2] // self.scales.shape[-2]
+
+    @classmethod
+    def quantize(cls, w: jax.Array, group_size: int = 128,
+                 scale_dtype=jnp.float32) -> "QuantizedWeight":
+        q, s = ref_ops.quantize_int8_groupwise(w, group_size, scale_dtype)
+        return cls(q=q, scales=s)
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        return ref_ops.dequantize_int8_groupwise(self.q, self.scales, dtype)
+
+
+Weight = jax.Array | QuantizedWeight
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def linear(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
+    """y = x @ w. x: [..., K]; w: [K, N] (plain or quantized)."""
+    out_dtype = out_dtype or x.dtype
+    if isinstance(w, QuantizedWeight):
+        if _use_pallas():
+            from simplellminference_tpu.ops.matmul import quantized_matmul
+            return quantized_matmul(x, w.q, w.scales, out_dtype=out_dtype)
+        return ref_ops.quantized_matmul_ref(x, w.q, w.scales, out_dtype=out_dtype)
+    return jnp.dot(x, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(out_dtype)

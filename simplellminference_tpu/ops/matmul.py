@@ -1,0 +1,125 @@
+"""Fused INT8-group dequant + matmul Pallas kernel (MXU-tiled).
+
+The successor of the reference's decode-hot GEMV kernel (one CUDA block per
+output row, warp-shuffle reduction — matmul_kernel.cu:5-38), redesigned for
+the TPU roofline: weight-only INT8 halves HBM traffic vs bf16, the int8
+tiles are cast to bf16 in VMEM and fed to the MXU per contraction group,
+and the per-group scale is applied to the fp32 accumulator — so dequant
+costs one VPU cast per weight element and the kernel stays HBM-bound at
+~K*N bytes per call.
+
+    y[M, N] = sum_g  (x[:, g] @ cast(q[g])) * scales[g, :]
+
+Grid: (M/bm, N/bn, K/bk), K innermost ("arbitrary") with an fp32 VMEM
+accumulator written out on the last K step. Pallas pipelines the HBM->VMEM
+block DMAs across grid steps automatically (double buffering).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _largest_divisor(n: int, cap: int, mult: int) -> int:
+    """Largest d <= cap with n % d == 0 and d % mult == 0 (fallback: mult)."""
+    d = min(cap, n)
+    d -= d % mult
+    while d >= mult:
+        if n % d == 0:
+            return d
+        d -= mult
+    return mult
+
+
+def _qmm_kernel(x_ref, q_ref, s_ref, out_ref, acc_ref, *, n_groups: int,
+                group_size: int, out_dtype):
+    # s_ref holds ALL K-groups for this N tile ([G_total, bn]) — a full-dim
+    # sublane block sidesteps the (8, 128) tile-divisibility rule for small
+    # group counts; rows are indexed by the K grid step.
+    k_step = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # [bm, bk] bf16
+    for g in range(n_groups):
+        sl = slice(g * group_size, (g + 1) * group_size)
+        qg = q_ref[sl, :].astype(jnp.bfloat16)          # VPU cast, no mul
+        partial = jnp.dot(x[:, sl], qg,
+                          preferred_element_type=jnp.float32)
+        scale_row = s_ref[k_step * n_groups + g, :]
+        acc_ref[:] += partial * scale_row[None, :].astype(jnp.float32)
+
+    @pl.when(k_step == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                             "bm", "bn", "bk"))
+def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
+                     out_dtype=jnp.bfloat16, interpret: bool = False,
+                     bm: int | None = None, bn: int = 512,
+                     bk: int = 512) -> jax.Array:
+    """y = x @ dequant(q, scales).
+
+    x: [..., K] (any float dtype; computed in bf16 on the MXU).
+    q: [K, N] int8; scales: [K // group_size, N].
+    """
+    orig_shape = x.shape
+    k, n = q.shape
+    group_size = k // scales.shape[0]
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+
+    # Tile sizes: respect int8 (32,128) / bf16 (16,128) min tiles.
+    if bm is None:
+        bm = _largest_divisor(m, 256, 16) if m >= 16 else 16
+    pad_m = (-m) % bm
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    m_p = m + pad_m
+
+    bn_eff = _largest_divisor(n, bn, 128)
+    bk_eff = _largest_divisor(k, bk, max(group_size, 128))
+    if bk_eff % group_size != 0:
+        bk_eff = group_size  # group must tile the K block
+    n_groups = bk_eff // group_size
+
+    grid = (m_p // bm, n // bn_eff, k // bk_eff)
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_groups=n_groups,
+                          group_size=group_size, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk_eff), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk_eff, bn_eff), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((scales.shape[0], bn_eff), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn_eff), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n * k,
+            bytes_accessed=m_p * k * 2 + k * n + scales.size * 4 + m_p * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, q, scales)
+
+    if pad_m:
+        out = out[:m]
+    return out.reshape(*orig_shape[:-1], n)

@@ -1,0 +1,156 @@
+"""Pure-jnp reference implementations of every op.
+
+These are (a) the CPU-runnable reference path (BASELINE config #1), and
+(b) the golden baselines every Pallas kernel is unit-tested against
+(SURVEY.md §4.1). The math here is the *correct* Llama math — the reference's
+behavioral bugs Q1 (swiglu missing the gate factor, swiglu_kernel.cpp:12-13)
+and Q2 (RoPE overrunning k under GQA, rope_kernel.cpp:27) are deliberately
+not replicated (SURVEY.md §7.5).
+
+Shape conventions (batch-first, TPU-friendly trailing dims):
+    x:       [B, S, H]           activations
+    q/k/v:   [B, S, N, D]        per-head layout
+    weights: [K, N]              row-major contraction-first (x @ w)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rmsnorm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """x * rsqrt(mean(x^2) + eps) * w, accumulated in fp32.
+
+    Reference: rms_kernel.cpp:5-23 (its CUDA twin has a cross-block race,
+    SURVEY.md Q3 — irrelevant here, XLA/Pallas reductions are race-free).
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dtype) * weight
+
+
+def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    """SiLU(gate) * up — the *correct* SwiGLU.
+
+    The reference computes sigmoid(gate) * up on both backends, missing the
+    `gate *` factor (Q1: swiglu_kernel.cpp:12-13, swiglu_kernel.cu:9-10).
+    """
+    return jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+
+
+def rope_tables(positions: jax.Array, head_dim: int, theta: float,
+                dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
+    """sin/cos tables for the given positions: [..., head_dim // 2].
+
+    freq_d = theta^(-2d/head_dim), angle = pos * freq — matches the
+    reference's precomputed cache (rope_cache_cal, rope_kernel.cpp:4-19)
+    but computed for arbitrary position tensors instead of a [max_seq] arena.
+    """
+    half = head_dim // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / head_dim)
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [..., half]
+    return jnp.sin(angles).astype(dtype), jnp.cos(angles).astype(dtype)
+
+
+def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
+    """Half-split (NeoX/Llama-style) rotation of the last dim.
+
+    x: [B, S, N, D]; sin/cos: [B, S, D/2] (broadcast over heads).
+    Pairs (i, i + D/2) rotate together — same convention as the reference
+    (rope_kernel.cpp:22-41) and HF Llama's rotate_half.
+    """
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    sin = sin[..., None, :]  # [B, S, 1, half]
+    cos = cos[..., None, :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    r1 = xf1 * cos - xf2 * sin
+    r2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+
+
+def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """[B, S, kvN, D] -> [B, S, kvN * n_rep, D] (GQA head expansion)."""
+    if n_rep == 1:
+        return x
+    b, s, n, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, n, n_rep, d)).reshape(
+        b, s, n * n_rep, d)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              mask: jax.Array | None = None,
+              scale: float | None = None) -> jax.Array:
+    """Dense reference attention with fp32 softmax.
+
+    q: [B, Sq, N, D]; k/v: [B, Sk, kvN, D]; mask: broadcastable to
+    [B, N, Sq, Sk] (True = attend). GQA via head-group expansion
+    (reference: mha_kernel.cpp:36-77 computes this per-head serially).
+    """
+    n_rep = q.shape[2] // k.shape[2]
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqnd,bknd->bnqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnqk,bknd->bqnd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def causal_mask(sq: int, sk: int, q_offset: jax.Array | int = 0) -> jax.Array:
+    """[Sq, Sk] boolean causal mask; query i attends to keys <= q_offset + i."""
+    qi = jnp.arange(sq)[:, None] + q_offset
+    ki = jnp.arange(sk)[None, :]
+    return ki <= qi
+
+
+def quantize_int8_groupwise(w: jax.Array, group_size: int,
+                            scale_dtype=jnp.float32):
+    """Symmetric per-group INT8 quantization along the contraction dim.
+
+    w: [..., K, N] -> (q: int8 [..., K, N], scales: [..., K // group, N]);
+    leading dims (e.g. the stacked layer axis) pass through.
+    scale = absmax(group) / 127; q = round(w / scale).
+    """
+    *lead, k, n = w.shape
+    assert k % group_size == 0, (k, group_size)
+    wg = w.astype(jnp.float32).reshape(*lead, k // group_size, group_size, n)
+    absmax = jnp.max(jnp.abs(wg), axis=-2)                      # [..., G, N]
+    scales = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / scales[..., None, :]), -127, 127).astype(jnp.int8)
+    return q.reshape(*lead, k, n), scales.astype(scale_dtype)
+
+
+def dequantize_int8_groupwise(q: jax.Array, scales: jax.Array,
+                              dtype=jnp.float32) -> jax.Array:
+    """Inverse of quantize_int8_groupwise: [..., K, N] + [..., G, N]."""
+    *lead, k, n = q.shape
+    g = scales.shape[-2]
+    wq = q.astype(jnp.float32).reshape(*lead, g, k // g, n)
+    out = wq * scales.astype(jnp.float32)[..., None, :]
+    return out.reshape(*lead, k, n).astype(dtype)
+
+
+def quantized_matmul_ref(x: jax.Array, q: jax.Array, scales: jax.Array,
+                         out_dtype=None) -> jax.Array:
+    """Reference for the fused dequant+matmul: x @ dequant(q, scales).
+
+    x: [..., K]; q: [K, N] int8; scales: [K // group, N].
+    Group-wise partial sums in fp32 (matches the Pallas kernel's math).
+    """
+    out_dtype = out_dtype or x.dtype
+    k, n = q.shape
+    g = scales.shape[0]
+    gs = k // g
+    xg = x.astype(jnp.float32).reshape(*x.shape[:-1], g, gs)
+    qg = q.astype(jnp.float32).reshape(g, gs, n)
+    # per-group dot then scale: sum_g scale[g] * (x_g @ q_g)
+    partial = jnp.einsum("...gk,gkn->...gn", xg, qg)
+    out = jnp.einsum("...gn,gn->...n", partial, scales.astype(jnp.float32))
+    return out.astype(out_dtype)

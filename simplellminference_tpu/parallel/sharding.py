@@ -1,0 +1,110 @@
+"""Per-parameter PartitionSpecs for Llama-family params (megatron-style TP).
+
+Sharding layout (pattern per SNIPPETS.md [2]/[3], adapted to our [K, N]
+contraction-first weights, layers stacked on a leading L axis):
+
+    wq/wk/wv  [L, H, heads*D]  — column-sharded on "model" (heads split)
+    wo        [L, heads*D, H]  — row-sharded on "model"  → psum after
+    w_gate/up [L, H, I]        — column-sharded on "model"
+    w_down    [L, I, H]        — row-sharded on "model"  → psum after
+    embed     [V, H]           — vocab-sharded on "model" (tied head =>
+                                 vocab-sharded logits, all-gather at sample)
+    lm_head   [H, V]           — column(vocab)-sharded on "model"
+    norms                      — replicated
+    KV cache  [L, B, S, kvN, D]— batch on "data", kv heads on "model"
+
+With GSPMD jit, these input shardings are all XLA needs to insert the
+per-layer all-reduces over ICI (SURVEY.md §2.9's "TPU-native equivalent").
+Quantized weights shard q and scales with the same output-dim spec (scales
+are [L, G, N] — G is the grouped contraction dim, sharded like K).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from simplellminference_tpu.core.config import ModelConfig
+from simplellminference_tpu.ops.linear import QuantizedWeight
+from simplellminference_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _layer_specs() -> dict[str, P]:
+    m = MODEL_AXIS
+    return {
+        "input_norm": P(None, None),
+        "post_norm": P(None, None),
+        "wq": P(None, None, m),
+        "wk": P(None, None, m),
+        "wv": P(None, None, m),
+        "wo": P(None, m, None),
+        "w_gate": P(None, None, m),
+        "w_up": P(None, None, m),
+        "w_down": P(None, m, None),
+    }
+
+
+def param_specs(cfg: ModelConfig) -> dict[str, Any]:
+    """PartitionSpec pytree matching the params pytree structure."""
+    specs: dict[str, Any] = {
+        "embed": P(MODEL_AXIS, None),
+        "final_norm": P(None),
+        "layers": {},
+    }
+    lspecs = _layer_specs()
+    for name, spec in lspecs.items():
+        specs["layers"][name] = spec
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, MODEL_AXIS)
+    return specs
+
+
+def _spec_for_leaf(path_spec: P, leaf) -> P:
+    """Quantized weights: q shares the weight spec; scales [L, G, N] keep the
+    contraction-dim sharding on G and the output sharding on N."""
+    return path_spec
+
+
+def _match_tree(params, specs):
+    """Walk params and specs together, expanding QuantizedWeight leaves."""
+    out = {}
+    for k, v in params.items():
+        s = specs[k]
+        if isinstance(v, dict):
+            out[k] = _match_tree(v, s)
+        elif isinstance(v, QuantizedWeight):
+            out[k] = QuantizedWeight(q=s, scales=s)
+        else:
+            out[k] = s
+    return out
+
+
+def spec_tree(cfg: ModelConfig, params) -> Any:
+    return _match_tree(params, param_specs(cfg))
+
+
+def shard_params(cfg: ModelConfig, params, mesh: Mesh):
+    """device_put the params tree with its TP shardings."""
+    specs = spec_tree(cfg, params)
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)
+
+
+def kv_cache_spec(shard_kv_heads: bool = True) -> P:
+    """[L, B, S, kvN, D] — batch on data; kv heads on model when divisible."""
+    return P(None, DATA_AXIS, None, MODEL_AXIS if shard_kv_heads else None,
+             None)
+
+
+def shard_kv_cache(cache, mesh: Mesh, num_kv_heads: int):
+    tp = mesh.shape[MODEL_AXIS]
+    spec = kv_cache_spec(shard_kv_heads=(num_kv_heads % tp == 0))
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), cache)
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS, None))

@@ -1,0 +1,170 @@
+"""Weight loading: HF safetensors / torch state dicts → params pytree.
+
+Successor of the reference's weight path — mmap of a headerless raw-FP32
+blob walked in a fixed group order with a hard-coded config
+(read_model_file model.cpp:204-245; create_param_layers model.cpp:336-469).
+Here the contract is the standard HF checkpoint: ``config.json`` +
+``*.safetensors``, mapped by name, transposed to our [K, N]
+contraction-first layout, optionally INT8 group-quantized at load, and
+``jax.device_put`` with per-parameter shardings.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplellminference_tpu.core.config import ModelConfig, QuantConfig
+from simplellminference_tpu.ops.linear import QuantizedWeight
+
+# Param-tree paths use "/" notation; "layers/*/wq" denotes the stacked [L,...]
+# tensor assembled from per-layer HF tensors.
+
+_HF_LLAMA_MAP = {
+    "embed": "model.embed_tokens.weight",            # [V, H] (no transpose)
+    "final_norm": "model.norm.weight",
+    "lm_head": "lm_head.weight",                     # [V, H] -> transpose
+    "layers/input_norm": "model.layers.{i}.input_layernorm.weight",
+    "layers/post_norm": "model.layers.{i}.post_attention_layernorm.weight",
+    "layers/wq": "model.layers.{i}.self_attn.q_proj.weight",      # [N*D, H] -> T
+    "layers/wk": "model.layers.{i}.self_attn.k_proj.weight",
+    "layers/wv": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers/wo": "model.layers.{i}.self_attn.o_proj.weight",      # [H, N*D] -> T
+    "layers/w_gate": "model.layers.{i}.mlp.gate_proj.weight",
+    "layers/w_up": "model.layers.{i}.mlp.up_proj.weight",
+    "layers/w_down": "model.layers.{i}.mlp.down_proj.weight",
+}
+
+# HF Linear weights are [out, in]; ours are [in, out] => transpose all
+# projection matrices. Embedding/norms keep HF orientation.
+_TRANSPOSED = {"lm_head", "layers/wq", "layers/wk", "layers/wv", "layers/wo",
+               "layers/w_gate", "layers/w_up", "layers/w_down"}
+
+# Paths eligible for weight-only INT8 group quantization. Embedding, norms,
+# and the LM head stay high-precision (standard practice; also how the
+# BASELINE PPL budget is met).
+_QUANTIZABLE = {"layers/wq", "layers/wk", "layers/wv", "layers/wo",
+                "layers/w_gate", "layers/w_up", "layers/w_down"}
+
+
+def llama_hf_param_map(cfg: ModelConfig) -> dict[str, str]:
+    m = dict(_HF_LLAMA_MAP)
+    if cfg.tie_word_embeddings:
+        m.pop("lm_head")
+    return m
+
+
+def _set_path(tree: dict, path: str, value):
+    parts = path.split("/")
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = value
+
+
+def _maybe_quantize(path: str, w: jax.Array, quant: QuantConfig):
+    if quant.enabled and path in _QUANTIZABLE:
+        gs = quant.group_size
+        k = w.shape[-2]
+        if k % gs != 0:
+            gs = int(np.gcd(k, gs)) or k
+        return QuantizedWeight.quantize(w, gs)
+    return w
+
+
+def params_from_fetcher(cfg: ModelConfig,
+                        fetch: Callable[[str], np.ndarray],
+                        quant: QuantConfig = QuantConfig(),
+                        dtype: Optional[Any] = None,
+                        device_put: Optional[Callable[[str, jax.Array], jax.Array]] = None,
+                        ) -> dict:
+    """Assemble the params pytree given ``fetch(hf_name) -> np.ndarray``.
+
+    ``device_put(path, array)`` lets callers shard each tensor as it lands
+    (parallel/sharding.py builds this from a mesh); default is host->default
+    device.
+    """
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    pmap = llama_hf_param_map(cfg)
+    params: dict = {}
+
+    def convert(path: str, arrs: list[np.ndarray]):
+        stacked = np.stack(arrs) if len(arrs) > 1 or path.startswith("layers/") \
+            else arrs[0]
+        t = jnp.asarray(stacked)
+        if path in _TRANSPOSED:
+            t = jnp.swapaxes(t, -1, -2)
+        if path in ("embed", "lm_head") or "norm" in path:
+            t = t.astype(dtype)
+        else:
+            t = t.astype(dtype)
+        t = _maybe_quantize(path, t, quant)
+        if device_put is not None:
+            t = jax.tree.map(lambda a: device_put(path, a), t)
+        _set_path(params, path, t)
+
+    for path, hf_name in pmap.items():
+        if "{i}" in hf_name:
+            arrs = [fetch(hf_name.format(i=i)) for i in range(cfg.num_layers)]
+            convert(path, arrs)
+        else:
+            convert(path, [fetch(hf_name)])
+    return params
+
+
+def load_safetensors_dir(model_dir: str, cfg: Optional[ModelConfig] = None,
+                         quant: QuantConfig = QuantConfig(),
+                         dtype: Optional[Any] = None,
+                         device_put=None) -> tuple[ModelConfig, dict]:
+    """Load a HF checkpoint directory (config.json + *.safetensors)."""
+    from safetensors import safe_open
+
+    if cfg is None:
+        cfg = ModelConfig.from_pretrained_dir(model_dir)
+
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {model_dir}")
+    index: dict[str, str] = {}
+    handles = {}
+    for f in files:
+        h = safe_open(f, framework="np")
+        handles[f] = h
+        for name in h.keys():
+            index[name] = f
+
+    def fetch(name: str) -> np.ndarray:
+        if name not in index:
+            raise KeyError(f"tensor {name!r} not in checkpoint {model_dir}")
+        return handles[index[name]].get_tensor(name)
+
+    params = params_from_fetcher(cfg, fetch, quant=quant, dtype=dtype,
+                                 device_put=device_put)
+    return cfg, params
+
+
+def params_from_torch_state_dict(cfg: ModelConfig, state_dict,
+                                 quant: QuantConfig = QuantConfig(),
+                                 dtype: Optional[Any] = None) -> dict:
+    """Convert a torch (HF Llama) state dict — used by the golden tests."""
+    def fetch(name: str) -> np.ndarray:
+        t = state_dict[name]
+        return t.detach().to("cpu").float().numpy()
+
+    return params_from_fetcher(cfg, fetch, quant=quant, dtype=dtype)
+
+
+def quantize_params(params: dict, quant: QuantConfig) -> dict:
+    """Post-hoc quantization of an already-loaded fp params tree."""
+    out = dict(params)
+    out["layers"] = {
+        name: _maybe_quantize(f"layers/{name}", w, quant)
+        for name, w in params["layers"].items()
+    }
+    return out

@@ -1,0 +1,123 @@
+"""Unit tests for the reference op math (SURVEY.md §4.1).
+
+These pin the jnp reference ops against straightforward numpy/torch math,
+including the two reference bugs we deliberately fix (Q1 swiglu, Q2 rope).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplellminference_tpu.ops import ref_ops
+
+
+def test_rmsnorm_matches_numpy(rng):
+    x = rng.standard_normal((2, 5, 64), dtype=np.float32)
+    w = rng.standard_normal(64, dtype=np.float32)
+    eps = 1e-5
+    got = ref_ops.rmsnorm(jnp.asarray(x), jnp.asarray(w), eps)
+    want = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + eps) * w
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_swiglu_is_silu_times_up(rng):
+    """Correct SwiGLU = g*sigmoid(g)*up — NOT the reference's sigmoid(g)*up
+    (Q1, swiglu_kernel.cpp:12-13)."""
+    g = rng.standard_normal((4, 32), dtype=np.float32)
+    u = rng.standard_normal((4, 32), dtype=np.float32)
+    got = np.asarray(ref_ops.swiglu(jnp.asarray(g), jnp.asarray(u)))
+    want = g * (1 / (1 + np.exp(-g))) * u
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # and it differs from the reference's buggy version
+    buggy = (1 / (1 + np.exp(-g))) * u
+    assert not np.allclose(got, buggy)
+
+
+def test_rope_rotation_properties(rng):
+    """RoPE preserves norms and pos=0 is identity."""
+    x = rng.standard_normal((1, 3, 4, 32), dtype=np.float32)
+    pos = jnp.asarray([[0, 1, 7]], jnp.int32)
+    sin, cos = ref_ops.rope_tables(pos, 32, 10000.0)
+    out = np.asarray(ref_ops.apply_rope(jnp.asarray(x), sin, cos))
+    np.testing.assert_allclose(out[0, 0], x[0, 0], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1),
+                               np.linalg.norm(x, axis=-1), rtol=1e-5)
+
+
+def test_rope_matches_hf_rotate_half(rng):
+    """Exact parity with HF Llama's rotate_half convention."""
+    torch = pytest.importorskip("torch")
+    d = 64
+    x = rng.standard_normal((1, 5, 2, d), dtype=np.float32)
+    pos = np.arange(5, dtype=np.int32)[None]
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, d, 2) / d))
+    angles = pos[..., None] * inv_freq  # [1, 5, d/2]
+    emb = np.concatenate([angles, angles], axis=-1)
+    cos_hf, sin_hf = np.cos(emb), np.sin(emb)
+
+    def rotate_half(t):
+        return np.concatenate([-t[..., d // 2:], t[..., :d // 2]], axis=-1)
+
+    want = x * cos_hf[:, :, None, :] + rotate_half(x) * sin_hf[:, :, None, :]
+    sin, cos = ref_ops.rope_tables(jnp.asarray(pos), d, 10000.0)
+    got = np.asarray(ref_ops.apply_rope(jnp.asarray(x), sin, cos))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_attention_matches_torch_sdpa(rng):
+    torch = pytest.importorskip("torch")
+    b, sq, sk, n, kvn, d = 2, 4, 9, 8, 2, 16
+    q = rng.standard_normal((b, sq, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, sk, kvn, d), dtype=np.float32)
+    v = rng.standard_normal((b, sk, kvn, d), dtype=np.float32)
+    mask = np.asarray(ref_ops.causal_mask(sq, sk, q_offset=sk - sq))[None, None]
+
+    got = np.asarray(ref_ops.attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask)))
+
+    tq = torch.tensor(q).permute(0, 2, 1, 3)
+    tk = torch.tensor(k).permute(0, 2, 1, 3)
+    tv = torch.tensor(v).permute(0, 2, 1, 3)
+    want = torch.nn.functional.scaled_dot_product_attention(
+        tq, tk, tv, attn_mask=torch.tensor(mask), enable_gqa=True)
+    want = want.permute(0, 2, 1, 3).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_int8_groupwise_quant_roundtrip(rng):
+    w = rng.standard_normal((256, 64), dtype=np.float32)
+    q, s = ref_ops.quantize_int8_groupwise(jnp.asarray(w), 64)
+    assert q.dtype == jnp.int8 and s.shape == (4, 64)
+    deq = np.asarray(ref_ops.dequantize_int8_groupwise(q, s))
+    # max error bounded by scale/2 per element
+    err = np.abs(deq - w)
+    bound = np.repeat(np.asarray(s), 64, axis=0) * 0.51
+    assert (err <= bound).all()
+
+
+def test_quantized_matmul_ref_matches_dequant(rng):
+    x = rng.standard_normal((3, 256), dtype=np.float32)
+    w = rng.standard_normal((256, 96), dtype=np.float32)
+    q, s = ref_ops.quantize_int8_groupwise(jnp.asarray(w), 128)
+    got = np.asarray(ref_ops.quantized_matmul_ref(jnp.asarray(x), q, s))
+    want = x @ np.asarray(ref_ops.dequantize_int8_groupwise(q, s))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sampling_greedy_and_topk(rng):
+    from simplellminference_tpu.ops import sampling
+    logits = jnp.asarray(rng.standard_normal((4, 100), dtype=np.float32))
+    g = sampling.greedy(logits)
+    assert (np.asarray(g) == np.asarray(logits).argmax(-1)).all()
+    # temperature 0 rows behave greedily through sample() too
+    key = jax.random.PRNGKey(0)
+    t = jnp.asarray([0.0, 1.0, 0.0, 0.5])
+    out = sampling.sample(logits, key, t, jnp.asarray([0, 5, 0, 0]),
+                          jnp.asarray([1.0, 0.9, 1.0, 1.0]))
+    out = np.asarray(out)
+    assert out[0] == np.asarray(logits)[0].argmax()
+    assert out[2] == np.asarray(logits)[2].argmax()
+    # top-k row must sample within its top-5 set
+    top5 = np.argsort(np.asarray(logits)[1])[::-1][:5]
+    assert out[1] in top5
