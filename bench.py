@@ -15,6 +15,7 @@ vary; defaults match BASELINE config #3 (7B INT8, batch 8).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -31,8 +32,11 @@ HBM_BW = {  # bytes/s, per chip
 
 
 def _bench_params(cfg, quantize: bool, key):
-    """Random weights straight in their storage dtype (no fp32 staging —
-    benchmark numerics don't matter, HBM traffic does)."""
+    """Fake weights straight in their storage dtype — benchmark numerics
+    don't matter, HBM traffic does. Deterministic iota hashing instead of
+    threefry RNG: generating real random 7B tensors on-device costs ~5 min
+    through the dispatch tunnel; this is milliseconds."""
+    del key
     from simplellminference_tpu.ops.linear import QuantizedWeight
 
     h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
@@ -40,35 +44,37 @@ def _bench_params(cfg, quantize: bool, key):
     gs = 128
     dtype = jnp.dtype(cfg.dtype)
 
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def _fake_int8(shape):
+        a = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+        btt = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+        return (((a * 37 + btt * 101 + 13) % 255) - 127).astype(jnp.int8)
+
     def w(shape):
-        nonlocal key
-        key, sub = jax.random.split(key)
         if not quantize:
-            return (jax.random.normal(sub, shape, jnp.bfloat16) *
-                    (shape[-2] ** -0.5)).astype(dtype)
+            scale = shape[-2] ** -0.5 / 127.0
+            return (_fake_int8(shape).astype(jnp.float32) * scale
+                    ).astype(dtype)
         k_dim = shape[-2]
         g = max(k_dim // gs, 1)
-        q = jax.random.randint(sub, shape, -127, 128, jnp.int8)
-        scales = jnp.full((*shape[:-2], g, shape[-1]), 1e-3, jnp.float32)
+        q = _fake_int8(shape)
+        scales = jnp.full((*shape[:-2], g, shape[-1]),
+                          shape[-2] ** -0.5 / 127.0, jnp.float32)
         return QuantizedWeight(q=q, scales=scales)
 
-    key, k_emb = jax.random.split(key)
     params = {
-        "embed": (jax.random.normal(k_emb, (v, h), jnp.bfloat16) * 0.02
-                  ).astype(dtype),
+        "embed": _fake_int8((v, h)).astype(dtype) * 0.002,
         "layers": {
             "input_norm": jnp.ones((L, h), dtype),
             "post_norm": jnp.ones((L, h), dtype),
-            "wq": w((L, h, n * d)), "wk": w((L, h, kvn * d)),
-            "wv": w((L, h, kvn * d)), "wo": w((L, n * d, h)),
-            "w_gate": w((L, h, i)), "w_up": w((L, h, i)),
+            "wqkv": w((L, h, (n + 2 * kvn) * d)),
+            "wo": w((L, n * d, h)),
+            "w_gate_up": w((L, h, 2 * i)),
             "w_down": w((L, i, h)),
         },
         "final_norm": jnp.ones((h,), dtype),
     }
-    key, k_head = jax.random.split(key)
-    params["lm_head"] = (jax.random.normal(k_head, (h, v), jnp.bfloat16) * 0.02
-                         ).astype(dtype)
+    params["lm_head"] = _fake_int8((h, v)).astype(dtype) * 0.002
     return params
 
 
@@ -105,28 +111,34 @@ def main():
     gen = Generator(cfg, params, max_batch=args.batch, max_seq=args.ctx,
                     kv_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    prompts = [rng.integers(1, cfg.vocab_size, args.prompt_len).tolist()
-               for _ in range(args.batch)]
 
-    # Warmup (compiles prefill + fused decode).
-    toks = gen.generate_fused(prompts, max_new_tokens=8)
-    jax.block_until_ready(toks)
+    def fresh_prompts():
+        # The axon relay caches results for identical (executable, inputs) —
+        # every timed run must use fresh prompt tokens.
+        return [rng.integers(1, cfg.vocab_size, args.prompt_len).tolist()
+                for _ in range(args.batch)]
 
-    t0 = time.perf_counter()
-    toks = gen.generate_fused(prompts, max_new_tokens=args.steps)
-    jax.block_until_ready(toks)
-    el = time.perf_counter() - t0
+    # Decode-only timing via differencing: run the fused prefill+decode jit
+    # at `steps` and `steps//2` and subtract — prefill cost and the ~25 ms
+    # host dispatch latency cancel exactly.
+    # NOTE: sync via device->host copy of the result — block_until_ready is
+    # unreliable through the axon relay (returns before compute finishes).
+    half = args.steps // 2
+    for s in (half, args.steps):       # compile both
+        np.asarray(gen.generate_fused(fresh_prompts(), max_new_tokens=s))
 
-    # Decode-only timing: subtract the (re-run) prefill cost.
-    cache = gen.new_cache(args.batch)
-    t1 = time.perf_counter()
-    last, cache, _ = gen.prefill(cache, prompts)
-    jax.block_until_ready(last)
-    prefill_s = time.perf_counter() - t1
-    del cache
+    def timed(s):
+        p = fresh_prompts()
+        t0 = time.perf_counter()
+        np.asarray(gen.generate_fused(p, max_new_tokens=s))
+        return time.perf_counter() - t0
 
-    decode_s = max(el - prefill_s, 1e-9)
-    total_new = args.batch * args.steps
+    t_full = min(timed(args.steps) for _ in range(3))
+    t_half = min(timed(half) for _ in range(3))
+    prefill_s = max(2 * t_half - t_full, 0.0)  # derived, for reporting
+
+    decode_s = max(t_full - t_half, 1e-9)
+    total_new = args.batch * (args.steps - half)
     toks_per_s = total_new / decode_s
 
     # Roofline: per decode step read all weights once + the live KV prefix.

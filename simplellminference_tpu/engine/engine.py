@@ -1,0 +1,337 @@
+"""Continuous-batching engine core.
+
+Scheduling model (the capability the reference lacks entirely — its
+predict() serves one request start-to-finish, model.cpp:142-187):
+
+  * ``max_batch_size`` decode slots over one paged KV pool.
+  * admit: WAITING requests take a free slot when the pool has pages for
+    their prompt + one decode burst; prompt runs as ONE batched prefill
+    (B=1, bucketed length — the reference prefills one token per forward,
+    model.cpp:159-165).
+  * decode: all running slots step together in multi-step bursts inside a
+    single jit (dispatch latency through the axon tunnel is ~25 ms, so
+    per-token host loops are throughput poison).
+  * finish: stop token / max_new_tokens checked host-side after each burst;
+    pages freed immediately.
+  * OOM: if the pool can't cover the next burst, the youngest running
+    request is preempted (pages reclaimed, request requeued) — the
+    continuous-batching analog of the reference allocator's
+    flush-and-retry (alloc.cpp:118-131). Request-scoped failures never
+    kill the process (unlike LOG(), base.h:6-10).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import deque
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplellminference_tpu.core.config import (EngineConfig, ModelConfig,
+                                                SamplingParams,
+                                                next_power_of_2)
+from simplellminference_tpu.engine import metrics as metrics_lib
+from simplellminference_tpu.engine.request import Request, RequestState
+from simplellminference_tpu.memory.allocator import PageAllocator
+from simplellminference_tpu.memory.paged_kv import PagedKVCache
+from simplellminference_tpu.models import llama
+from simplellminference_tpu.ops import sampling as sampling_ops
+from simplellminference_tpu.tokenizer.base import StreamingDetokenizer
+
+
+class Engine:
+    """Single-model continuous-batching inference engine."""
+
+    def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
+                 tokenizer=None, decode_burst: int = 8,
+                 forward_paged=None):
+        self.cfg = cfg
+        self.params = params
+        self.ecfg = engine_cfg
+        self.tokenizer = tokenizer
+        self.burst = decode_burst
+        self._fwd = forward_paged or llama.forward_paged
+
+        kv = engine_cfg.kv
+        self.allocator = PageAllocator(
+            kv.num_pages, kv.page_size, engine_cfg.max_batch_size,
+            kv.max_pages_per_seq)
+        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}.get(
+            kv.kv_dtype, jnp.bfloat16)
+        self.cache = PagedKVCache.create(
+            cfg.num_layers, kv.num_pages, cfg.num_kv_heads, kv.page_size,
+            cfg.head_dim, kv_dtype)
+
+        b = engine_cfg.max_batch_size
+        self.slots: list[Optional[Request]] = [None] * b
+        self.waiting: deque[Request] = deque()
+        self._req_ids = itertools.count()
+        self.metrics = metrics_lib.EngineMetrics()
+
+        # host-side per-slot decode state
+        self._pos = np.zeros(b, np.int32)          # next write position
+        self._next_tok = np.zeros(b, np.int32)
+        self._temp = np.zeros(b, np.float32)
+        self._top_k = np.zeros(b, np.int32)
+        self._top_p = np.ones(b, np.float32)
+        self._key = jax.random.PRNGKey(0)
+        self._detok: dict[int, StreamingDetokenizer] = {}
+
+        cfg_ = cfg
+        fwd = self._fwd
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _prefill_fn(params, cache, tokens, tables, kv_len):
+            s = tokens.shape[1]
+            positions = jnp.arange(s, dtype=jnp.int32)[None]
+            logits, cache = fwd(cfg_, params, tokens, positions, cache,
+                                tables, kv_len, prefill=True)
+            last = jnp.take_along_axis(
+                logits, (kv_len - 1)[:, None, None], axis=1)[:, 0]
+            return last, cache
+
+        @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+        def _burst_fn(steps, params, cache, tokens, pos, tables, active,
+                      key, temp, top_k, top_p):
+            def step(carry, _):
+                cache, tok, pos, key = carry
+                kv_lens = pos + 1
+                logits, cache = fwd(cfg_, params, tok[:, None],
+                                    pos[:, None], cache, tables, kv_lens,
+                                    prefill=False)
+                key, sub = jax.random.split(key)
+                nxt = sampling_ops.sample(logits[:, 0], sub, temp, top_k,
+                                          top_p)
+                nxt = jnp.where(active, nxt, 0)
+                pos = pos + active.astype(jnp.int32)
+                return (cache, nxt, pos, key), nxt
+
+            (cache, _, pos, _), toks = jax.lax.scan(
+                step, (cache, tokens, pos, key), None, length=steps)
+            return toks.T, cache  # [B, steps]
+
+        self._prefill_fn = _prefill_fn
+        self._burst_fn = _burst_fn
+
+    # ------------- public API -------------
+
+    def add_request(self, prompt_ids: Optional[Sequence[int]] = None,
+                    prompt: Optional[str] = None,
+                    sampling: SamplingParams = SamplingParams(),
+                    on_tokens=None) -> Request:
+        if prompt_ids is None:
+            if prompt is None or self.tokenizer is None:
+                raise ValueError("need prompt_ids, or prompt + tokenizer")
+            prompt_ids = self.tokenizer.encode(prompt)
+        if self.tokenizer is not None and not sampling.stop_token_ids \
+                and self.tokenizer.eos_id >= 0:
+            sampling = SamplingParams(
+                **{**sampling.__dict__,
+                   "stop_token_ids": (self.tokenizer.eos_id,)})
+        req = Request(req_id=next(self._req_ids),
+                      prompt_ids=list(prompt_ids), sampling=sampling,
+                      on_tokens=on_tokens)
+        max_len = self.ecfg.kv.max_pages_per_seq * self.ecfg.kv.page_size
+        if len(req.prompt_ids) + sampling.max_new_tokens > max_len:
+            req.state = RequestState.FAILED
+            req.error = (f"prompt+max_new ({len(req.prompt_ids)}+"
+                         f"{sampling.max_new_tokens}) exceeds capacity "
+                         f"{max_len}")
+            self.metrics.requests_failed += 1
+            req.emit([], finished=True)
+            return req
+        self.waiting.append(req)
+        metrics_lib.log_event("request_added", req_id=req.req_id,
+                              prompt_len=len(req.prompt_ids))
+        return req
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting) or any(s is not None for s in self.slots)
+
+    def run(self):
+        """Drive until all requests complete."""
+        while self.has_work:
+            self.step()
+        return self.metrics
+
+    def generate(self, prompts: Sequence[Sequence[int]],
+                 sampling: SamplingParams = SamplingParams()
+                 ) -> list[list[int]]:
+        """Batch-convenience: submit all, run to completion, return ids."""
+        reqs = [self.add_request(prompt_ids=p, sampling=sampling)
+                for p in prompts]
+        self.run()
+        return [r.output_ids for r in reqs]
+
+    # ------------- scheduling internals -------------
+
+    def _free_slots(self) -> list[int]:
+        return [i for i, s in enumerate(self.slots) if s is None]
+
+    def _admit(self):
+        free = self._free_slots()
+        while free and self.waiting:
+            req = self.waiting[0]
+            slot = free[0]
+            # allocate pages for everything computed so far (prompt +
+            # already-generated tokens for preempted requests)
+            if not self.allocator.alloc_seq(slot, req.total_len):
+                break  # pool exhausted — wait for finishes
+            self.waiting.popleft()
+            free.pop(0)
+            req.slot = slot
+            req.state = RequestState.RUNNING
+            self.slots[slot] = req
+            self._temp[slot] = req.sampling.temperature
+            self._top_k[slot] = req.sampling.top_k
+            self._top_p[slot] = req.sampling.top_p
+            self._prefill(req)
+            metrics_lib.log_event("request_admitted", req_id=req.req_id,
+                                  slot=slot)
+
+    def _prefill(self, req: Request):
+        """B=1 bucketed prefill of everything computed so far."""
+        ids = req.prompt_ids + req.output_ids
+        ln = len(ids)
+        bucket = next_power_of_2(max(ln, 16))
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :ln] = ids
+        tables = jnp.asarray(self.allocator.row(req.slot)[None])
+        last, self.cache = self._prefill_fn(
+            self.params, self.cache, jnp.asarray(tokens), tables,
+            jnp.asarray([ln], np.int32))
+        self.metrics.prefills += 1
+        self.metrics.prompt_tokens += ln
+        # sample the first token now (TTFT ends here)
+        self._key, sub = jax.random.split(self._key)
+        tok = sampling_ops.sample(
+            last, sub,
+            jnp.asarray(self._temp[req.slot:req.slot + 1]),
+            jnp.asarray(self._top_k[req.slot:req.slot + 1]),
+            jnp.asarray(self._top_p[req.slot:req.slot + 1]))
+        tok_id = int(np.asarray(tok)[0])
+        self._pos[req.slot] = ln
+        self._next_tok[req.slot] = tok_id
+        self._emit_tokens(req, [tok_id])
+
+    def _emit_tokens(self, req: Request, toks: list[int]):
+        """Append sampled tokens, applying stop conditions. May finish."""
+        accepted = []
+        finished = False
+        for t in toks:
+            if t in req.sampling.stop_token_ids:
+                finished = True
+                break
+            req.output_ids.append(t)
+            accepted.append(t)
+            if req.num_generated >= req.sampling.max_new_tokens:
+                finished = True
+                break
+        self.metrics.tokens_generated += len(accepted)
+        req.emit(accepted, finished)
+        if finished:
+            self._finish(req)
+
+    def _finish(self, req: Request):
+        req.state = RequestState.FINISHED
+        self.allocator.free_seq(req.slot)
+        self.slots[req.slot] = None
+        self.metrics.requests_finished += 1
+        if req.ttft is not None:
+            self.metrics.ttfts.append(req.ttft)
+        metrics_lib.log_event("request_finished", req_id=req.req_id,
+                              generated=req.num_generated)
+        req.slot = -1
+
+    def _preempt_youngest(self) -> bool:
+        """Reclaim the youngest running request's pages; requeue it."""
+        running = [s for s in self.slots if s is not None]
+        if len(running) <= 1:
+            return False
+        victim = max(running, key=lambda r: r.req_id)
+        self.allocator.free_seq(victim.slot)
+        self.slots[victim.slot] = None
+        victim.slot = -1
+        victim.state = RequestState.PREEMPTED
+        victim.preempt_count += 1
+        self.waiting.appendleft(victim)
+        self.metrics.preemptions += 1
+        metrics_lib.log_event("request_preempted", req_id=victim.req_id)
+        return True
+
+    def _ensure_burst_pages(self) -> bool:
+        """Extend every running slot to cover pos + burst tokens."""
+        while True:
+            ok = True
+            for req in list(self.slots):
+                if req is None:
+                    continue
+                target = int(self._pos[req.slot]) + self.burst + 1
+                if self.allocator.seq_len(req.slot) < target:
+                    if not self.allocator.extend(req.slot, target):
+                        ok = False
+                        break
+            if ok:
+                return True
+            if not self._preempt_youngest():
+                return False
+
+    def step(self):
+        """One scheduling iteration: admit → burst decode → bookkeeping."""
+        self._admit()
+        running = [r for r in self.slots if r is not None]
+        if not running:
+            if not self.waiting:
+                return
+            # nothing running but waiting couldn't admit: hard OOM for the
+            # head request — fail it rather than livelock.
+            req = self.waiting.popleft()
+            req.state = RequestState.FAILED
+            req.error = "prompt does not fit in KV page pool"
+            self.metrics.requests_failed += 1
+            req.emit([], finished=True)
+            return
+        if not self._ensure_burst_pages():
+            # could not even cover one burst — shrink to single steps by
+            # failing the largest request (degenerate; avoids livelock)
+            victim = max(running, key=lambda r: r.total_len)
+            victim.state = RequestState.FAILED
+            victim.error = "KV page pool exhausted"
+            self.allocator.free_seq(victim.slot)
+            self.slots[victim.slot] = None
+            self.metrics.requests_failed += 1
+            victim.emit([], finished=True)
+            return
+
+        active = np.asarray([s is not None for s in self.slots], bool)
+        tables = jnp.asarray(self.allocator.table())
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._burst_fn(
+            self.burst, self.params, self.cache,
+            jnp.asarray(self._next_tok), jnp.asarray(self._pos),
+            tables, jnp.asarray(active), sub,
+            jnp.asarray(self._temp), jnp.asarray(self._top_k),
+            jnp.asarray(self._top_p))
+        toks = np.asarray(toks)  # [B, burst] — sync point
+        self.metrics.decode_bursts += 1
+
+        for slot, req in enumerate(list(self.slots)):
+            if req is None:
+                continue
+            # The burst consumed _next_tok (emitted by the previous
+            # prefill/burst) and produced `burst` new tokens; the last one
+            # doubles as the next burst's input.
+            burst_toks = toks[slot].tolist()
+            self._emit_tokens(req, burst_toks)
+            if req.state == RequestState.RUNNING:
+                self._pos[slot] += self.burst
+                self._next_tok[slot] = burst_toks[-1]
+        self.metrics.observe_step(
+            busy_slots=int(active.sum()), total_slots=len(self.slots),
+            used_pages=self.ecfg.kv.num_pages - self.allocator.num_free,
+            total_pages=self.ecfg.kv.num_pages)

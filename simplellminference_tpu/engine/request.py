@@ -1,0 +1,64 @@
+"""Request state machine for the serving engine."""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Callable, Optional
+
+from simplellminference_tpu.core.config import SamplingParams
+
+
+class RequestState(enum.Enum):
+    WAITING = "waiting"       # queued, no pages
+    RUNNING = "running"       # slot + pages assigned, decoding
+    PREEMPTED = "preempted"   # pages reclaimed, back to queue
+    FINISHED = "finished"
+    FAILED = "failed"         # request-scoped error (never process-fatal —
+                              # unlike the reference's exit() LOG, base.h:6-10)
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt_ids: list[int]
+    sampling: SamplingParams
+    state: RequestState = RequestState.WAITING
+    slot: int = -1
+    output_ids: list[int] = dataclasses.field(default_factory=list)
+    # streaming callback: (req, new_token_ids, finished) -> None
+    on_tokens: Optional[Callable] = None
+    error: Optional[str] = None
+    # timing
+    arrival_t: float = dataclasses.field(default_factory=time.perf_counter)
+    first_token_t: Optional[float] = None
+    finish_t: Optional[float] = None
+    preempt_count: int = 0
+
+    @property
+    def num_generated(self) -> int:
+        return len(self.output_ids)
+
+    @property
+    def total_len(self) -> int:
+        return len(self.prompt_ids) + self.num_generated
+
+    @property
+    def ttft(self) -> Optional[float]:
+        if self.first_token_t is None:
+            return None
+        return self.first_token_t - self.arrival_t
+
+    def should_stop(self, token_id: int) -> bool:
+        if token_id in self.sampling.stop_token_ids:
+            return True
+        return self.num_generated >= self.sampling.max_new_tokens
+
+    def emit(self, new_ids: list[int], finished: bool):
+        if new_ids and self.first_token_t is None:
+            self.first_token_t = time.perf_counter()
+        if self.on_tokens is not None:
+            self.on_tokens(self, new_ids, finished)
+        if finished:
+            self.finish_t = time.perf_counter()

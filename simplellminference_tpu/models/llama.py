@@ -7,11 +7,16 @@ tied LM head) — redesigned TPU-first:
 
   * batch-first [B, S, H] tensors (the reference is structurally batch=1,
     model.cpp:258) so matmuls are GEMMs on the MXU, not GEMVs;
+  * **fused projections**: q/k/v as ONE matmul (``wqkv``) and gate/up as
+    ONE matmul (``w_gate_up``) — 4 weight matmuls per layer instead of the
+    reference's 7 separate GEMVs (model.cpp:58-108); on this hardware
+    per-op overhead dominates decode, so op count is a first-order cost;
   * layers stacked on a leading axis and scanned with ``lax.scan`` — one
     trace, one compiled layer body (the reference launches ~480 kernels per
     token on the default stream, SURVEY.md §3.3);
-  * KV cache updated functionally with donated buffers (successor of the
-    aliased slice-view writes, tensor.cpp:199-212);
+  * KV cache in kernel-native layout [L, B, kvN, Smax, D], updated
+    functionally (successor of the aliased slice-view writes,
+    tensor.cpp:199-212), consumed by Pallas flash prefill/decode kernels;
   * correct SwiGLU and GQA-aware RoPE (reference bugs Q1/Q2 not replicated,
     SURVEY.md §7.5);
   * weights may be plain bf16/fp32 or INT8 group-quantized
@@ -24,9 +29,10 @@ Params pytree schema (layers stacked on leading L axis):
       "layers": {
         "input_norm":  [L, H],
         "post_norm":   [L, H],
-        "wq": [L, H, N*D], "wk": [L, H, kvN*D], "wv": [L, H, kvN*D],
-        "wo": [L, N*D, H],
-        "w_gate": [L, H, I], "w_up": [L, H, I], "w_down": [L, I, H],
+        "wqkv":      [L, H, (N + 2*kvN) * D],
+        "wo":        [L, N*D, H],
+        "w_gate_up": [L, H, 2*I],
+        "w_down":    [L, I, H],
       },
       "final_norm": [H],
       "lm_head":    [H, V]   # absent when tie_word_embeddings
@@ -42,49 +48,46 @@ import jax.numpy as jnp
 
 from simplellminference_tpu.core.config import ModelConfig
 from simplellminference_tpu.ops import ref_ops
+from simplellminference_tpu.ops.attention import dispatch
 from simplellminference_tpu.ops.linear import linear
 from simplellminference_tpu.runtime.kv_cache import DenseKVCache, update_layer
 
 Params = dict[str, Any]
 
 
-def _attention(cfg: ModelConfig, q, k, v, mask):
-    """Attention dispatch: flash kernels on TPU, dense reference elsewhere."""
-    from simplellminference_tpu.ops.attention import dispatch
-    return dispatch.attention(cfg, q, k, v, mask)
-
-
 def decoder_layer(cfg: ModelConfig, lp: Params, x: jax.Array,
                   sin: jax.Array, cos: jax.Array,
                   cache_k: Optional[jax.Array], cache_v: Optional[jax.Array],
-                  offsets: Optional[jax.Array], mask: jax.Array):
+                  offsets: Optional[jax.Array], mask: jax.Array,
+                  kv_lens: Optional[jax.Array], prefill_from_zero: bool):
     """One decoder layer. x: [B, S, H]. Returns (x', cache_k', cache_v')."""
     b, s, h = x.shape
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     # --- attention block (reference: model.cpp:52-90) ---
     attn_in = ref_ops.rmsnorm(x, lp["input_norm"], cfg.rms_norm_eps)
-    q = linear(attn_in, lp["wq"]).reshape(b, s, n, d)
-    k = linear(attn_in, lp["wk"]).reshape(b, s, kvn, d)
-    v = linear(attn_in, lp["wv"]).reshape(b, s, kvn, d)
+    qkv = linear(attn_in, lp["wqkv"])
+    q = qkv[..., :n * d].reshape(b, s, n, d)
+    k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+    v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
 
     q = ref_ops.apply_rope(q, sin, cos)
     k = ref_ops.apply_rope(k, sin, cos)
 
     if cache_k is not None:
         cache_k, cache_v = update_layer(cache_k, cache_v, k, v, offsets)
-        k_all, v_all = cache_k, cache_v
+        attn = dispatch.attention_cached(cfg, q, cache_k, cache_v, mask,
+                                         kv_lens, prefill_from_zero)
     else:
-        k_all, v_all = k, v
-
-    attn = _attention(cfg, q, k_all, v_all, mask)
+        attn = dispatch.attention(cfg, q, k, v, mask)
     attn = linear(attn.reshape(b, s, n * d), lp["wo"])
     x = x + attn
 
     # --- FFN block (reference: model.cpp:93-128) ---
     ffn_in = ref_ops.rmsnorm(x, lp["post_norm"], cfg.rms_norm_eps)
-    gate = linear(ffn_in, lp["w_gate"])
-    up = linear(ffn_in, lp["w_up"])
+    i = cfg.intermediate_size
+    gate_up = linear(ffn_in, lp["w_gate_up"])
+    gate, up = gate_up[..., :i], gate_up[..., i:]
     x = x + linear(ref_ops.swiglu(gate, up), lp["w_down"])
     return x, cache_k, cache_v
 
@@ -93,13 +96,16 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             positions: jax.Array, cache: Optional[DenseKVCache] = None,
             offsets: Optional[jax.Array] = None,
             kv_lens: Optional[jax.Array] = None,
+            prefill_from_zero: bool = True,
             ) -> tuple[jax.Array, Optional[DenseKVCache]]:
     """Full forward pass.
 
     tokens/positions: [B, S] int32. ``offsets[b]`` = cache slot of the first
     new token (== positions[:, 0] for contiguous sequences). ``kv_lens[b]``
-    = number of valid cache slots after this step (defaults to
-    offsets + S). Returns (logits [B, S, V] fp32, updated cache).
+    = number of valid cache slots after this step. ``prefill_from_zero`` is
+    a STATIC flag: multi-token cache writes start at slot 0 (true for the
+    Generator's batched prefill; chunked prefill must pass False).
+    Returns (logits [B, S, V] fp32, updated cache).
     """
     b, s = tokens.shape
     dtype = jnp.dtype(cfg.dtype)
@@ -109,19 +115,20 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if cache is not None:
         if offsets is None:
             offsets = positions[:, 0]
+        if kv_lens is None:
+            kv_lens = offsets + s
         sk = cache.max_seq
         # Keys live at absolute cache slots 0..sk-1; attend where
         # key_pos <= query_pos and key_pos < kv_len (written region).
         key_pos = jnp.arange(sk)[None, None, None, :]            # [1,1,1,Sk]
         q_pos = positions[:, None, :, None]                      # [B,1,S,1]
-        mask = key_pos <= q_pos
-        if kv_lens is not None:
-            mask = mask & (key_pos < kv_lens[:, None, None, None])
+        mask = (key_pos <= q_pos) & (key_pos < kv_lens[:, None, None, None])
 
         def body(x, layer):
             lp, ck, cv = layer
             x, ck, cv = decoder_layer(cfg, lp, x, sin, cos, ck, cv,
-                                      offsets, mask)
+                                      offsets, mask, kv_lens,
+                                      prefill_from_zero)
             return x, (ck, cv)
 
         x, (new_k, new_v) = jax.lax.scan(
@@ -132,7 +139,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
         def body(x, lp):
             x, _, _ = decoder_layer(cfg, lp, x, sin, cos, None, None,
-                                    None, mask)
+                                    None, mask, None, False)
             return x, None
 
         x, _ = jax.lax.scan(body, x, params["layers"])
@@ -142,6 +149,75 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if lm_head is None:
         # Tied embeddings (reference Q5: emb and cls share the mmap offset,
         # model.cpp:342-358).
+        logits = jnp.dot(x, params["embed"].astype(x.dtype).T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = linear(x, lm_head, out_dtype=jnp.float32)
+    return logits.astype(jnp.float32), cache
+
+
+def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                  positions: jax.Array, cache, tables: jax.Array,
+                  kv_lens: jax.Array, prefill: bool,
+                  ) -> tuple[jax.Array, Any]:
+    """Forward pass over the paged KV cache (engine path).
+
+    tokens/positions: [B, S]; cache:
+    :class:`~simplellminference_tpu.memory.paged_kv.PagedKVCache`;
+    tables: [B, MP] page ids (-1 unmapped); kv_lens: [B] valid tokens
+    AFTER this step. ``prefill`` (static): S>1 whole-prompt pass starting
+    at position 0 (right-padded) — attention is causal self-attention on
+    the fresh k/v; decode (S==1) attends through the page tables.
+    Returns (logits [B, S, V] fp32, updated cache).
+    """
+    from simplellminference_tpu.memory import paged_kv as pkv
+    from simplellminference_tpu.memory.paged_kv import PagedKVCache
+
+    b, s = tokens.shape
+    n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    dtype = jnp.dtype(cfg.dtype)
+    x = params["embed"][tokens].astype(dtype)
+    sin, cos = ref_ops.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    if prefill:
+        mask = ref_ops.causal_mask(s, s)[None, None]
+    else:
+        mask = None
+
+    def body(x, layer):
+        lp, pk, pv = layer
+        attn_in = ref_ops.rmsnorm(x, lp["input_norm"], cfg.rms_norm_eps)
+        qkv = linear(attn_in, lp["wqkv"])
+        q = qkv[..., :n * d].reshape(b, s, n, d)
+        k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+        v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
+        q = ref_ops.apply_rope(q, sin, cos)
+        k = ref_ops.apply_rope(k, sin, cos)
+
+        if prefill:
+            pk, pv = pkv.write_prefill(pk, pv, k, v, tables)
+            attn = dispatch.attention(cfg, q, k, v, mask)
+        else:
+            pk, pv = pkv.write_decode(pk, pv, k[:, 0], v[:, 0], tables,
+                                      positions[:, 0])
+            attn = dispatch.attention_paged(cfg, q, pk, pv, tables, kv_lens)
+        attn = linear(attn.reshape(b, s, n * d), lp["wo"])
+        x = x + attn
+
+        ffn_in = ref_ops.rmsnorm(x, lp["post_norm"], cfg.rms_norm_eps)
+        i = cfg.intermediate_size
+        gate_up = linear(ffn_in, lp["w_gate_up"])
+        x = x + linear(ref_ops.swiglu(gate_up[..., :i], gate_up[..., i:]),
+                       lp["w_down"])
+        return x, (pk, pv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v))
+    cache = PagedKVCache(k=new_k, v=new_v)
+
+    x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
         logits = jnp.dot(x, params["embed"].astype(x.dtype).T,
                          preferred_element_type=jnp.float32)
     else:
@@ -166,12 +242,9 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         "layers": {
             "input_norm": jnp.ones((L, h), dtype),
             "post_norm": jnp.ones((L, h), dtype),
-            "wq": w(keys[1], (L, h, n * d)),
-            "wk": w(keys[2], (L, h, kvn * d)),
-            "wv": w(keys[3], (L, h, kvn * d)),
+            "wqkv": w(keys[1], (L, h, (n + 2 * kvn) * d)),
             "wo": w(keys[4], (L, n * d, h)),
-            "w_gate": w(keys[5], (L, h, i)),
-            "w_up": w(keys[6], (L, h, i)),
+            "w_gate_up": w(keys[5], (L, h, 2 * i)),
             "w_down": w(keys[7], (L, i, h)),
         },
         "final_norm": jnp.ones((h,), dtype),

@@ -1,8 +1,12 @@
 """Backend dispatch for attention.
 
-On TPU: Pallas flash kernels (prefill) / flash-decode. Elsewhere (CPU tests,
-interpret mode): the dense jnp reference. The dispatch is shape-driven —
-S == 1 (or small) is decode, larger S is prefill.
+On TPU: Pallas flash kernels (prefill + decode). Elsewhere (CPU tests,
+multi-device GSPMD paths, interpret mode): the dense jnp reference.
+
+NOTE on sharding: pallas_call has no GSPMD partitioning rule, so the flash
+kernels are only dispatched on single-device TPU execution for now; sharded
+runs (mesh with >1 device) take the jnp reference path, which GSPMD
+partitions correctly. shard_map'd flash kernels are the planned upgrade.
 """
 
 from __future__ import annotations
@@ -14,20 +18,72 @@ import jax
 from simplellminference_tpu.core.config import ModelConfig
 from simplellminference_tpu.ops import ref_ops
 
-# Env toggle so tests can force the reference path even on TPU.
+# Env toggle so tests/benches can force the reference path even on TPU.
 _FORCE_REF = os.environ.get("SLI_FORCE_REF_ATTENTION", "0") == "1"
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu" and not _FORCE_REF
+def _use_flash() -> bool:
+    return (jax.default_backend() == "tpu" and not _FORCE_REF
+            and jax.device_count() == 1)
 
 
 def attention(cfg: ModelConfig, q: jax.Array, k: jax.Array, v: jax.Array,
               mask: jax.Array) -> jax.Array:
-    """q: [B, Sq, N, D]; k/v: [B, Sk, kvN, D]; mask: [B|1, 1, Sq, Sk]."""
-    if _on_tpu():
-        from simplellminference_tpu.ops.attention import flash
-        out = flash.attention(q, k, v, mask)
-        if out is not None:
-            return out
+    """Self-attention, no cache. q: [B, S, N, D]; k/v: [B, S, kvN, D]."""
+    s = q.shape[1]
+    if _use_flash() and s > 1 and s % 128 == 0 and q.shape[-1] in (64, 128, 256):
+        from simplellminference_tpu.ops.attention.flash_prefill import (
+            flash_prefill)
+        return flash_prefill(q, k, v, causal=True)
+    return ref_ops.attention(q, k, v, mask)
+
+
+def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
+                     cv: jax.Array, mask: jax.Array, kv_lens: jax.Array,
+                     prefill_from_zero: bool) -> jax.Array:
+    """Attention against the cache layer.
+
+    q: [B, S, N, D]; ck/cv: [B, kvN, Smax, D] (cache layout); kv_lens: [B].
+    ``prefill_from_zero``: static promise that S>1 writes started at cache
+    slot 0 (the Generator's batched prefill), making the computation plain
+    causal self-attention over cache[:, :, :S].
+    """
+    b, s, n, d = q.shape
+    smax = ck.shape[2]
+    if _use_flash() and d in (64, 128, 256):
+        if s == 1 and kv_lens is not None and smax % 128 == 0:
+            from simplellminference_tpu.ops.attention.flash_decode import (
+                flash_decode)
+            return flash_decode(q[:, 0], ck, cv, kv_lens)[:, None]
+        if s > 1 and prefill_from_zero and s % 128 == 0:
+            from simplellminference_tpu.ops.attention.flash_prefill import (
+                flash_prefill)
+            return flash_prefill(q, ck[:, :, :s], cv[:, :, :s],
+                                 causal=True, kv_layout="bnsd")
+    k = ck.transpose(0, 2, 1, 3)
+    v = cv.transpose(0, 2, 1, 3)
+    return ref_ops.attention(q, k, v, mask)
+
+
+def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
+                    pool_v: jax.Array, tables: jax.Array,
+                    kv_lens: jax.Array) -> jax.Array:
+    """Paged decode attention. q: [B, 1, N, D]; pools: [P, kvN, ps, D]."""
+    import jax.numpy as jnp
+
+    b, s, n, d = q.shape
+    assert s == 1, "paged attention path is decode-only (S == 1)"
+    ps = pool_k.shape[2]
+    if _use_flash() and d in (64, 128, 256) and ps % 8 == 0:
+        from simplellminference_tpu.ops.attention.paged_decode import (
+            paged_flash_decode)
+        return paged_flash_decode(q[:, 0], pool_k, pool_v, tables,
+                                  kv_lens)[:, None]
+    from simplellminference_tpu.memory.paged_kv import gather_dense
+    ck, cv = gather_dense(pool_k, pool_v, tables)
+    smax = ck.shape[2]
+    mask = (jnp.arange(smax)[None, None, None, :]
+            < kv_lens[:, None, None, None])
+    k = ck.transpose(0, 2, 1, 3)
+    v = cv.transpose(0, 2, 1, 3)
     return ref_ops.attention(q, k, v, mask)

@@ -1,0 +1,130 @@
+"""Pallas flash decode attention over the dense KV cache.
+
+Successor of the reference's per-token 3-kernel MHA pipeline
+(mha_kernel.cu:133-169) — one fused kernel per decode step over all batch ×
+kv-head tiles, with:
+
+  * online softmax (no [heads, seq] score buffer in HBM — reference Q4
+    allocates one per step, model.cpp:279);
+  * **early termination by sequence length**: `kv_lens` is scalar-prefetched
+    and the kv-block index map clamps past-the-end grid steps to the last
+    valid block — Pallas skips the duplicate DMA and @pl.when skips the
+    compute, so each sequence only pays for its own live prefix (the dense
+    XLA fallback reads all max_seq slots);
+  * GQA: all `G = heads / kv_heads` query heads of one kv head processed
+    per tile as a [G, bk] score matrix (reference maps head->kv-head
+    serially, mha_kernel.cu:72).
+
+Cache layout: [B, kvN, Smax, D] (seq × head_dim in the tiled last-two dims).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_ref, l_ref, acc_ref, *, scale: float, bk: int,
+                   group: int):
+    bi = pl.program_id(0)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    kv_len = lens_ref[bi]
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(ki * bk < kv_len)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
+        k = k_ref[0, 0].astype(jnp.float32)          # [bk, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [G, bk]
+        k_pos = ki * bk + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[:group, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:group, :1] = l_ref[:group, :1] * alpha + jnp.sum(
+            p, axis=1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)          # [bk, D]
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        m_ref[:group, :1] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = jnp.maximum(l_ref[:group, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bk", "interpret"))
+def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                 kv_lens: jax.Array, bk: int = 256,
+                 interpret: bool = False) -> jax.Array:
+    """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D]; kv_lens: [B] ->
+    out [B, N, D]. Attends to cache slots [0, kv_len) per sequence."""
+    b, n, d = q.shape
+    _, kvn, smax, _ = k_cache.shape
+    group = n // kvn
+    scale = d ** -0.5
+    bk = min(bk, smax)
+    assert smax % bk == 0, (smax, bk)
+    nk = smax // bk
+
+    qg = q.reshape(b, kvn, group, d)
+
+    def kv_index(i_b, i_h, i_k, lens_ref):
+        # clamp past-the-end blocks to the last valid block: same index ->
+        # Pallas skips the DMA; @pl.when skips the compute.
+        frontier = jnp.maximum(lens_ref[i_b] - 1, 0) // bk
+        return (i_b, i_h, jnp.minimum(i_k, frontier), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kvn, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, d),
+                         lambda i_b, i_h, i_k, lens: (i_b, i_h, 0, 0)),
+            pl.BlockSpec((1, 1, bk, d), kv_index),
+            pl.BlockSpec((1, 1, bk, d), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, group, d),
+                               lambda i_b, i_h, i_k, lens: (i_b, i_h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((max(group, 8), 128), jnp.float32),
+            pltpu.VMEM((max(group, 8), 128), jnp.float32),
+            pltpu.VMEM((group, d), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale, bk=bk,
+                          group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvn, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * smax * d,
+            bytes_accessed=2 * b * kvn * smax * d * 2,
+            transcendentals=b * n * smax,
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), qg, k_cache, v_cache)
+    return out.reshape(b, n, d)

@@ -1,0 +1,121 @@
+"""Pallas paged flash-decode attention: block-table gather + online softmax.
+
+The production decode kernel (SURVEY.md §7.4 hard part #1): KV pages live
+in a global pool [P, kvN, ps, D]; each sequence's pages are named by a
+block table. The table and sequence lengths are scalar-prefetched so the
+page DMA addresses are computed *before* each grid step — the gather IS the
+BlockSpec index map, there is no separate gather pass. Past-the-end pages
+clamp to the last valid page (no DMA, no compute), so cost scales with the
+live prefix like flash_decode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _paged_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref, o_ref,
+                  m_ref, l_ref, acc_ref, *, scale: float, ps: int,
+                  group: int):
+    bi = pl.program_id(0)
+    pi = pl.program_id(2)
+    np_ = pl.num_programs(2)
+    kv_len = lens_ref[bi]
+
+    @pl.when(pi == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(pi * ps < kv_len)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
+        k = kp_ref[0, 0].astype(jnp.float32)         # [ps, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [G, ps]
+        k_pos = pi * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[:group, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:group, :1] = l_ref[:group, :1] * alpha + jnp.sum(
+            p, axis=1, keepdims=True)
+        v = vp_ref[0, 0].astype(jnp.float32)         # [ps, D]
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        m_ref[:group, :1] = m_new
+
+    @pl.when(pi == np_ - 1)
+    def _():
+        l = jnp.maximum(l_ref[:group, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                       tables: jax.Array, kv_lens: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """q: [B, N, D]; k/v_pool: [P, kvN, ps, D]; tables: [B, MP] int32
+    (-1 = unmapped); kv_lens: [B] -> out [B, N, D]."""
+    b, n, d = q.shape
+    p, kvn, ps, _ = k_pool.shape
+    _, mp = tables.shape
+    group = n // kvn
+    scale = d ** -0.5
+
+    qg = q.reshape(b, kvn, group, d)
+
+    def page_index(i_b, i_h, i_p, lens_ref, tables_ref):
+        last = jnp.maximum(lens_ref[i_b] - 1, 0) // ps
+        pid = tables_ref[i_b, jnp.minimum(i_p, last)]
+        return (jnp.maximum(pid, 0), i_h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kvn, mp),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, d),
+                         lambda i_b, i_h, i_p, lens, tbl: (i_b, i_h, 0, 0)),
+            pl.BlockSpec((1, 1, ps, d), page_index),
+            pl.BlockSpec((1, 1, ps, d), page_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, group, d),
+                               lambda i_b, i_h, i_p, lens, tbl:
+                               (i_b, i_h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((max(group, 8), 128), jnp.float32),
+            pltpu.VMEM((max(group, 8), 128), jnp.float32),
+            pltpu.VMEM((group, d), jnp.float32),
+        ],
+    )
+
+    # Pool arrays are indexed on their page axis: reshape to put the page
+    # axis first in block index terms — pool is [P, kvN, ps, D]; block
+    # (1, 1, ps, d) over dims (page, head, slot, dim).
+    out = pl.pallas_call(
+        functools.partial(_paged_kernel, scale=scale, ps=ps, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvn, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * mp * ps * d,
+            bytes_accessed=2 * b * kvn * mp * ps * d * 2,
+            transcendentals=b * n * mp * ps,
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), tables.astype(jnp.int32),
+      qg, k_pool, v_pool)
+    return out.reshape(b, n, d)

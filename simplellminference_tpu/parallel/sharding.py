@@ -3,15 +3,17 @@
 Sharding layout (pattern per SNIPPETS.md [2]/[3], adapted to our [K, N]
 contraction-first weights, layers stacked on a leading L axis):
 
-    wq/wk/wv  [L, H, heads*D]  — column-sharded on "model" (heads split)
+    wqkv      [L, H, (N+2kvN)D]— column-sharded on "model" (heads split;
+                                 the fused q|k|v boundary crossing shards
+                                 costs one small activation all-to-all)
     wo        [L, heads*D, H]  — row-sharded on "model"  → psum after
-    w_gate/up [L, H, I]        — column-sharded on "model"
+    w_gate_up [L, H, 2I]       — column-sharded on "model"
     w_down    [L, I, H]        — row-sharded on "model"  → psum after
     embed     [V, H]           — vocab-sharded on "model" (tied head =>
                                  vocab-sharded logits, all-gather at sample)
     lm_head   [H, V]           — column(vocab)-sharded on "model"
     norms                      — replicated
-    KV cache  [L, B, S, kvN, D]— batch on "data", kv heads on "model"
+    KV cache  [L,B,kvN,Smax,D] — batch on "data", kv heads on "model"
 
 With GSPMD jit, these input shardings are all XLA needs to insert the
 per-layer all-reduces over ICI (SURVEY.md §2.9's "TPU-native equivalent").
@@ -37,12 +39,9 @@ def _layer_specs() -> dict[str, P]:
     return {
         "input_norm": P(None, None),
         "post_norm": P(None, None),
-        "wq": P(None, None, m),
-        "wk": P(None, None, m),
-        "wv": P(None, None, m),
+        "wqkv": P(None, None, m),
         "wo": P(None, m, None),
-        "w_gate": P(None, None, m),
-        "w_up": P(None, None, m),
+        "w_gate_up": P(None, None, m),
         "w_down": P(None, m, None),
     }
 
@@ -94,9 +93,9 @@ def shard_params(cfg: ModelConfig, params, mesh: Mesh):
 
 
 def kv_cache_spec(shard_kv_heads: bool = True) -> P:
-    """[L, B, S, kvN, D] — batch on data; kv heads on model when divisible."""
-    return P(None, DATA_AXIS, None, MODEL_AXIS if shard_kv_heads else None,
-             None)
+    """[L, B, kvN, Smax, D] — batch on data; kv heads on model when divisible."""
+    return P(None, DATA_AXIS, MODEL_AXIS if shard_kv_heads else None,
+             None, None)
 
 
 def shard_kv_cache(cache, mesh: Mesh, num_kv_heads: int):

@@ -139,26 +139,38 @@ class Generator:
 
     def generate_fused(self, prompts: Sequence[Sequence[int]],
                        max_new_tokens: int) -> jax.Array:
-        """Whole greedy decode loop as one jitted ``lax.scan``.
+        """Whole prefill + greedy decode loop inside ONE jit.
 
-        Returns [B, max_new_tokens] int32 on device. This is the
-        peak-throughput path used by bench.py — zero host round trips
-        inside the loop.
+        Returns [B, max_new_tokens] int32 on device. The KV cache is
+        created inside the jit, so it lives as XLA temp memory — no 2×cache
+        argument copies, no donation needed, zero host round trips inside
+        the loop. This is the peak-throughput path used by bench.py.
         """
         b = len(prompts)
-        cache = self.new_cache(b)
-        last_logits, cache, lens = self.prefill(cache, prompts)
-        lens_arr = jnp.asarray(lens, jnp.int32)
-        first_tok = sampling_ops.greedy(last_logits)
-        tokens = self._fused_decode(self.params, cache, first_tok, lens_arr,
+        lens = [len(p) for p in prompts]
+        bucket = min(next_power_of_2(max(lens)), self.max_seq)
+        assert max(lens) <= self.max_seq
+        tokens = np.zeros((b, bucket), np.int32)
+        for i, p in enumerate(prompts):
+            tokens[i, :len(p)] = np.asarray(p, np.int32)
+        return self._fused_generate(self.params, jnp.asarray(tokens),
+                                    jnp.asarray(lens, jnp.int32),
                                     max_new_tokens)
-        return tokens
 
-    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
-    def _fused_decode(self, params, cache, first_tok, lens_arr,
-                      max_new_tokens):
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _fused_generate(self, params, tokens, kv_lens, max_new_tokens):
         fwd = self._forward
         cfg = self.cfg
+        b, bucket = tokens.shape
+        cache = self.new_cache(b)  # traced zeros -> XLA temp, in-place loop
+
+        positions = jnp.broadcast_to(jnp.arange(bucket, dtype=jnp.int32),
+                                     (b, bucket))
+        logits, cache = fwd(cfg, params, tokens, positions, cache,
+                            jnp.zeros((b,), jnp.int32), kv_lens)
+        last = jnp.take_along_axis(
+            logits, (kv_lens - 1)[:, None, None], axis=1)[:, 0]
+        first_tok = sampling_ops.greedy(last)
 
         def step(carry, _):
             cache, tok, pos = carry
@@ -168,5 +180,5 @@ class Generator:
             return (cache, nxt, pos + 1), tok
 
         (_, _, _), toks = jax.lax.scan(
-            step, (cache, first_tok, lens_arr), None, length=max_new_tokens)
+            step, (cache, first_tok, kv_lens), None, length=max_new_tokens)
         return toks.T  # [B, T]

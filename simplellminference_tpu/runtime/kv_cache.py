@@ -5,8 +5,10 @@ writes projections through aliased slice views (model.cpp:264-268,
 slice_KV_cache tensor.cpp:199-212). The TPU-native equivalents:
 
   * :class:`DenseKVCache` — the direct successor: a batched dense arena
-    ``[L, B, max_seq, kvN, D]`` functionally updated inside jit (donated, so
-    XLA updates it in place — the alias-view trick, done the XLA way).
+    functionally updated inside jit (XLA keeps it as in-place loop state).
+    Layout ``[L, B, kvN, Smax, D]``: (seq, head_dim) are the tiled last-two
+    dims, which is what the Pallas flash-decode/prefill kernels read
+    without any transpose of the multi-GB cache.
   * :class:`PagedKVCache` (memory/paged_kv.py) — the production path:
     a global page pool + block tables, capacity bounded by HBM not by
     ``batch × max_seq``.
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DenseKVCache:
-    """Dense KV arena: k/v of shape [L, B, max_seq, kv_heads, head_dim]."""
+    """Dense KV arena: k/v of shape [L, B, kv_heads, max_seq, head_dim]."""
 
     k: jax.Array
     v: jax.Array
@@ -31,12 +33,12 @@ class DenseKVCache:
     @classmethod
     def create(cls, num_layers: int, batch: int, max_seq: int,
                num_kv_heads: int, head_dim: int, dtype=jnp.bfloat16):
-        shape = (num_layers, batch, max_seq, num_kv_heads, head_dim)
+        shape = (num_layers, batch, num_kv_heads, max_seq, head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def dtype(self):
@@ -46,15 +48,16 @@ class DenseKVCache:
 def update_layer(cache_k_layer: jax.Array, cache_v_layer: jax.Array,
                  new_k: jax.Array, new_v: jax.Array,
                  offsets: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Write [B, S, kvN, D] into the [B, max_seq, kvN, D] layer arena.
+    """Write [B, S, kvN, D] projections into the [B, kvN, Smax, D] arena.
 
-    ``offsets[b]`` is the absolute cache position of the first new token of
+    ``offsets[b]`` is the absolute cache slot of the first new token of
     sequence b (per-sequence offsets — the reference supports only a single
     scalar pos, model.cpp:54).
     """
     def write_one(cache, new, off):
+        # cache: [kvN, Smax, D]; new: [S, kvN, D] -> [kvN, S, D]
         return jax.lax.dynamic_update_slice(
-            cache, new.astype(cache.dtype), (off, 0, 0))
+            cache, new.transpose(1, 0, 2).astype(cache.dtype), (0, off, 0))
 
     k = jax.vmap(write_one)(cache_k_layer, new_k, offsets)
     v = jax.vmap(write_one)(cache_v_layer, new_v, offsets)

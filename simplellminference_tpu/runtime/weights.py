@@ -5,16 +5,15 @@ blob walked in a fixed group order with a hard-coded config
 (read_model_file model.cpp:204-245; create_param_layers model.cpp:336-469).
 Here the contract is the standard HF checkpoint: ``config.json`` +
 ``*.safetensors``, mapped by name, transposed to our [K, N]
-contraction-first layout, optionally INT8 group-quantized at load, and
+contraction-first layout, **fused** (q/k/v → wqkv, gate/up → w_gate_up —
+see models/llama.py), optionally INT8 group-quantized at load, and
 ``jax.device_put`` with per-parameter shardings.
 """
 
 from __future__ import annotations
 
 import glob
-import json
 import os
-import re
 from typing import Any, Callable, Optional
 
 import jax
@@ -24,37 +23,36 @@ import numpy as np
 from simplellminference_tpu.core.config import ModelConfig, QuantConfig
 from simplellminference_tpu.ops.linear import QuantizedWeight
 
-# Param-tree paths use "/" notation; "layers/*/wq" denotes the stacked [L,...]
-# tensor assembled from per-layer HF tensors.
-
-_HF_LLAMA_MAP = {
+# Param-tree paths use "/" notation. A tuple of HF names means: load each,
+# transpose to [K, N], and concatenate along the output (N) axis.
+_HF_LLAMA_MAP: dict[str, Any] = {
     "embed": "model.embed_tokens.weight",            # [V, H] (no transpose)
     "final_norm": "model.norm.weight",
     "lm_head": "lm_head.weight",                     # [V, H] -> transpose
     "layers/input_norm": "model.layers.{i}.input_layernorm.weight",
     "layers/post_norm": "model.layers.{i}.post_attention_layernorm.weight",
-    "layers/wq": "model.layers.{i}.self_attn.q_proj.weight",      # [N*D, H] -> T
-    "layers/wk": "model.layers.{i}.self_attn.k_proj.weight",
-    "layers/wv": "model.layers.{i}.self_attn.v_proj.weight",
+    "layers/wqkv": ("model.layers.{i}.self_attn.q_proj.weight",
+                    "model.layers.{i}.self_attn.k_proj.weight",
+                    "model.layers.{i}.self_attn.v_proj.weight"),
     "layers/wo": "model.layers.{i}.self_attn.o_proj.weight",      # [H, N*D] -> T
-    "layers/w_gate": "model.layers.{i}.mlp.gate_proj.weight",
-    "layers/w_up": "model.layers.{i}.mlp.up_proj.weight",
+    "layers/w_gate_up": ("model.layers.{i}.mlp.gate_proj.weight",
+                         "model.layers.{i}.mlp.up_proj.weight"),
     "layers/w_down": "model.layers.{i}.mlp.down_proj.weight",
 }
 
 # HF Linear weights are [out, in]; ours are [in, out] => transpose all
 # projection matrices. Embedding/norms keep HF orientation.
-_TRANSPOSED = {"lm_head", "layers/wq", "layers/wk", "layers/wv", "layers/wo",
-               "layers/w_gate", "layers/w_up", "layers/w_down"}
+_TRANSPOSED = {"lm_head", "layers/wqkv", "layers/wo", "layers/w_gate_up",
+               "layers/w_down"}
 
 # Paths eligible for weight-only INT8 group quantization. Embedding, norms,
 # and the LM head stay high-precision (standard practice; also how the
 # BASELINE PPL budget is met).
-_QUANTIZABLE = {"layers/wq", "layers/wk", "layers/wv", "layers/wo",
-                "layers/w_gate", "layers/w_up", "layers/w_down"}
+_QUANTIZABLE = {"layers/wqkv", "layers/wo", "layers/w_gate_up",
+                "layers/w_down"}
 
 
-def llama_hf_param_map(cfg: ModelConfig) -> dict[str, str]:
+def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
     m = dict(_HF_LLAMA_MAP)
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
@@ -68,8 +66,9 @@ def _set_path(tree: dict, path: str, value):
     tree[parts[-1]] = value
 
 
-def _maybe_quantize(path: str, w: jax.Array, quant: QuantConfig):
-    if quant.enabled and path in _QUANTIZABLE:
+def _maybe_quantize(path: str, w, quant: QuantConfig):
+    if quant.enabled and path in _QUANTIZABLE \
+            and not isinstance(w, QuantizedWeight):
         gs = quant.group_size
         k = w.shape[-2]
         if k % gs != 0:
@@ -94,27 +93,29 @@ def params_from_fetcher(cfg: ModelConfig,
     pmap = llama_hf_param_map(cfg)
     params: dict = {}
 
-    def convert(path: str, arrs: list[np.ndarray]):
-        stacked = np.stack(arrs) if len(arrs) > 1 or path.startswith("layers/") \
-            else arrs[0]
-        t = jnp.asarray(stacked)
+    def load_one(path: str, hf_name: str, layer: Optional[int]):
+        name = hf_name.format(i=layer) if layer is not None else hf_name
+        t = jnp.asarray(fetch(name))
         if path in _TRANSPOSED:
-            t = jnp.swapaxes(t, -1, -2)
-        if path in ("embed", "lm_head") or "norm" in path:
-            t = t.astype(dtype)
-        else:
-            t = t.astype(dtype)
+            t = t.T
+        return t.astype(dtype)
+
+    for path, hf_names in pmap.items():
+        per_layer = path.startswith("layers/")
+        layers = range(cfg.num_layers) if per_layer else [None]
+        stacked = []
+        for li in layers:
+            if isinstance(hf_names, tuple):
+                t = jnp.concatenate(
+                    [load_one(path, n, li) for n in hf_names], axis=-1)
+            else:
+                t = load_one(path, hf_names, li)
+            stacked.append(t)
+        t = jnp.stack(stacked) if per_layer else stacked[0]
         t = _maybe_quantize(path, t, quant)
         if device_put is not None:
             t = jax.tree.map(lambda a: device_put(path, a), t)
         _set_path(params, path, t)
-
-    for path, hf_name in pmap.items():
-        if "{i}" in hf_name:
-            arrs = [fetch(hf_name.format(i=i)) for i in range(cfg.num_layers)]
-            convert(path, arrs)
-        else:
-            convert(path, [fetch(hf_name)])
     return params
 
 

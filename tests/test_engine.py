@@ -1,0 +1,133 @@
+"""Continuous-batching engine tests (CPU, tiny model — SURVEY.md §4.5).
+
+Greedy parity vs the dense-cache Generator is the core invariant: the
+engine's paged, bursted, slot-scheduled decode must produce exactly the
+tokens the simple path produces.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplellminference_tpu.core.config import (EngineConfig, KVCacheConfig,
+                                                ModelConfig, SamplingParams)
+from simplellminference_tpu.engine import Engine, RequestState
+from simplellminference_tpu.models import llama
+from simplellminference_tpu.runtime.generator import Generator
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = ModelConfig.tiny_test()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def make_engine(cfg, params, max_batch=4, num_pages=64, page_size=8,
+                burst=4, max_pages_per_seq=16):
+    ecfg = EngineConfig(
+        max_batch_size=max_batch,
+        kv=KVCacheConfig(page_size=page_size, num_pages=num_pages,
+                         max_pages_per_seq=max_pages_per_seq,
+                         kv_dtype="f32"))
+    return Engine(cfg, params, ecfg, decode_burst=burst)
+
+
+def dense_reference(cfg, params, prompts, max_new):
+    gen = Generator(cfg, params, max_batch=len(prompts), max_seq=128,
+                    kv_dtype=jnp.float32)
+    return gen.generate(prompts,
+                        SamplingParams(max_new_tokens=max_new)).token_ids
+
+
+def test_engine_greedy_matches_dense(model):
+    cfg, params = model
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [42, 43, 44, 45, 46, 47, 48]]
+    want = dense_reference(cfg, params, prompts, 10)
+    eng = make_engine(cfg, params)
+    got = eng.generate(prompts, SamplingParams(max_new_tokens=10))
+    assert got == want
+    m = eng.metrics.summary()
+    assert m["requests_finished"] == 3
+    assert m["tokens_generated"] == 30
+    assert m["ttft_p50_s"] is not None
+
+
+def test_engine_more_requests_than_slots(model):
+    cfg, params = model
+    prompts = [[i + 1, i + 2, i + 3] for i in range(7)]
+    want = dense_reference(cfg, params, prompts, 6)
+    eng = make_engine(cfg, params, max_batch=2)
+    got = eng.generate(prompts, SamplingParams(max_new_tokens=6))
+    assert got == want
+    assert eng.metrics.requests_finished == 7
+
+
+def test_engine_stop_tokens(model):
+    cfg, params = model
+    prompts = [[1, 2, 3]]
+    ref = dense_reference(cfg, params, prompts, 12)[0]
+    stop = ref[4]  # stop at the 5th generated token
+    eng = make_engine(cfg, params)
+    got = eng.generate(prompts, SamplingParams(max_new_tokens=12,
+                                               stop_token_ids=(stop,)))
+    assert got[0] == ref[:4]
+
+
+def test_engine_preemption_under_page_pressure(model):
+    cfg, params = model
+    # tiny pool: 9 pages x 8 tokens; 3 requests growing to 28 tokens each
+    # (peak demand 4 pages each = 12 > 9) force preemption, but everything
+    # must still complete correctly.
+    prompts = [[1, 2, 3, 4], [9, 8, 7, 6], [20, 21, 22, 23]]
+    want = dense_reference(cfg, params, prompts, 24)
+    eng = make_engine(cfg, params, max_batch=3, num_pages=9, page_size=8,
+                      burst=4)
+    got = eng.generate(prompts, SamplingParams(max_new_tokens=24))
+    assert got == want
+    assert eng.metrics.preemptions > 0
+    assert eng.metrics.requests_finished == 3
+
+
+def test_engine_request_too_large_fails_cleanly(model):
+    cfg, params = model
+    eng = make_engine(cfg, params, num_pages=8, page_size=8,
+                      max_pages_per_seq=4)  # capacity 32 tokens
+    req = eng.add_request(prompt_ids=list(range(1, 30)),
+                          sampling=SamplingParams(max_new_tokens=10))
+    assert req.state == RequestState.FAILED
+    assert "exceeds capacity" in req.error
+    # engine still serves normal requests afterwards
+    got = eng.generate([[1, 2, 3]], SamplingParams(max_new_tokens=4))
+    assert len(got[0]) == 4
+
+
+def test_engine_streaming_callback(model):
+    cfg, params = model
+    eng = make_engine(cfg, params)
+    chunks = []
+    req = eng.add_request(
+        prompt_ids=[1, 2, 3],
+        sampling=SamplingParams(max_new_tokens=7),
+        on_tokens=lambda r, ids, fin: chunks.append((list(ids), fin)))
+    eng.run()
+    toks = [t for ids, _ in chunks for t in ids]
+    assert toks == req.output_ids
+    assert chunks[-1][1] is True  # finished flag on last emit
+    assert req.ttft is not None
+
+
+def test_engine_mixed_sampling_params(model):
+    cfg, params = model
+    eng = make_engine(cfg, params)
+    r_greedy = eng.add_request(prompt_ids=[1, 2, 3],
+                               sampling=SamplingParams(max_new_tokens=8))
+    r_sampled = eng.add_request(
+        prompt_ids=[1, 2, 3],
+        sampling=SamplingParams(max_new_tokens=8, temperature=1.5,
+                                top_k=20))
+    eng.run()
+    want = dense_reference(cfg, params, [[1, 2, 3]], 8)[0]
+    assert r_greedy.output_ids == want       # greedy row unaffected
+    assert len(r_sampled.output_ids) == 8

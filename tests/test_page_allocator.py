@@ -1,0 +1,105 @@
+"""Property tests for the native C++ page allocator (SURVEY.md §4.5 —
+the paged analog of the reference's pool invariants, alloc.cpp:73-201)."""
+
+import numpy as np
+import pytest
+
+from simplellminference_tpu.memory.allocator import PageAllocator
+
+
+@pytest.fixture
+def pa():
+    return PageAllocator(num_pages=32, page_size=16, max_seqs=4,
+                         max_pages_per_seq=16)
+
+
+def test_alloc_free_roundtrip(pa):
+    assert pa.num_free == 32
+    assert pa.alloc_seq(0, 40)          # 3 pages
+    assert pa.num_free == 29
+    assert pa.seq_len(0) == 40
+    row = pa.row(0)
+    assert (row[:3] >= 0).all() and (row[3:] == -1).all()
+    assert len(set(row[:3].tolist())) == 3
+    assert pa.free_seq(0) == 3
+    assert pa.num_free == 32
+    assert pa.seq_len(0) == -1
+
+
+def test_extend_within_page_and_across(pa):
+    assert pa.alloc_seq(1, 10)          # 1 page
+    assert pa.extend(1, 16)             # still 1 page
+    assert pa.num_free == 31
+    assert pa.extend(1, 17)             # 2nd page
+    assert pa.num_free == 30
+    assert pa.seq_len(1) == 17
+
+
+def test_oom_leaves_state_unchanged(pa):
+    assert pa.alloc_seq(0, 16 * 16)     # 16 pages (per-seq max)
+    assert pa.alloc_seq(1, 16 * 16)     # 16 more -> pool exhausted
+    assert pa.num_free == 0
+    assert not pa.alloc_seq(2, 1)       # OOM
+    assert pa.seq_len(2) == -1
+    assert not pa.extend(0, 16 * 16 + 1)  # over per-seq max
+    assert pa.seq_len(0) == 16 * 16
+    pa.free_seq(0)
+    assert pa.num_free == 16
+    assert not pa.extend(1, 16 * 16 + 1)  # per-seq cap even with free pages
+    pa.free_seq(1)
+    assert pa.num_free == 32
+
+
+def test_double_alloc_and_bad_slot(pa):
+    assert pa.alloc_seq(0, 5)
+    assert not pa.alloc_seq(0, 5)       # slot busy
+    assert not pa.alloc_seq(99, 5)      # out of range
+    assert pa.free_seq(99) == -1
+
+
+def test_prefix_sharing_and_cow(pa):
+    assert pa.alloc_seq(0, 33)          # 3 pages (partial last)
+    assert pa.share_prefix(0, 1)
+    assert pa.num_free == 29            # no new pages
+    r0, r1 = pa.row(0), pa.row(1)
+    assert (r0[:3] == r1[:3]).all()
+    # freeing src keeps shared pages alive
+    assert pa.free_seq(0) == 0          # all refcounted by seq 1
+    assert pa.num_free == 29
+    # CoW the (shared? now refcount 1) last page — returns existing page
+    assert pa.cow_last_page(1) == r1[2]
+    # share again and CoW must produce a fresh page
+    assert pa.share_prefix(1, 2)
+    newp = pa.cow_last_page(2)
+    assert newp >= 0 and newp != r1[2]
+    # seq1's last page is exclusive (seq2 CoW'd it); pages 0-1 still shared
+    assert pa.free_seq(1) == 1
+    assert pa.free_seq(2) == 3          # 2 ex-shared + 1 CoW page
+    assert pa.num_free == 32
+
+
+def test_randomized_invariants():
+    rng = np.random.default_rng(0)
+    pa = PageAllocator(num_pages=64, page_size=8, max_seqs=8,
+                       max_pages_per_seq=32)
+    lens = {}
+    for step in range(2000):
+        slot = int(rng.integers(0, 8))
+        if slot in lens:
+            if rng.random() < 0.3:
+                pa.free_seq(slot)
+                del lens[slot]
+            else:
+                new_len = lens[slot] + int(rng.integers(0, 12))
+                if pa.extend(slot, new_len):
+                    lens[slot] = new_len
+        else:
+            t = int(rng.integers(1, 60))
+            if pa.alloc_seq(slot, t):
+                lens[slot] = t
+        # invariant: free + sum(held pages) == total
+        held = sum(-(-l // 8) for l in lens.values())
+        assert pa.num_free + held == 64
+        # invariant: no page in two tables (no sharing in this test)
+        used = [p for s in lens for p in pa.row(s) if p >= 0]
+        assert len(used) == len(set(used))
