@@ -1,0 +1,75 @@
+"""Serving CLI: launch the HTTP engine server.
+
+Usage:
+    python -m simplellminference_tpu.cli.serve --model-dir /path/to/llama \
+        [--quant int8] [--port 8000] [--max-batch 8] [--kv-dtype fp8] \
+        [--num-pages 2048] [--page-size 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="pre-quantized checkpoint dir (runtime/checkpoint)")
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--kv-dtype", default="bf16",
+                    choices=["bf16", "f32", "fp8", "int8"])
+    ap.add_argument("--num-pages", type=int, default=2048)
+    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--max-pages-per-seq", type=int, default=64)
+    ap.add_argument("--decode-burst", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    ModelConfig, QuantConfig)
+    from simplellminference_tpu.engine import Engine
+    from simplellminference_tpu.models import llama
+    from simplellminference_tpu.server import serve
+    from simplellminference_tpu.tokenizer import ByteTokenizer, load_tokenizer
+
+    if args.checkpoint:
+        from simplellminference_tpu.runtime.checkpoint import load_checkpoint
+        cfg, params = load_checkpoint(args.checkpoint)
+        tok = load_tokenizer(args.tokenizer or args.checkpoint)
+    elif args.model_dir:
+        from simplellminference_tpu.runtime.weights import load_safetensors_dir
+        cfg, params = load_safetensors_dir(
+            args.model_dir, quant=QuantConfig(mode=args.quant),
+            dtype=args.dtype)
+        tok = load_tokenizer(args.tokenizer or args.model_dir)
+    else:
+        print("[no model: random TinyLlama-4L + byte tokenizer]",
+              file=sys.stderr)
+        cfg = ModelConfig.tinyllama_1_1b(num_layers=4, vocab_size=258,
+                                         dtype=args.dtype)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        tok = ByteTokenizer()
+
+    ecfg = EngineConfig(
+        max_batch_size=args.max_batch,
+        kv=KVCacheConfig(page_size=args.page_size,
+                         num_pages=args.num_pages,
+                         max_pages_per_seq=args.max_pages_per_seq,
+                         kv_dtype=args.kv_dtype))
+    engine = Engine(cfg, params, ecfg, tokenizer=tok,
+                    decode_burst=args.decode_burst)
+    print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
+    serve(engine, host=args.host, port=args.port, tokenizer=tok)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,8 +60,8 @@ class Engine:
         self.allocator = PageAllocator(
             kv.num_pages, kv.page_size, engine_cfg.max_batch_size,
             kv.max_pages_per_seq)
-        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}.get(
-            kv.kv_dtype, jnp.bfloat16)
+        from simplellminference_tpu.memory.paged_kv import kv_storage_dtype
+        kv_dtype = kv_storage_dtype(kv.kv_dtype)
         self.cache = PagedKVCache.create(
             cfg.num_layers, kv.num_pages, cfg.num_kv_heads, kv.page_size,
             cfg.head_dim, kv_dtype)

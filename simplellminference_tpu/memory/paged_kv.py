@@ -20,19 +20,43 @@ import jax
 import jax.numpy as jnp
 
 
+import typing
+
+
+def kv_storage_dtype(name: str):
+    """KV storage dtypes: bf16, f32, fp8 (e4m3 direct cast — the TPU-native
+    compressed format, v5e+ has native fp8 loads), int8 (per-token-head
+    scales in side pools)."""
+    return {"bf16": jnp.bfloat16, "f32": jnp.float32,
+            "fp8": jnp.float8_e4m3fn, "int8": jnp.int8}[name]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    """k/v: [L, num_pages, kv_heads, page_size, head_dim]."""
+    """k/v: [L, num_pages, kv_heads, page_size, head_dim].
+
+    For int8 storage, k/v_scale: [L, num_pages, kv_heads, page_size] hold
+    the per-token-per-head symmetric scales (absmax/127 at write time).
+    """
 
     k: jax.Array
     v: jax.Array
+    k_scale: typing.Optional[jax.Array] = None
+    v_scale: typing.Optional[jax.Array] = None
 
     @classmethod
     def create(cls, num_layers: int, num_pages: int, num_kv_heads: int,
                page_size: int, head_dim: int, dtype=jnp.bfloat16):
+        dtype = jnp.dtype(dtype)
         shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
-        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        k = jnp.zeros(shape, dtype)
+        v = jnp.zeros(shape, dtype)
+        if dtype == jnp.int8:
+            return cls(k=k, v=v,
+                       k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                       v_scale=jnp.zeros(shape[:-1], jnp.float32))
+        return cls(k=k, v=v)
 
     @property
     def page_size(self) -> int:
@@ -47,14 +71,25 @@ class PagedKVCache:
         return self.k.dtype
 
 
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-token-per-head symmetric INT8: x [..., D] -> (q, scale [...])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def write_prefill(pool_k: jax.Array, pool_v: jax.Array, new_k: jax.Array,
-                  new_v: jax.Array, tables: jax.Array
-                  ) -> tuple[jax.Array, jax.Array]:
+                  new_v: jax.Array, tables: jax.Array,
+                  pool_ks: jax.Array | None = None,
+                  pool_vs: jax.Array | None = None):
     """Write a whole prompt into pages (one layer).
 
     pool_k/v: [P, kvN, ps, D]; new_k/v: [B, S, kvN, D] (S from position 0,
     padded — pages for padding rows map to -1 and are dropped);
-    tables: [B, MP] int32 page ids (-1 = unmapped).
+    tables: [B, MP] int32 page ids (-1 = unmapped). For int8 pools, pass
+    the scale pools [P, kvN, ps]. Returns the updated pools (+ scales).
     """
     p, kvn, ps, d = pool_k.shape
     b, s, _, _ = new_k.shape
@@ -69,16 +104,28 @@ def write_prefill(pool_k: jax.Array, pool_v: jax.Array, new_k: jax.Array,
                 .reshape(b * npg, kvn, ps, d))
 
     idx = tables[:, :npg].reshape(-1)
+    if pool_ks is not None:
+        qk, sk = quantize_kv(new_k)
+        qv, sv = quantize_kv(new_v)
+        pool_k = pool_k.at[idx].set(chunks(qk), mode="drop")
+        pool_v = pool_v.at[idx].set(chunks(qv), mode="drop")
+        schunk = lambda sc: (jnp.pad(sc, ((0, 0), (0, pad), (0, 0)))
+                             if pad else sc).reshape(
+            b, npg, ps, kvn).transpose(0, 1, 3, 2).reshape(b * npg, kvn, ps)
+        pool_ks = pool_ks.at[idx].set(schunk(sk), mode="drop")
+        pool_vs = pool_vs.at[idx].set(schunk(sv), mode="drop")
+        return pool_k, pool_v, pool_ks, pool_vs
     pool_k = pool_k.at[idx].set(chunks(new_k).astype(pool_k.dtype),
                                 mode="drop")
     pool_v = pool_v.at[idx].set(chunks(new_v).astype(pool_v.dtype),
                                 mode="drop")
-    return pool_k, pool_v
+    return pool_k, pool_v, None, None
 
 
 def write_decode(pool_k: jax.Array, pool_v: jax.Array, new_k: jax.Array,
-                 new_v: jax.Array, tables: jax.Array, positions: jax.Array
-                 ) -> tuple[jax.Array, jax.Array]:
+                 new_v: jax.Array, tables: jax.Array, positions: jax.Array,
+                 pool_ks: jax.Array | None = None,
+                 pool_vs: jax.Array | None = None):
     """Write one token per sequence (one layer).
 
     new_k/v: [B, kvN, D]; positions: [B] absolute token positions;
@@ -88,18 +135,27 @@ def write_decode(pool_k: jax.Array, pool_v: jax.Array, new_k: jax.Array,
     page_idx = jnp.take_along_axis(
         tables, (positions // ps)[:, None], axis=1)[:, 0]       # [B]
     slot = positions % ps                                       # [B]
-    b = new_k.shape[0]
-    bi = jnp.arange(b)
+    if pool_ks is not None:
+        qk, sk = quantize_kv(new_k)
+        qv, sv = quantize_kv(new_v)
+        pool_k = pool_k.at[page_idx, :, slot, :].set(qk, mode="drop")
+        pool_v = pool_v.at[page_idx, :, slot, :].set(qv, mode="drop")
+        pool_ks = pool_ks.at[page_idx, :, slot].set(sk, mode="drop")
+        pool_vs = pool_vs.at[page_idx, :, slot].set(sv, mode="drop")
+        return pool_k, pool_v, pool_ks, pool_vs
     pool_k = pool_k.at[page_idx, :, slot, :].set(
         new_k.astype(pool_k.dtype), mode="drop")
     pool_v = pool_v.at[page_idx, :, slot, :].set(
         new_v.astype(pool_v.dtype), mode="drop")
-    return pool_k, pool_v
+    return pool_k, pool_v, None, None
 
 
-def gather_dense(pool_k: jax.Array, pool_v: jax.Array, tables: jax.Array
+def gather_dense(pool_k: jax.Array, pool_v: jax.Array, tables: jax.Array,
+                 pool_ks: jax.Array | None = None,
+                 pool_vs: jax.Array | None = None
                  ) -> tuple[jax.Array, jax.Array]:
-    """Reference path: gather pages into a dense [B, kvN, MP*ps, D] view.
+    """Reference path: gather pages into a dense [B, kvN, MP*ps, D] view,
+    dequantizing int8 storage through the scale pools.
 
     Unmapped (-1) pages come back as zeros (mode='fill'); callers mask by
     kv_lens anyway.
@@ -107,11 +163,18 @@ def gather_dense(pool_k: jax.Array, pool_v: jax.Array, tables: jax.Array
     p, kvn, ps, d = pool_k.shape
     b, mp = tables.shape
 
-    def g(pool):
+    def g(pool, scales):
         x = pool.at[tables.reshape(-1)].get(mode="fill", fill_value=0)
         # [B*MP, kvN, ps, D] -> [B, kvN, MP*ps, D]
-        return (x.reshape(b, mp, kvn, ps, d)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(b, kvn, mp * ps, d))
+        x = (x.reshape(b, mp, kvn, ps, d)
+             .transpose(0, 2, 1, 3, 4)
+             .reshape(b, kvn, mp * ps, d))
+        if scales is not None:
+            s = scales.at[tables.reshape(-1)].get(mode="fill", fill_value=0)
+            s = (s.reshape(b, mp, kvn, ps)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(b, kvn, mp * ps))
+            x = x.astype(jnp.float32) * s[..., None]
+        return x
 
-    return g(pool_k), g(pool_v)
+    return g(pool_k, pool_ks), g(pool_v, pool_vs)

@@ -184,8 +184,10 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     else:
         mask = None
 
+    quant_kv = cache.k_scale is not None
+
     def body(x, layer):
-        lp, pk, pv = layer
+        lp, pk, pv, pks, pvs = layer
         attn_in = ref_ops.rmsnorm(x, lp["input_norm"], cfg.rms_norm_eps)
         qkv = linear(attn_in, lp["wqkv"])
         q = qkv[..., :n * d].reshape(b, s, n, d)
@@ -194,13 +196,20 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         q = ref_ops.apply_rope(q, sin, cos)
         k = ref_ops.apply_rope(k, sin, cos)
 
+        scale_args = (pks, pvs) if quant_kv else (None, None)
         if prefill:
-            pk, pv = pkv.write_prefill(pk, pv, k, v, tables)
+            pk, pv, nks, nvs = pkv.write_prefill(pk, pv, k, v, tables,
+                                                 *scale_args)
             attn = dispatch.attention(cfg, q, k, v, mask)
         else:
-            pk, pv = pkv.write_decode(pk, pv, k[:, 0], v[:, 0], tables,
-                                      positions[:, 0])
-            attn = dispatch.attention_paged(cfg, q, pk, pv, tables, kv_lens)
+            pk, pv, nks, nvs = pkv.write_decode(pk, pv, k[:, 0], v[:, 0],
+                                                tables, positions[:, 0],
+                                                *scale_args)
+            attn = dispatch.attention_paged(
+                cfg, q, pk, pv, tables, kv_lens,
+                *( (nks, nvs) if quant_kv else (None, None) ))
+        if quant_kv:
+            pks, pvs = nks, nvs
         attn = linear(attn.reshape(b, s, n * d), lp["wo"])
         x = x + attn
 
@@ -209,11 +218,16 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         gate_up = linear(ffn_in, lp["w_gate_up"])
         x = x + linear(ref_ops.swiglu(gate_up[..., :i], gate_up[..., i:]),
                        lp["w_down"])
-        return x, (pk, pv)
+        return x, (pk, pv, pks, pvs)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v))
-    cache = PagedKVCache(k=new_k, v=new_v)
+    zeros = jnp.zeros((cfg.num_layers, 0)) if not quant_kv else None
+    xs = (params["layers"], cache.k, cache.v,
+          cache.k_scale if quant_kv else zeros,
+          cache.v_scale if quant_kv else zeros)
+    x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, xs)
+    cache = PagedKVCache(k=new_k, v=new_v,
+                         k_scale=new_ks if quant_kv else None,
+                         v_scale=new_vs if quant_kv else None)
 
     x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")

@@ -67,20 +67,26 @@ def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
 
 def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                     pool_v: jax.Array, tables: jax.Array,
-                    kv_lens: jax.Array) -> jax.Array:
-    """Paged decode attention. q: [B, 1, N, D]; pools: [P, kvN, ps, D]."""
+                    kv_lens: jax.Array, pool_ks: jax.Array | None = None,
+                    pool_vs: jax.Array | None = None) -> jax.Array:
+    """Paged decode attention. q: [B, 1, N, D]; pools: [P, kvN, ps, D].
+
+    bf16/f32/fp8 pools take the Pallas kernel on TPU (fp8 is a direct cast
+    in-kernel); int8 pools (per-token scales) take the gather+dense path.
+    """
     import jax.numpy as jnp
 
     b, s, n, d = q.shape
     assert s == 1, "paged attention path is decode-only (S == 1)"
     ps = pool_k.shape[2]
-    if _use_flash() and d in (64, 128, 256) and ps % 8 == 0:
+    if (_use_flash() and d in (64, 128, 256) and ps % 8 == 0
+            and pool_ks is None):
         from simplellminference_tpu.ops.attention.paged_decode import (
             paged_flash_decode)
         return paged_flash_decode(q[:, 0], pool_k, pool_v, tables,
                                   kv_lens)[:, None]
     from simplellminference_tpu.memory.paged_kv import gather_dense
-    ck, cv = gather_dense(pool_k, pool_v, tables)
+    ck, cv = gather_dense(pool_k, pool_v, tables, pool_ks, pool_vs)
     smax = ck.shape[2]
     mask = (jnp.arange(smax)[None, None, None, :]
             < kv_lens[:, None, None, None])

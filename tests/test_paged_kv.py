@@ -25,7 +25,7 @@ def test_write_prefill_then_gather_roundtrip(rng):
     new_v = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
     # seq0 -> pages 0,1,2 ; seq1 -> pages 5,6,7 (3 pages for 20 tokens)
     tables = jnp.asarray([[0, 1, 2, -1], [5, 6, 7, -1]], jnp.int32)
-    pool_k, pool_v = pkv.write_prefill(pool_k, pool_v, new_k, new_v, tables)
+    pool_k, pool_v, _, _ = pkv.write_prefill(pool_k, pool_v, new_k, new_v, tables)
     ck, cv = pkv.gather_dense(pool_k, pool_v, tables)
     # gathered [B, kvN, MP*ps, D]; first s slots must equal the input
     np.testing.assert_allclose(
@@ -42,8 +42,8 @@ def test_write_decode_places_token(rng):
     new_k = jnp.asarray(rng.standard_normal((2, kvn, d)), jnp.float32)
     new_v = jnp.asarray(rng.standard_normal((2, kvn, d)), jnp.float32)
     positions = jnp.asarray([9, 2], jnp.int32)   # page 4 slot 1; page 6 slot 2
-    pool_k, pool_v = pkv.write_decode(pool_k, pool_v, new_k, new_v,
-                                      tables, positions)
+    pool_k, pool_v, _, _ = pkv.write_decode(pool_k, pool_v, new_k, new_v,
+                                            tables, positions)
     np.testing.assert_allclose(np.asarray(pool_k[4, :, 1]),
                                np.asarray(new_k[0]))
     np.testing.assert_allclose(np.asarray(pool_k[6, :, 2]),
@@ -142,3 +142,49 @@ def test_forward_paged_matches_dense(tiny_model, rng):
         toks = np.asarray(logits[:, 0]).argmax(-1).astype(np.int32)
         dtoks = np.asarray(dlogits).argmax(-1).astype(np.int32)
         pos = pos + 1
+
+
+def test_int8_kv_roundtrip_error_bounded(rng):
+    """INT8 KV with per-token-head scales: dequant error <= scale/2."""
+    p, kvn, ps, d = 8, 2, 8, 32
+    b, s = 2, 12
+    pool_k = jnp.zeros((p, kvn, ps, d), jnp.int8)
+    pool_v = jnp.zeros((p, kvn, ps, d), jnp.int8)
+    pool_ks = jnp.zeros((p, kvn, ps), jnp.float32)
+    pool_vs = jnp.zeros((p, kvn, ps), jnp.float32)
+    new_k = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    new_v = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    tables = jnp.asarray([[0, 1, -1], [4, 5, -1]], jnp.int32)
+    pool_k, pool_v, pool_ks, pool_vs = pkv.write_prefill(
+        pool_k, pool_v, new_k, new_v, tables, pool_ks, pool_vs)
+    ck, cv = pkv.gather_dense(pool_k, pool_v, tables, pool_ks, pool_vs)
+    want = np.asarray(new_k.transpose(0, 2, 1, 3))
+    got = np.asarray(ck[:, :, :s])
+    scales = np.abs(want).max(-1, keepdims=True) / 127.0
+    assert (np.abs(got - want) <= scales * 0.51 + 1e-6).all()
+
+
+@pytest.mark.parametrize("kv_dtype", ["fp8", "int8"])
+def test_quantized_kv_generation_close_to_bf16(tiny_model, kv_dtype):
+    """Engine with fp8/int8 KV: runs end-to-end; early greedy tokens match
+    the f32-KV path on a tiny model (quantization noise may diverge later
+    tokens; the PPL harness is the real quality gate)."""
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine import Engine
+    cfg, params = tiny_model
+    prompts = [[1, 2, 3, 4, 5]]
+
+    def run(dtype):
+        ecfg = EngineConfig(max_batch_size=2,
+                            kv=KVCacheConfig(page_size=8, num_pages=32,
+                                             max_pages_per_seq=8,
+                                             kv_dtype=dtype))
+        eng = Engine(cfg, params, ecfg, decode_burst=4)
+        return eng.generate(prompts, SamplingParams(max_new_tokens=8))[0]
+
+    base = run("f32")
+    quant = run(kv_dtype)
+    assert len(quant) == 8
+    assert quant[:2] == base[:2]

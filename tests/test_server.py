@@ -1,0 +1,110 @@
+"""HTTP server tests: completions (sync + SSE streaming), health, metrics.
+
+No pytest-asyncio in this image — each test runs its coroutine via
+asyncio.run.
+"""
+
+import asyncio
+import json
+
+import jax
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from simplellminference_tpu.core.config import (EngineConfig, KVCacheConfig,
+                                                ModelConfig)
+from simplellminference_tpu.engine import Engine
+from simplellminference_tpu.models import llama
+from simplellminference_tpu.server import build_app
+from simplellminference_tpu.tokenizer import ByteTokenizer
+
+
+def make_app():
+    cfg = ModelConfig.tiny_test(vocab_size=258)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2,
+                        kv=KVCacheConfig(page_size=8, num_pages=64,
+                                         max_pages_per_seq=8,
+                                         kv_dtype="f32"))
+    eng = Engine(cfg, params, ecfg, tokenizer=ByteTokenizer(),
+                 decode_burst=4)
+    return build_app(eng, tokenizer=ByteTokenizer())
+
+
+def run_with_client(coro_fn):
+    async def runner():
+        async with TestClient(TestServer(make_app())) as client:
+            return await coro_fn(client)
+    return asyncio.run(runner())
+
+
+def test_health_and_metrics():
+    async def go(client):
+        r = await client.get("/health")
+        assert r.status == 200
+        assert (await r.json())["status"] == "ok"
+        r = await client.get("/metrics")
+        assert r.status == 200
+        assert "tokens_per_sec" in await r.json()
+    run_with_client(go)
+
+
+def test_completion_roundtrip():
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "hi", "max_tokens": 6})
+        assert r.status == 200
+        body = await r.json()
+        assert len(body["choices"][0]["token_ids"]) <= 6
+        assert body["usage"]["completion_tokens"] > 0
+        assert body["ttft_ms"] > 0
+    run_with_client(go)
+
+
+def test_completion_token_ids_prompt():
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": [1, 2, 3], "max_tokens": 4})
+        body = await r.json()
+        assert len(body["choices"][0]["token_ids"]) == 4
+    run_with_client(go)
+
+
+def test_streaming_sse():
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "abc", "max_tokens": 5, "stream": True})
+        assert r.status == 200
+        events = []
+        async for line in r.content:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                events.append(json.loads(line[6:]))
+            if line == "data: [DONE]":
+                break
+        assert events and events[-1]["finished"]
+        total = sum(len(e["token_ids"]) for e in events)
+        assert 0 < total <= 5
+    run_with_client(go)
+
+
+def test_bad_requests():
+    async def go(client):
+        r = await client.post("/v1/completions", data=b"not json")
+        assert r.status == 400
+        r = await client.post("/v1/completions", json={"max_tokens": 3})
+        assert r.status == 400
+    run_with_client(go)
+
+
+def test_concurrent_requests():
+    async def go(client):
+        async def one(p):
+            r = await client.post("/v1/completions",
+                                  json={"prompt": p, "max_tokens": 5})
+            return await r.json()
+        results = await asyncio.gather(*[one(f"req {i}") for i in range(5)])
+        assert all(len(b["choices"][0]["token_ids"]) == 5 for b in results)
+    run_with_client(go)
