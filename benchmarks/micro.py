@@ -28,23 +28,28 @@ import numpy as np
 V5E_BW = 819e9
 
 
-def timed_scan(step_fn, carry_init, t_steps: int) -> float:
-    """Run step_fn in a scan of length t, return wall seconds (synced)."""
+def timed_scan(step_fn, carry_init, t_steps: int, consts=()) -> float:
+    """Run step_fn(carry, i, *consts) in a scan of length t; return seconds.
+
+    Big arrays MUST go through ``consts`` (jit arguments) — closure-captured
+    arrays are embedded in the HLO and blow the remote-compile request size
+    limit (HTTP 413) through the axon tunnel.
+    """
 
     @functools.partial(jax.jit, static_argnames=("t",))
-    def run(carry, t):
+    def run(carry, t, *consts):
         def body(c, i):
-            c = step_fn(c, i)
+            c = step_fn(c, i, *consts)
             return c, None
         c, _ = jax.lax.scan(body, carry, jnp.arange(t))
         return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), c)
 
-    np.asarray(jax.tree.leaves(run(carry_init, t_steps))[0])  # compile+warm
-    np.asarray(jax.tree.leaves(run(carry_init, t_steps // 2))[0])
+    np.asarray(jax.tree.leaves(run(carry_init, t_steps, *consts))[0])  # warm
+    np.asarray(jax.tree.leaves(run(carry_init, t_steps // 2, *consts))[0])
 
     def t_of(t):
         t0 = time.perf_counter()
-        np.asarray(jax.tree.leaves(run(carry_init, t))[0])
+        np.asarray(jax.tree.leaves(run(carry_init, t, *consts))[0])
         return time.perf_counter() - t0
 
     full = min(t_of(t_steps) for _ in range(3))
@@ -66,7 +71,7 @@ def bench_qmm(m=8, k=4096, n=12288, gs=128, t=64, stacked_layers=0):
         s = jnp.ones((k // gs, n), jnp.float32) * 1e-3
     x = jnp.ones((m, k), jnp.bfloat16)
 
-    def step(c, i):
+    def step(c, i, q, s):
         x = c
         if stacked_layers:
             li = i % stacked_layers
@@ -77,9 +82,75 @@ def bench_qmm(m=8, k=4096, n=12288, gs=128, t=64, stacked_layers=0):
         y = quantized_matmul(x + i.astype(jnp.bfloat16) * 0, qi, si)
         return y[:, :k] * 0 + x  # keep shape, force dependency
 
-    sec = timed_scan(step, x, t)
+    sec = timed_scan(step, x, t, consts=(q, s))
     bytes_ = k * n + (k // gs) * n * 4
     return {"op": f"qmm m{m} k{k} n{n}" + (f" L{stacked_layers}" if stacked_layers else ""),
+            "us": round(sec * 1e6, 1),
+            "gb_s": round(bytes_ / sec / 1e9, 1),
+            "roofline_frac": round(bytes_ / sec / V5E_BW, 3)}
+
+
+def bench_qmm_cfg(m=8, k=4096, n=12288, gs=128, t=64, bn=512, bk=512,
+                  bm=None):
+    from simplellminference_tpu.ops.matmul import quantized_matmul
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.randint(key, (k, n), -127, 127, jnp.int8)
+    s = jnp.ones((k // gs, n), jnp.float32) * 1e-3
+    x = jnp.ones((m, k), jnp.bfloat16)
+
+    def step(c, i, q, s):
+        y = quantized_matmul(c + i.astype(jnp.bfloat16) * 0, q, s,
+                             bn=bn, bk=bk, bm=bm)
+        return y[:, :k] * 0 + c
+
+    sec = timed_scan(step, x, t, consts=(q, s))
+    bytes_ = k * n + (k // gs) * n * 4
+    return {"op": f"qmm k{k} n{n} bn{bn} bk{bk}", "us": round(sec * 1e6, 1),
+            "gb_s": round(bytes_ / sec / 1e9, 1),
+            "roofline_frac": round(bytes_ / sec / V5E_BW, 3)}
+
+
+def bench_qmm_sweep(a):
+    for bn, bk in ((512, 512), (1024, 512), (512, 1024), (1024, 1024),
+                   (2048, 512), (1024, 2048), (2048, 1024), (4096, 1024),
+                   (1536, 1024), (3072, 512), (12288, 512), (12288, 1024)):
+        try:
+            print(json.dumps(bench_qmm_cfg(bn=bn, bk=bk, t=32)), flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep survives bad configs
+            print(json.dumps({"op": f"qmm bn{bn} bk{bk}",
+                              "error": str(e)[:120]}), flush=True)
+    return {"op": "qmm_sweep", "done": True}
+
+
+def bench_flash_sweep(a):
+    for bk in (128, 256, 512, 1024):
+        try:
+            r = bench_flash_decode_cfg(bk=bk, t=32)
+            print(json.dumps(r), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"op": f"flash bk{bk}",
+                              "error": str(e)[:120]}), flush=True)
+    return {"op": "flash_sweep", "done": True}
+
+
+def bench_flash_decode_cfg(b=8, n=32, kvn=32, d=128, smax=1024, kv_len=256,
+                           t=32, bk=256):
+    from simplellminference_tpu.ops.attention.flash_decode import flash_decode
+
+    key = jax.random.PRNGKey(0)
+    kc = jax.random.normal(key, (b, kvn, smax, d), jnp.bfloat16)
+    vc = jax.random.normal(key, (b, kvn, smax, d), jnp.bfloat16)
+    lens = jnp.full((b,), kv_len, jnp.int32)
+    q = jnp.ones((b, n, d), jnp.bfloat16)
+
+    def step(c, i, kc, vc):
+        o = flash_decode(c + i.astype(jnp.bfloat16) * 0, kc, vc, lens, bk=bk)
+        return o * 0 + c
+
+    sec = timed_scan(step, q, t, consts=(kc, vc))
+    bytes_ = 2 * b * kvn * kv_len * d * 2
+    return {"op": f"flash_decode bk{bk} len{kv_len}/{smax}",
             "us": round(sec * 1e6, 1),
             "gb_s": round(bytes_ / sec / 1e9, 1),
             "roofline_frac": round(bytes_ / sec / V5E_BW, 3)}
@@ -90,12 +161,12 @@ def bench_bf16_matmul(m=8, k=4096, n=12288, t=64):
     w = jax.random.normal(key, (k, n), jnp.bfloat16)
     x = jnp.ones((m, k), jnp.bfloat16)
 
-    def step(c, i):
+    def step(c, i, w):
         y = jnp.dot(c + i.astype(jnp.bfloat16) * 0, w,
                     preferred_element_type=jnp.float32)
         return y[:, :k].astype(jnp.bfloat16) * 0 + c
 
-    sec = timed_scan(step, x, t)
+    sec = timed_scan(step, x, t, consts=(w,))
     bytes_ = k * n * 2
     return {"op": f"bf16mm m{m} k{k} n{n}", "us": round(sec * 1e6, 1),
             "gb_s": round(bytes_ / sec / 1e9, 1),
@@ -111,11 +182,11 @@ def bench_flash_decode(b=8, n=32, kvn=32, d=128, smax=1024, kv_len=256, t=64):
     lens = jnp.full((b,), kv_len, jnp.int32)
     q = jnp.ones((b, n, d), jnp.bfloat16)
 
-    def step(c, i):
+    def step(c, i, kc, vc):
         o = flash_decode(c + i.astype(jnp.bfloat16) * 0, kc, vc, lens)
         return o * 0 + c
 
-    sec = timed_scan(step, q, t)
+    sec = timed_scan(step, q, t, consts=(kc, vc))
     bytes_ = 2 * b * kvn * kv_len * d * 2  # live prefix only
     return {"op": f"flash_decode b{b} kvn{kvn} len{kv_len}/{smax}",
             "us": round(sec * 1e6, 1),
@@ -139,22 +210,17 @@ def bench_decode_step(model="llama2-7b", batch=8, ctx=1024, t=32,
     cache = DenseKVCache.create(cfg.num_layers, batch, ctx,
                                 cfg.num_kv_heads, cfg.head_dim, jnp.bfloat16)
 
-    def step(carry, i):
-        cache, tok, pos = carry
-        logits, cache = llama.forward(cfg, params, tok[:, None], pos[:, None],
-                                      cache, pos, pos + 1)
-        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
-        return (cache, nxt, pos + 1), None
-
     tok = jnp.ones((batch,), jnp.int32)
     pos = jnp.full((batch,), 128, jnp.int32)
 
-    def sfn(c, i):
+    def sfn(c, i, params):
         (cache, tok, pos) = c
-        (cache, tok, pos), _ = step((cache, tok, pos), i)
-        return (cache, tok, pos)
+        logits, cache = llama.forward(cfg, params, tok[:, None], pos[:, None],
+                                      cache, pos, pos + 1)
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        return (cache, nxt, pos + 1)
 
-    sec = timed_scan(lambda c, i: sfn(c, i), (cache, tok, pos), t)
+    sec = timed_scan(sfn, (cache, tok, pos), t, consts=(params,))
     return {"op": f"decode_step {model} b{batch}", "us": round(sec * 1e6, 1),
             "ms": round(sec * 1e3, 2),
             "weights_gb_s": round(wbytes / sec / 1e9, 1),
@@ -165,9 +231,12 @@ BENCHES = {
     "qmm": lambda a: bench_qmm(),
     "qmm_stacked": lambda a: bench_qmm(stacked_layers=8, t=32),
     "qmm_wide": lambda a: bench_qmm(k=11008, n=4096),
+    "qmm_sweep": bench_qmm_sweep,
     "bf16mm": lambda a: bench_bf16_matmul(),
     "lm_head": lambda a: bench_bf16_matmul(k=4096, n=32000, t=32),
+    "lm_head_int8": lambda a: bench_qmm(k=4096, n=32000, t=32),
     "flash_decode": lambda a: bench_flash_decode(),
+    "flash_sweep": bench_flash_sweep,
     "decode_step": lambda a: bench_decode_step(t=a.t or 32),
     "decode_step_tiny": lambda a: bench_decode_step("tinyllama", t=a.t or 64),
 }

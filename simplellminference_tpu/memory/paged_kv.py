@@ -150,6 +150,73 @@ def write_decode(pool_k: jax.Array, pool_v: jax.Array, new_k: jax.Array,
     return pool_k, pool_v, None, None
 
 
+def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
+                          new_k: jax.Array, new_v: jax.Array,
+                          tables: jax.Array, layer: jax.Array,
+                          pool_ks: jax.Array | None = None,
+                          pool_vs: jax.Array | None = None):
+    """Stacked-pool prefill write: pools [L, P, kvN, ps, D] + layer index.
+
+    Native XLA scatters on the stacked pools run in place when the pools
+    are scan-carry state — unlike slicing a layer out first, which
+    materializes a full per-layer pool copy (~P·kvN·ps·D bytes).
+    """
+    _, p, kvn, ps, d = pool_k.shape
+    b, s, _, _ = new_k.shape
+    npg = s // ps if s % ps == 0 else s // ps + 1
+    pad = npg * ps - s
+
+    def chunks(x):
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else x
+        return (x.reshape(b, npg, ps, kvn, d)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(b * npg, kvn, ps, d))
+
+    idx = tables[:, :npg].reshape(-1)
+    if pool_ks is not None:
+        qk, sk = quantize_kv(new_k)
+        qv, sv = quantize_kv(new_v)
+        pool_k = pool_k.at[layer, idx].set(chunks(qk), mode="drop")
+        pool_v = pool_v.at[layer, idx].set(chunks(qv), mode="drop")
+        schunk = lambda sc: (jnp.pad(sc, ((0, 0), (0, pad), (0, 0)))
+                             if pad else sc).reshape(
+            b, npg, ps, kvn).transpose(0, 1, 3, 2).reshape(b * npg, kvn, ps)
+        pool_ks = pool_ks.at[layer, idx].set(schunk(sk), mode="drop")
+        pool_vs = pool_vs.at[layer, idx].set(schunk(sv), mode="drop")
+        return pool_k, pool_v, pool_ks, pool_vs
+    pool_k = pool_k.at[layer, idx].set(chunks(new_k).astype(pool_k.dtype),
+                                       mode="drop")
+    pool_v = pool_v.at[layer, idx].set(chunks(new_v).astype(pool_v.dtype),
+                                       mode="drop")
+    return pool_k, pool_v, None, None
+
+
+def write_decode_stacked(pool_k: jax.Array, pool_v: jax.Array,
+                         new_k: jax.Array, new_v: jax.Array,
+                         tables: jax.Array, positions: jax.Array,
+                         layer: jax.Array,
+                         pool_ks: jax.Array | None = None,
+                         pool_vs: jax.Array | None = None):
+    """Stacked-pool decode write: one token per sequence at ``layer``."""
+    ps = pool_k.shape[3]
+    page_idx = jnp.take_along_axis(
+        tables, (positions // ps)[:, None], axis=1)[:, 0]       # [B]
+    slot = positions % ps                                       # [B]
+    if pool_ks is not None:
+        qk, sk = quantize_kv(new_k)
+        qv, sv = quantize_kv(new_v)
+        pool_k = pool_k.at[layer, page_idx, :, slot, :].set(qk, mode="drop")
+        pool_v = pool_v.at[layer, page_idx, :, slot, :].set(qv, mode="drop")
+        pool_ks = pool_ks.at[layer, page_idx, :, slot].set(sk, mode="drop")
+        pool_vs = pool_vs.at[layer, page_idx, :, slot].set(sv, mode="drop")
+        return pool_k, pool_v, pool_ks, pool_vs
+    pool_k = pool_k.at[layer, page_idx, :, slot, :].set(
+        new_k.astype(pool_k.dtype), mode="drop")
+    pool_v = pool_v.at[layer, page_idx, :, slot, :].set(
+        new_v.astype(pool_v.dtype), mode="drop")
+    return pool_k, pool_v, None, None
+
+
 def gather_dense(pool_k: jax.Array, pool_v: jax.Array, tables: jax.Array,
                  pool_ks: jax.Array | None = None,
                  pool_vs: jax.Array | None = None

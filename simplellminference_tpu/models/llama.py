@@ -55,18 +55,34 @@ from simplellminference_tpu.runtime.kv_cache import DenseKVCache, update_layer
 Params = dict[str, Any]
 
 
-def decoder_layer(cfg: ModelConfig, lp: Params, x: jax.Array,
-                  sin: jax.Array, cos: jax.Array,
+def _use_pallas_kv() -> bool:
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
+                  x: jax.Array, sin: jax.Array, cos: jax.Array,
                   cache_k: Optional[jax.Array], cache_v: Optional[jax.Array],
                   offsets: Optional[jax.Array], mask: jax.Array,
                   kv_lens: Optional[jax.Array], prefill_from_zero: bool):
-    """One decoder layer. x: [B, S, H]. Returns (x', cache_k', cache_v')."""
+    """One decoder layer. x: [B, S, H]. Returns (x', cache_k', cache_v').
+
+    ``lw`` is the FULL stacked layer-params subtree ([L, ...] leaves) and
+    ``li`` the traced layer index: the hot kernels (dequant+matmul, flash
+    decode, KV append) consume the stacked HBM buffers directly via
+    scalar-prefetched indices — slicing per layer before a pallas_call
+    would materialize a full copy of every weight (see ops/matmul.py).
+    With ``li=None`` the leaves are single-layer ([K, N] etc.).
+    """
     b, s, h = x.shape
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+    def norm_w(w):
+        return w if li is None else jax.lax.dynamic_index_in_dim(
+            w, li, 0, keepdims=False)
+
     # --- attention block (reference: model.cpp:52-90) ---
-    attn_in = ref_ops.rmsnorm(x, lp["input_norm"], cfg.rms_norm_eps)
-    qkv = linear(attn_in, lp["wqkv"])
+    attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]), cfg.rms_norm_eps)
+    qkv = linear(attn_in, lw["wqkv"], layer=li)
     q = qkv[..., :n * d].reshape(b, s, n, d)
     k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
     v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
@@ -75,20 +91,32 @@ def decoder_layer(cfg: ModelConfig, lp: Params, x: jax.Array,
     k = ref_ops.apply_rope(k, sin, cos)
 
     if cache_k is not None:
-        cache_k, cache_v = update_layer(cache_k, cache_v, k, v, offsets)
-        attn = dispatch.attention_cached(cfg, q, cache_k, cache_v, mask,
-                                         kv_lens, prefill_from_zero)
+        if cache_k.ndim == 5:
+            from simplellminference_tpu.ops import kv_append as kva
+            writer = (kva.kv_append if _use_pallas_kv()
+                      else kva.kv_append_ref)
+            cache_k, cache_v = writer(cache_k, cache_v, k, v, li, offsets)
+        else:
+            cache_k, cache_v = update_layer(cache_k, cache_v, k, v, offsets)
+        if s > 1 and prefill_from_zero:
+            # Batched prefill from slot 0: the fresh k/v ARE the cache
+            # prefix — plain causal self-attention, no cache read-back.
+            attn = dispatch.attention(cfg, q, k, v, mask)
+        else:
+            attn = dispatch.attention_cached(cfg, q, cache_k, cache_v, mask,
+                                             kv_lens, prefill_from_zero,
+                                             layer=li)
     else:
         attn = dispatch.attention(cfg, q, k, v, mask)
-    attn = linear(attn.reshape(b, s, n * d), lp["wo"])
+    attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li)
     x = x + attn
 
     # --- FFN block (reference: model.cpp:93-128) ---
-    ffn_in = ref_ops.rmsnorm(x, lp["post_norm"], cfg.rms_norm_eps)
+    ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"]), cfg.rms_norm_eps)
     i = cfg.intermediate_size
-    gate_up = linear(ffn_in, lp["w_gate_up"])
+    gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
     gate, up = gate_up[..., :i], gate_up[..., i:]
-    x = x + linear(ref_ops.swiglu(gate, up), lp["w_down"])
+    x = x + linear(ref_ops.swiglu(gate, up), lw["w_down"], layer=li)
     return x, cache_k, cache_v
 
 
@@ -111,38 +139,46 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     dtype = jnp.dtype(cfg.dtype)
     x = params["embed"][tokens].astype(dtype)  # [B, S, H] row gather
     sin, cos = ref_ops.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    lw = params["layers"]
 
     if cache is not None:
         if offsets is None:
             offsets = positions[:, 0]
         if kv_lens is None:
             kv_lens = offsets + s
-        sk = cache.max_seq
-        # Keys live at absolute cache slots 0..sk-1; attend where
-        # key_pos <= query_pos and key_pos < kv_len (written region).
-        key_pos = jnp.arange(sk)[None, None, None, :]            # [1,1,1,Sk]
-        q_pos = positions[:, None, :, None]                      # [B,1,S,1]
-        mask = (key_pos <= q_pos) & (key_pos < kv_lens[:, None, None, None])
+        if s > 1 and prefill_from_zero:
+            # Fresh k/v are the whole prefix: plain causal self-attention.
+            mask = ref_ops.causal_mask(s, s)[None, None]         # [1,1,S,S]
+        else:
+            sk = cache.max_seq
+            # Keys live at absolute cache slots 0..sk-1; attend where
+            # key_pos <= query_pos and key_pos < kv_len (written region).
+            key_pos = jnp.arange(sk)[None, None, None, :]        # [1,1,1,Sk]
+            q_pos = positions[:, None, :, None]                  # [B,1,S,1]
+            mask = ((key_pos <= q_pos)
+                    & (key_pos < kv_lens[:, None, None, None]))
 
-        def body(x, layer):
-            lp, ck, cv = layer
-            x, ck, cv = decoder_layer(cfg, lp, x, sin, cos, ck, cv,
+        def body(carry, li):
+            x, ck, cv = carry
+            x, ck, cv = decoder_layer(cfg, lw, li, x, sin, cos, ck, cv,
                                       offsets, mask, kv_lens,
                                       prefill_from_zero)
-            return x, (ck, cv)
+            return (x, ck, cv), None
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache.k, cache.v))
+        (x, new_k, new_v), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v),
+            jnp.arange(cfg.num_layers, dtype=jnp.int32))
         cache = DenseKVCache(k=new_k, v=new_v)
     else:
         mask = ref_ops.causal_mask(s, s)[None, None]             # [1,1,S,S]
 
-        def body(x, lp):
-            x, _, _ = decoder_layer(cfg, lp, x, sin, cos, None, None,
+        def body(x, li):
+            x, _, _ = decoder_layer(cfg, lw, li, x, sin, cos, None, None,
                                     None, mask, None, False)
             return x, None
 
-        x, _ = jax.lax.scan(body, x, params["layers"])
+        x, _ = jax.lax.scan(body, x,
+                            jnp.arange(cfg.num_layers, dtype=jnp.int32))
 
     x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
@@ -185,11 +221,16 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         mask = None
 
     quant_kv = cache.k_scale is not None
+    lw = params["layers"]
 
-    def body(x, layer):
-        lp, pk, pv, pks, pvs = layer
-        attn_in = ref_ops.rmsnorm(x, lp["input_norm"], cfg.rms_norm_eps)
-        qkv = linear(attn_in, lp["wqkv"])
+    def norm_w(w, li):
+        return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+
+    def body(carry, li):
+        x, pk, pv, pks, pvs = carry
+        attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
+                                  cfg.rms_norm_eps)
+        qkv = linear(attn_in, lw["wqkv"], layer=li)
         q = qkv[..., :n * d].reshape(b, s, n, d)
         k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
         v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
@@ -198,33 +239,34 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
         scale_args = (pks, pvs) if quant_kv else (None, None)
         if prefill:
-            pk, pv, nks, nvs = pkv.write_prefill(pk, pv, k, v, tables,
-                                                 *scale_args)
+            pk, pv, nks, nvs = pkv.write_prefill_stacked(
+                pk, pv, k, v, tables, li, *scale_args)
             attn = dispatch.attention(cfg, q, k, v, mask)
         else:
-            pk, pv, nks, nvs = pkv.write_decode(pk, pv, k[:, 0], v[:, 0],
-                                                tables, positions[:, 0],
-                                                *scale_args)
+            pk, pv, nks, nvs = pkv.write_decode_stacked(
+                pk, pv, k[:, 0], v[:, 0], tables, positions[:, 0], li,
+                *scale_args)
             attn = dispatch.attention_paged(
                 cfg, q, pk, pv, tables, kv_lens,
-                *( (nks, nvs) if quant_kv else (None, None) ))
+                *((nks, nvs) if quant_kv else (None, None)), layer=li)
         if quant_kv:
             pks, pvs = nks, nvs
-        attn = linear(attn.reshape(b, s, n * d), lp["wo"])
+        attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li)
         x = x + attn
 
-        ffn_in = ref_ops.rmsnorm(x, lp["post_norm"], cfg.rms_norm_eps)
+        ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
+                                 cfg.rms_norm_eps)
         i = cfg.intermediate_size
-        gate_up = linear(ffn_in, lp["w_gate_up"])
+        gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
         x = x + linear(ref_ops.swiglu(gate_up[..., :i], gate_up[..., i:]),
-                       lp["w_down"])
-        return x, (pk, pv, pks, pvs)
+                       lw["w_down"], layer=li)
+        return (x, pk, pv, pks, pvs), None
 
-    zeros = jnp.zeros((cfg.num_layers, 0)) if not quant_kv else None
-    xs = (params["layers"], cache.k, cache.v,
-          cache.k_scale if quant_kv else zeros,
-          cache.v_scale if quant_kv else zeros)
-    x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, xs)
+    carry0 = (x, cache.k, cache.v,
+              cache.k_scale if quant_kv else None,
+              cache.v_scale if quant_kv else None)
+    (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        body, carry0, jnp.arange(cfg.num_layers, dtype=jnp.int32))
     cache = PagedKVCache(k=new_k, v=new_v,
                          k_scale=new_ks if quant_kv else None,
                          v_scale=new_vs if quant_kv else None)

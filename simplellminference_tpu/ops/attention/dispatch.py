@@ -40,26 +40,34 @@ def attention(cfg: ModelConfig, q: jax.Array, k: jax.Array, v: jax.Array,
 
 def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
                      cv: jax.Array, mask: jax.Array, kv_lens: jax.Array,
-                     prefill_from_zero: bool) -> jax.Array:
-    """Attention against the cache layer.
+                     prefill_from_zero: bool,
+                     layer: jax.Array | None = None) -> jax.Array:
+    """Attention against the cache.
 
-    q: [B, S, N, D]; ck/cv: [B, kvN, Smax, D] (cache layout); kv_lens: [B].
-    ``prefill_from_zero``: static promise that S>1 writes started at cache
-    slot 0 (the Generator's batched prefill), making the computation plain
-    causal self-attention over cache[:, :, :S].
+    q: [B, S, N, D]; ck/cv: [B, kvN, Smax, D], or the full stacked arena
+    [L, B, kvN, Smax, D] with a traced ``layer`` index (zero-copy reads
+    from inside a scan over layers); kv_lens: [B]. ``prefill_from_zero``:
+    static promise that S>1 writes started at cache slot 0 (the
+    Generator's batched prefill), making the computation plain causal
+    self-attention over cache[:, :, :S].
     """
     b, s, n, d = q.shape
-    smax = ck.shape[2]
+    stacked = ck.ndim == 5
+    smax = ck.shape[3] if stacked else ck.shape[2]
     if _use_flash() and d in (64, 128, 256):
         if s == 1 and kv_lens is not None and smax % 128 == 0:
             from simplellminference_tpu.ops.attention.flash_decode import (
                 flash_decode)
-            return flash_decode(q[:, 0], ck, cv, kv_lens)[:, None]
-        if s > 1 and prefill_from_zero and s % 128 == 0:
+            return flash_decode(q[:, 0], ck, cv, kv_lens,
+                                layer=layer if stacked else None)[:, None]
+        if (s > 1 and prefill_from_zero and s % 128 == 0 and not stacked):
             from simplellminference_tpu.ops.attention.flash_prefill import (
                 flash_prefill)
             return flash_prefill(q, ck[:, :, :s], cv[:, :, :s],
                                  causal=True, kv_layout="bnsd")
+    if stacked:
+        ck = jax.lax.dynamic_index_in_dim(ck, layer, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cv, layer, 0, keepdims=False)
     k = ck.transpose(0, 2, 1, 3)
     v = cv.transpose(0, 2, 1, 3)
     return ref_ops.attention(q, k, v, mask)
@@ -68,8 +76,10 @@ def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
 def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                     pool_v: jax.Array, tables: jax.Array,
                     kv_lens: jax.Array, pool_ks: jax.Array | None = None,
-                    pool_vs: jax.Array | None = None) -> jax.Array:
-    """Paged decode attention. q: [B, 1, N, D]; pools: [P, kvN, ps, D].
+                    pool_vs: jax.Array | None = None,
+                    layer: jax.Array | None = None) -> jax.Array:
+    """Paged decode attention. q: [B, 1, N, D]; pools: [P, kvN, ps, D] or
+    stacked [L, P, kvN, ps, D] with a traced ``layer`` index.
 
     bf16/f32/fp8 pools take the Pallas kernel on TPU (fp8 is a direct cast
     in-kernel); int8 pools (per-token scales) take the gather+dense path.
@@ -78,13 +88,21 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
 
     b, s, n, d = q.shape
     assert s == 1, "paged attention path is decode-only (S == 1)"
-    ps = pool_k.shape[2]
+    stacked = pool_k.ndim == 5
+    ps = pool_k.shape[3] if stacked else pool_k.shape[2]
     if (_use_flash() and d in (64, 128, 256) and ps % 8 == 0
             and pool_ks is None):
         from simplellminference_tpu.ops.attention.paged_decode import (
             paged_flash_decode)
         return paged_flash_decode(q[:, 0], pool_k, pool_v, tables,
-                                  kv_lens)[:, None]
+                                  kv_lens,
+                                  layer=layer if stacked else None)[:, None]
+    if stacked:
+        pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
+        pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
+        if pool_ks is not None:
+            pool_ks = jax.lax.dynamic_index_in_dim(pool_ks, layer, 0, False)
+            pool_vs = jax.lax.dynamic_index_in_dim(pool_vs, layer, 0, False)
     from simplellminference_tpu.memory.paged_kv import gather_dense
     ck, cv = gather_dense(pool_k, pool_v, tables, pool_ks, pool_vs)
     smax = ck.shape[2]

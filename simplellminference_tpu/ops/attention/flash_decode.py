@@ -30,9 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
+def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *, scale: float, bk: int,
                    group: int):
+    del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -47,7 +48,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(ki * bk < kv_len)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [bk, D]
+        k = k_ref[0, 0, 0].astype(jnp.float32)       # [bk, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [G, bk]
@@ -61,7 +62,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:group, :1] = l_ref[:group, :1] * alpha + jnp.sum(
             p, axis=1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)          # [bk, D]
+        v = v_ref[0, 0, 0].astype(jnp.float32)       # [bk, D]
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             p, v, preferred_element_type=jnp.float32)
         m_ref[:group, :1] = m_new
@@ -75,11 +76,23 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
 @functools.partial(jax.jit, static_argnames=("bk", "interpret"))
 def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                  kv_lens: jax.Array, bk: int = 256,
-                 interpret: bool = False) -> jax.Array:
-    """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D]; kv_lens: [B] ->
-    out [B, N, D]. Attends to cache slots [0, kv_len) per sequence."""
+                 interpret: bool = False,
+                 layer: jax.Array | None = None) -> jax.Array:
+    """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D] — or the full stacked
+    arena [L, B, kvN, Smax, D] with a traced ``layer`` index (the layer id
+    is scalar-prefetched into the BlockSpec index maps, so a scan over
+    layers reads the arena in place instead of materializing a per-layer
+    slice copy). kv_lens: [B] -> out [B, N, D]; attends to cache slots
+    [0, kv_len) per sequence."""
+    if k_cache.ndim == 4:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        layer = jnp.zeros((), jnp.int32)
+    assert layer is not None, "stacked cache needs a layer index"
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
     b, n, d = q.shape
-    _, kvn, smax, _ = k_cache.shape
+    _, _, kvn, smax, _ = k_cache.shape
     group = n // kvn
     scale = d ** -0.5
     bk = min(bk, smax)
@@ -88,23 +101,24 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 
     qg = q.reshape(b, kvn, group, d)
 
-    def kv_index(i_b, i_h, i_k, lens_ref):
+    def kv_index(i_b, i_h, i_k, lens_ref, layer_ref):
         # clamp past-the-end blocks to the last valid block: same index ->
         # Pallas skips the DMA; @pl.when skips the compute.
         frontier = jnp.maximum(lens_ref[i_b] - 1, 0) // bk
-        return (i_b, i_h, jnp.minimum(i_k, frontier), 0)
+        return (layer_ref[0], i_b, i_h, jnp.minimum(i_k, frontier), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, kvn, nk),
         in_specs=[
             pl.BlockSpec((1, 1, group, d),
-                         lambda i_b, i_h, i_k, lens: (i_b, i_h, 0, 0)),
-            pl.BlockSpec((1, 1, bk, d), kv_index),
-            pl.BlockSpec((1, 1, bk, d), kv_index),
+                         lambda i_b, i_h, i_k, lens, li: (i_b, i_h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, bk, d), kv_index),
+            pl.BlockSpec((1, 1, 1, bk, d), kv_index),
         ],
         out_specs=pl.BlockSpec((1, 1, group, d),
-                               lambda i_b, i_h, i_k, lens: (i_b, i_h, 0, 0)),
+                               lambda i_b, i_h, i_k, lens, li:
+                               (i_b, i_h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((max(group, 8), 128), jnp.float32),
             pltpu.VMEM((max(group, 8), 128), jnp.float32),
@@ -126,5 +140,5 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
             transcendentals=b * n * smax,
         ),
         interpret=interpret,
-    )(kv_lens.astype(jnp.int32), qg, k_cache, v_cache)
+    )(kv_lens.astype(jnp.int32), layer, qg, k_cache, v_cache)
     return out.reshape(b, n, d)

@@ -21,9 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _paged_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref, o_ref,
-                  m_ref, l_ref, acc_ref, *, scale: float, ps: int,
+def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
+                  o_ref, m_ref, l_ref, acc_ref, *, scale: float, ps: int,
                   group: int):
+    del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     pi = pl.program_id(2)
     np_ = pl.num_programs(2)
@@ -38,7 +39,7 @@ def _paged_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref, o_ref,
     @pl.when(pi * ps < kv_len)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = kp_ref[0, 0].astype(jnp.float32)         # [ps, D]
+        k = kp_ref[0, 0, 0].astype(jnp.float32)      # [ps, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [G, ps]
@@ -51,7 +52,7 @@ def _paged_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref, o_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:group, :1] = l_ref[:group, :1] * alpha + jnp.sum(
             p, axis=1, keepdims=True)
-        v = vp_ref[0, 0].astype(jnp.float32)         # [ps, D]
+        v = vp_ref[0, 0, 0].astype(jnp.float32)      # [ps, D]
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             p, v, preferred_element_type=jnp.float32)
         m_ref[:group, :1] = m_new
@@ -65,33 +66,44 @@ def _paged_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref, o_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        tables: jax.Array, kv_lens: jax.Array,
-                       interpret: bool = False) -> jax.Array:
-    """q: [B, N, D]; k/v_pool: [P, kvN, ps, D]; tables: [B, MP] int32
+                       interpret: bool = False,
+                       layer: jax.Array | None = None) -> jax.Array:
+    """q: [B, N, D]; k/v_pool: [P, kvN, ps, D] — or the stacked pools
+    [L, P, kvN, ps, D] with a traced ``layer`` index (scalar-prefetched,
+    zero-copy reads from inside a scan over layers); tables: [B, MP] int32
     (-1 = unmapped); kv_lens: [B] -> out [B, N, D]."""
+    if k_pool.ndim == 4:
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+        layer = jnp.zeros((), jnp.int32)
+    assert layer is not None, "stacked pools need a layer index"
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
     b, n, d = q.shape
-    p, kvn, ps, _ = k_pool.shape
+    _, p, kvn, ps, _ = k_pool.shape
     _, mp = tables.shape
     group = n // kvn
     scale = d ** -0.5
 
     qg = q.reshape(b, kvn, group, d)
 
-    def page_index(i_b, i_h, i_p, lens_ref, tables_ref):
+    def page_index(i_b, i_h, i_p, lens_ref, tables_ref, layer_ref):
         last = jnp.maximum(lens_ref[i_b] - 1, 0) // ps
         pid = tables_ref[i_b, jnp.minimum(i_p, last)]
-        return (jnp.maximum(pid, 0), i_h, 0, 0)
+        return (layer_ref[0], jnp.maximum(pid, 0), i_h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, kvn, mp),
         in_specs=[
             pl.BlockSpec((1, 1, group, d),
-                         lambda i_b, i_h, i_p, lens, tbl: (i_b, i_h, 0, 0)),
-            pl.BlockSpec((1, 1, ps, d), page_index),
-            pl.BlockSpec((1, 1, ps, d), page_index),
+                         lambda i_b, i_h, i_p, lens, tbl, li:
+                         (i_b, i_h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ps, d), page_index),
+            pl.BlockSpec((1, 1, 1, ps, d), page_index),
         ],
         out_specs=pl.BlockSpec((1, 1, group, d),
-                               lambda i_b, i_h, i_p, lens, tbl:
+                               lambda i_b, i_h, i_p, lens, tbl, li:
                                (i_b, i_h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((max(group, 8), 128), jnp.float32),
@@ -100,9 +112,8 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         ],
     )
 
-    # Pool arrays are indexed on their page axis: reshape to put the page
-    # axis first in block index terms — pool is [P, kvN, ps, D]; block
-    # (1, 1, ps, d) over dims (page, head, slot, dim).
+    # The page gather IS the BlockSpec index map: tables are prefetched and
+    # each grid step's DMA source is the mapped page block.
     out = pl.pallas_call(
         functools.partial(_paged_kernel, scale=scale, ps=ps, group=group),
         grid_spec=grid_spec,
@@ -116,6 +127,6 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
             transcendentals=b * n * mp * ps,
         ),
         interpret=interpret,
-    )(kv_lens.astype(jnp.int32), tables.astype(jnp.int32),
+    )(kv_lens.astype(jnp.int32), tables.astype(jnp.int32), layer,
       qg, k_pool, v_pool)
     return out.reshape(b, n, d)

@@ -50,13 +50,31 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def linear(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
-    """y = x @ w. x: [..., K]; w: [K, N] (plain or quantized)."""
+def linear(x: jax.Array, w: Weight, out_dtype=None,
+           layer: jax.Array | None = None) -> jax.Array:
+    """y = x @ w. x: [..., K]; w: [K, N] (plain or quantized).
+
+    Stacked-layer mode: w may carry a leading L axis ([L, K, N]) with a
+    traced ``layer`` index — inside a ``lax.scan`` over layers, the Pallas
+    kernel indexes the stacked HBM buffer directly (scalar-prefetched
+    layer id) instead of forcing XLA to materialize a per-layer copy.
+    """
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QuantizedWeight):
+        stacked = w.q.ndim == 3
+        if stacked:
+            assert layer is not None, "stacked weight needs a layer index"
         if _use_pallas():
             from simplellminference_tpu.ops.matmul import quantized_matmul
-            return quantized_matmul(x, w.q, w.scales, out_dtype=out_dtype)
-        return ref_ops.quantized_matmul_ref(x, w.q, w.scales, out_dtype=out_dtype)
+            return quantized_matmul(x, w.q, w.scales, out_dtype=out_dtype,
+                                    layer=layer if stacked else None)
+        q, s = w.q, w.scales
+        if stacked:
+            q = jax.lax.dynamic_index_in_dim(q, layer, 0, keepdims=False)
+            s = jax.lax.dynamic_index_in_dim(s, layer, 0, keepdims=False)
+        return ref_ops.quantized_matmul_ref(x, q, s, out_dtype=out_dtype)
+    if w.ndim == 3:
+        assert layer is not None, "stacked weight needs a layer index"
+        w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
     return jnp.dot(x, w.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(out_dtype)

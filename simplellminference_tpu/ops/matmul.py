@@ -13,6 +13,14 @@ costs one VPU cast per weight element and the kernel stays HBM-bound at
 Grid: (M/bm, N/bn, K/bk), K innermost ("arbitrary") with an fp32 VMEM
 accumulator written out on the last K step. Pallas pipelines the HBM->VMEM
 block DMAs across grid steps automatically (double buffering).
+
+**Stacked-layer mode**: weights may be [L, K, N] with a traced ``layer``
+index; the layer id is scalar-prefetched and consumed by the BlockSpec
+index maps, so a ``lax.scan`` over layers reads each layer's weight
+directly from the stacked HBM buffer. (Passing a ``dynamic_slice`` of the
+stacked weight into ``pallas_call`` instead forces XLA to materialize a
+full copy of the layer — custom calls can't fuse slices — which measured
+246 GB/s vs 434 GB/s on v5e; see benchmarks/micro.py qmm_stacked.)
 """
 
 from __future__ import annotations
@@ -36,11 +44,11 @@ def _largest_divisor(n: int, cap: int, mult: int) -> int:
     return mult
 
 
-def _qmm_kernel(x_ref, q_ref, s_ref, out_ref, acc_ref, *, n_groups: int,
-                group_size: int, out_dtype):
-    # s_ref holds ALL K-groups for this N tile ([G_total, bn]) — a full-dim
-    # sublane block sidesteps the (8, 128) tile-divisibility rule for small
-    # group counts; rows are indexed by the K grid step.
+def _qmm_kernel(layer_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
+                n_groups: int, group_size: int, out_dtype):
+    # s_ref holds ALL K-groups for this N tile ([1, G_total, bn]) — a
+    # full-dim sublane block sidesteps the (8, 128) tile-divisibility rule
+    # for small group counts; rows are indexed by the K grid step.
     k_step = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -51,10 +59,10 @@ def _qmm_kernel(x_ref, q_ref, s_ref, out_ref, acc_ref, *, n_groups: int,
     x = x_ref[:]  # [bm, bk] bf16
     for g in range(n_groups):
         sl = slice(g * group_size, (g + 1) * group_size)
-        qg = q_ref[sl, :].astype(jnp.bfloat16)          # VPU cast, no mul
+        qg = q_ref[0, sl, :].astype(jnp.bfloat16)       # VPU cast, no mul
         partial = jnp.dot(x[:, sl], qg,
                           preferred_element_type=jnp.float32)
-        scale_row = s_ref[k_step * n_groups + g, :]
+        scale_row = s_ref[0, k_step * n_groups + g, :]
         acc_ref[:] += partial * scale_row[None, :].astype(jnp.float32)
 
     @pl.when(k_step == n_k - 1)
@@ -67,15 +75,24 @@ def _qmm_kernel(x_ref, q_ref, s_ref, out_ref, acc_ref, *, n_groups: int,
 def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
                      out_dtype=jnp.bfloat16, interpret: bool = False,
                      bm: int | None = None, bn: int = 512,
-                     bk: int = 512) -> jax.Array:
-    """y = x @ dequant(q, scales).
+                     bk: int = 512, layer: jax.Array | None = None
+                     ) -> jax.Array:
+    """y = x @ dequant(q, scales)  (optionally of stacked layer ``layer``).
 
     x: [..., K] (any float dtype; computed in bf16 on the MXU).
-    q: [K, N] int8; scales: [K // group_size, N].
+    q: [K, N] int8 or [L, K, N] with ``layer`` given;
+    scales: [K // group_size, N] (or [L, K // group_size, N]).
     """
+    if q.ndim == 2:
+        q = q[None]
+        scales = scales[None]
+        layer = jnp.zeros((), jnp.int32)
+    assert layer is not None, "stacked weights need a layer index"
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
     orig_shape = x.shape
-    k, n = q.shape
-    group_size = k // scales.shape[0]
+    _, k, n = q.shape
+    group_size = k // scales.shape[1]
     m = 1
     for d in orig_shape[:-1]:
         m *= d
@@ -97,18 +114,25 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
 
     grid = (m_p // bm, n // bn_eff, k // bk_eff)
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk_eff), lambda i, j, kk, li: (i, kk)),
+            pl.BlockSpec((1, bk_eff, bn_eff),
+                         lambda i, j, kk, li: (li[0], kk, j)),
+            pl.BlockSpec((1, scales.shape[1], bn_eff),
+                         lambda i, j, kk, li: (li[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk, li: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn_eff), jnp.float32)],
+    )
+
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, n_groups=n_groups,
                           group_size=group_size, out_dtype=out_dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk_eff), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((bk_eff, bn_eff), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((scales.shape[0], bn_eff), lambda i, j, kk: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk: (i, j)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_p, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn_eff), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -118,7 +142,7 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, q, scales)
+    )(layer, x2, q, scales)
 
     if pad_m:
         out = out[:m]

@@ -67,8 +67,9 @@ def _set_path(tree: dict, path: str, value):
 
 
 def _maybe_quantize(path: str, w, quant: QuantConfig):
-    if quant.enabled and path in _QUANTIZABLE \
-            and not isinstance(w, QuantizedWeight):
+    eligible = path in _QUANTIZABLE or (path == "lm_head"
+                                        and quant.quantize_lm_head)
+    if quant.enabled and eligible and not isinstance(w, QuantizedWeight):
         gs = quant.group_size
         k = w.shape[-2]
         if k % gs != 0:
@@ -168,4 +169,6 @@ def quantize_params(params: dict, quant: QuantConfig) -> dict:
         name: _maybe_quantize(f"layers/{name}", w, quant)
         for name, w in params["layers"].items()
     }
+    if "lm_head" in params:
+        out["lm_head"] = _maybe_quantize("lm_head", params["lm_head"], quant)
     return out
