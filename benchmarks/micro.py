@@ -37,19 +37,34 @@ def timed_scan(step_fn, carry_init, t_steps: int, consts=()) -> float:
     """
 
     @functools.partial(jax.jit, static_argnames=("t",))
-    def run(carry, t, *consts):
+    def run(carry, t, salt, *consts):
+        # `salt` varies per call: the axon relay caches results for
+        # identical (executable, inputs) pairs, so every timed run must
+        # differ in at least one input bit.
+        carry = jax.tree.map(
+            lambda x: (x + salt.astype(x.dtype)
+                       if jnp.issubdtype(x.dtype, jnp.floating) else x),
+            carry)
+
         def body(c, i):
             c = step_fn(c, i, *consts)
             return c, None
         c, _ = jax.lax.scan(body, carry, jnp.arange(t))
         return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), c)
 
-    np.asarray(jax.tree.leaves(run(carry_init, t_steps, *consts))[0])  # warm
-    np.asarray(jax.tree.leaves(run(carry_init, t_steps // 2, *consts))[0])
+    salt_ctr = iter(range(1, 1 << 20))
+
+    def _go(t):
+        salt = jnp.float32(next(salt_ctr) * 1e-8)
+        return np.asarray(jax.tree.leaves(run(carry_init, t, salt,
+                                              *consts))[0])
+
+    _go(t_steps)   # compile + warm
+    _go(t_steps // 2)
 
     def t_of(t):
         t0 = time.perf_counter()
-        np.asarray(jax.tree.leaves(run(carry_init, t, *consts))[0])
+        _go(t)
         return time.perf_counter() - t0
 
     full = min(t_of(t_steps) for _ in range(3))
@@ -57,7 +72,7 @@ def timed_scan(step_fn, carry_init, t_steps: int, consts=()) -> float:
     return max(full - half, 1e-9) / (t_steps - t_steps // 2)
 
 
-def bench_qmm(m=8, k=4096, n=12288, gs=128, t=64, stacked_layers=0):
+def bench_qmm(m=8, k=4096, n=12288, gs=128, t=256, stacked_layers=0):
     """Fused dequant+matmul. stacked_layers>0 = index a [L,K,N] weight in
     the loop (the scan-over-layers pattern the model actually runs)."""
     from simplellminference_tpu.ops.matmul import quantized_matmul
@@ -116,7 +131,7 @@ def bench_qmm_sweep(a):
                    (2048, 512), (1024, 2048), (2048, 1024), (4096, 1024),
                    (1536, 1024), (3072, 512), (12288, 512), (12288, 1024)):
         try:
-            print(json.dumps(bench_qmm_cfg(bn=bn, bk=bk, t=32)), flush=True)
+            print(json.dumps(bench_qmm_cfg(bn=bn, bk=bk, t=256)), flush=True)
         except Exception as e:  # noqa: BLE001 — sweep survives bad configs
             print(json.dumps({"op": f"qmm bn{bn} bk{bk}",
                               "error": str(e)[:120]}), flush=True)
@@ -126,7 +141,7 @@ def bench_qmm_sweep(a):
 def bench_flash_sweep(a):
     for bk in (128, 256, 512, 1024):
         try:
-            r = bench_flash_decode_cfg(bk=bk, t=32)
+            r = bench_flash_decode_cfg(bk=bk, t=256)
             print(json.dumps(r), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"op": f"flash bk{bk}",
@@ -156,7 +171,7 @@ def bench_flash_decode_cfg(b=8, n=32, kvn=32, d=128, smax=1024, kv_len=256,
             "roofline_frac": round(bytes_ / sec / V5E_BW, 3)}
 
 
-def bench_bf16_matmul(m=8, k=4096, n=12288, t=64):
+def bench_bf16_matmul(m=8, k=4096, n=12288, t=256):
     key = jax.random.PRNGKey(0)
     w = jax.random.normal(key, (k, n), jnp.bfloat16)
     x = jnp.ones((m, k), jnp.bfloat16)
@@ -173,7 +188,7 @@ def bench_bf16_matmul(m=8, k=4096, n=12288, t=64):
             "roofline_frac": round(bytes_ / sec / V5E_BW, 3)}
 
 
-def bench_flash_decode(b=8, n=32, kvn=32, d=128, smax=1024, kv_len=256, t=64):
+def bench_flash_decode(b=8, n=32, kvn=32, d=128, smax=1024, kv_len=256, t=256):
     from simplellminference_tpu.ops.attention.flash_decode import flash_decode
 
     key = jax.random.PRNGKey(0)

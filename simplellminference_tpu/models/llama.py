@@ -56,14 +56,16 @@ Params = dict[str, Any]
 
 
 def _use_pallas_kv() -> bool:
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return jax.default_backend() == "tpu" and (
+        jax.device_count() == 1 or dispatch.SHARD_MAP_LOCAL)
 
 
 def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                   x: jax.Array, sin: jax.Array, cos: jax.Array,
                   cache_k: Optional[jax.Array], cache_v: Optional[jax.Array],
                   offsets: Optional[jax.Array], mask: jax.Array,
-                  kv_lens: Optional[jax.Array], prefill_from_zero: bool):
+                  kv_lens: Optional[jax.Array], prefill_from_zero: bool,
+                  tp_axis: Optional[str] = None):
     """One decoder layer. x: [B, S, H]. Returns (x', cache_k', cache_v').
 
     ``lw`` is the FULL stacked layer-params subtree ([L, ...] leaves) and
@@ -72,9 +74,16 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     scalar-prefetched indices — slicing per layer before a pallas_call
     would materialize a full copy of every weight (see ops/matmul.py).
     With ``li=None`` the leaves are single-layer ([K, N] etc.).
+
+    ``tp_axis``: set inside a shard_map TP body (models/llama_tp.py) —
+    heads/intermediate dims are local shards and the row-sharded wo /
+    w_down products are all-reduced over the axis (megatron pattern).
     """
     b, s, h = x.shape
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if tp_axis is not None:
+        tp = jax.lax.axis_size(tp_axis)
+        n, kvn = n // tp, kvn // tp
 
     def norm_w(w):
         return w if li is None else jax.lax.dynamic_index_in_dim(
@@ -109,14 +118,22 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     else:
         attn = dispatch.attention(cfg, q, k, v, mask)
     attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li)
+    if tp_axis is not None:
+        # Row-sharded wo: partial products all-reduce over ICI. (GSPMD
+        # inserts this automatically; in the shard_map body it is ours.)
+        attn = jax.lax.psum(attn, tp_axis)
     x = x + attn
 
     # --- FFN block (reference: model.cpp:93-128) ---
     ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"]), cfg.rms_norm_eps)
-    i = cfg.intermediate_size
+    i = cfg.intermediate_size if tp_axis is None else (
+        cfg.intermediate_size // jax.lax.axis_size(tp_axis))
     gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
     gate, up = gate_up[..., :i], gate_up[..., i:]
-    x = x + linear(ref_ops.swiglu(gate, up), lw["w_down"], layer=li)
+    down = linear(ref_ops.swiglu(gate, up), lw["w_down"], layer=li)
+    if tp_axis is not None:
+        down = jax.lax.psum(down, tp_axis)
+    x = x + down
     return x, cache_k, cache_v
 
 

@@ -1,0 +1,208 @@
+"""Tensor-parallel Llama forward under shard_map (megatron-style).
+
+Why shard_map and not plain GSPMD jit: ``pallas_call`` has no SPMD
+partitioning rule, so under GSPMD the multi-device path falls back to jnp
+reference ops (ops/attention/dispatch.py). Inside a shard_map body every
+kernel call is single-device, so the production Pallas kernels (fused
+dequant+matmul, flash decode, KV append) run per shard, with explicit
+``lax.psum`` all-reduces after the row-sharded wo / w_down matmuls —
+exactly the BASELINE north-star execution shape (TP over ICI; XLA
+schedules the psums to overlap with independent compute, and
+parallel/collective.py provides ring-decomposed variants).
+
+Layout contract: the fused wqkv [H, (N+2kvN)·D] and w_gate_up [H, 2I]
+columns are laid out per-matrix (all q | all k | all v); a contiguous
+column shard would mix them, so :func:`permute_params_for_tp` reorders the
+columns ONCE at setup into per-shard blocks [q_d|k_d|v_d]·d — after which
+each shard's local slice has the standard single-device layout with
+n/tp heads (and the single-device slicing code works unchanged).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from simplellminference_tpu.core.config import ModelConfig
+from simplellminference_tpu.models import llama
+from simplellminference_tpu.ops import ref_ops
+from simplellminference_tpu.ops.attention import dispatch
+from simplellminference_tpu.ops.linear import QuantizedWeight, linear
+from simplellminference_tpu.parallel import sharding
+from simplellminference_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from simplellminference_tpu.runtime.kv_cache import DenseKVCache
+
+Params = dict[str, Any]
+
+
+def _qkv_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
+    """Column permutation for wqkv: per-shard [q_d | k_d | v_d] blocks."""
+    n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q_off, k_off, v_off = 0, n * d, (n + kvn) * d
+    nl, kvl = n // tp, kvn // tp
+    cols = []
+    for dev in range(tp):
+        cols.append(np.arange(q_off + dev * nl * d,
+                              q_off + (dev + 1) * nl * d))
+        cols.append(np.arange(k_off + dev * kvl * d,
+                              k_off + (dev + 1) * kvl * d))
+        cols.append(np.arange(v_off + dev * kvl * d,
+                              v_off + (dev + 1) * kvl * d))
+    return np.concatenate(cols)
+
+
+def _gate_up_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
+    """Column permutation for w_gate_up: per-shard [gate_d | up_d]."""
+    i = cfg.intermediate_size
+    il = i // tp
+    cols = []
+    for dev in range(tp):
+        cols.append(np.arange(dev * il, (dev + 1) * il))
+        cols.append(np.arange(i + dev * il, i + (dev + 1) * il))
+    return np.concatenate(cols)
+
+
+def _permute_cols(w, perm: np.ndarray):
+    if isinstance(w, QuantizedWeight):
+        return QuantizedWeight(q=w.q[..., perm], scales=w.scales[..., perm])
+    return w[..., perm]
+
+
+def permute_params_for_tp(cfg: ModelConfig, params: Params,
+                          tp: int) -> Params:
+    """One-time column reorder of the fused projections (identity at tp=1)."""
+    if tp == 1:
+        return params
+    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0, (
+        f"heads {cfg.num_heads}/{cfg.num_kv_heads} not divisible by tp={tp}")
+    assert cfg.intermediate_size % tp == 0
+    out = dict(params)
+    layers = dict(params["layers"])
+    layers["wqkv"] = _permute_cols(layers["wqkv"], _qkv_perm(cfg, tp))
+    layers["w_gate_up"] = _permute_cols(layers["w_gate_up"],
+                                        _gate_up_perm(cfg, tp))
+    out["layers"] = layers
+    return out
+
+
+def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                   positions: jax.Array, cache_k, cache_v,
+                   offsets, kv_lens, prefill_from_zero: bool,
+                   vocab_shard: int):
+    """Per-shard body: local heads/intermediate, explicit collectives."""
+    b, s = tokens.shape
+    dtype = jnp.dtype(cfg.dtype)
+
+    # Vocab-parallel embedding: local rows + psum (SNIPPETS-style).
+    me = jax.lax.axis_index(MODEL_AXIS)
+    v0 = me * vocab_shard
+    local_ids = jnp.clip(tokens - v0, 0, vocab_shard - 1)
+    hit = (tokens >= v0) & (tokens < v0 + vocab_shard)
+    x = jnp.where(hit[..., None], params["embed"][local_ids], 0)
+    x = jax.lax.psum(x.astype(jnp.float32), MODEL_AXIS).astype(dtype)
+
+    sin, cos = ref_ops.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    lw = params["layers"]
+
+    if cache_k is not None:
+        if s > 1 and prefill_from_zero:
+            mask = ref_ops.causal_mask(s, s)[None, None]
+        else:
+            sk = cache_k.shape[3]
+            key_pos = jnp.arange(sk)[None, None, None, :]
+            q_pos = positions[:, None, :, None]
+            mask = ((key_pos <= q_pos)
+                    & (key_pos < kv_lens[:, None, None, None]))
+
+        def body(carry, li):
+            x, ck, cv = carry
+            x, ck, cv = llama.decoder_layer(
+                cfg, lw, li, x, sin, cos, ck, cv, offsets, mask, kv_lens,
+                prefill_from_zero, tp_axis=MODEL_AXIS)
+            return (x, ck, cv), None
+
+        (x, cache_k, cache_v), _ = jax.lax.scan(
+            body, (x, cache_k, cache_v),
+            jnp.arange(cfg.num_layers, dtype=jnp.int32))
+    else:
+        mask = ref_ops.causal_mask(s, s)[None, None]
+
+        def body(x, li):
+            x, _, _ = llama.decoder_layer(
+                cfg, lw, li, x, sin, cos, None, None, None, mask, None,
+                False, tp_axis=MODEL_AXIS)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x,
+                            jnp.arange(cfg.num_layers, dtype=jnp.int32))
+
+    x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        # Tied: vocab-sharded embedding IS the head -> local logit columns.
+        logits = jnp.dot(x, params["embed"].astype(x.dtype).T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = linear(x, lm_head, out_dtype=jnp.float32)
+    return logits.astype(jnp.float32), cache_k, cache_v
+
+
+def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params):
+    """Returns (tp_params, forward_fn) where forward_fn matches
+    :func:`llama.forward`'s signature and runs the shard_map TP body.
+
+    ``tp_params`` are the column-permuted params — pass them to
+    ``sharding.shard_params`` / ``device_put`` and then to forward_fn.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    assert cfg.vocab_size % tp == 0, (cfg.vocab_size, tp)
+    vocab_shard = cfg.vocab_size // tp
+    tp_params = permute_params_for_tp(cfg, params, tp)
+    pspecs = sharding.spec_tree(cfg, tp_params)
+    kv_spec = sharding.kv_cache_spec(
+        shard_kv_heads=(cfg.num_kv_heads % tp == 0))
+
+    def forward_fn(params, tokens, positions, cache: Optional[DenseKVCache],
+                   offsets=None, kv_lens=None, prefill_from_zero=True):
+        b, s = tokens.shape
+        if cache is not None:
+            if offsets is None:
+                offsets = positions[:, 0]
+            if kv_lens is None:
+                kv_lens = offsets + s
+
+        tok_spec = P(DATA_AXIS, None)
+        vec_spec = P(DATA_AXIS)
+        cache_in = (cache.k, cache.v) if cache is not None else (None, None)
+        cache_specs = (kv_spec, kv_spec) if cache is not None else (None, None)
+
+        def body(params, tokens, positions, ck, cv, offsets, kv_lens):
+            old = dispatch.SHARD_MAP_LOCAL
+            dispatch.SHARD_MAP_LOCAL = True
+            try:
+                return _forward_local(cfg, params, tokens, positions, ck,
+                                      cv, offsets, kv_lens,
+                                      prefill_from_zero, vocab_shard)
+            finally:
+                dispatch.SHARD_MAP_LOCAL = old
+
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(pspecs, tok_spec, tok_spec, *cache_specs,
+                      vec_spec if cache is not None else None,
+                      vec_spec if cache is not None else None),
+            out_specs=(P(DATA_AXIS, None, MODEL_AXIS), *cache_specs),
+            check_vma=False)
+        logits, new_k, new_v = f(params, tokens, positions, *cache_in,
+                                 offsets, kv_lens)
+        new_cache = (DenseKVCache(k=new_k, v=new_v)
+                     if cache is not None else None)
+        return logits, new_cache
+
+    return tp_params, forward_fn

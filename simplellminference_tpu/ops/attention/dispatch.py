@@ -21,10 +21,15 @@ from simplellminference_tpu.ops import ref_ops
 # Env toggle so tests/benches can force the reference path even on TPU.
 _FORCE_REF = os.environ.get("SLI_FORCE_REF_ATTENTION", "0") == "1"
 
+# Trace-time flag: inside a shard_map body every kernel call is single-
+# device (per-shard), so the flash kernels are valid even when the global
+# device count is > 1. Set by models/llama_tp.py while tracing.
+SHARD_MAP_LOCAL = False
+
 
 def _use_flash() -> bool:
     return (jax.default_backend() == "tpu" and not _FORCE_REF
-            and jax.device_count() == 1)
+            and (jax.device_count() == 1 or SHARD_MAP_LOCAL))
 
 
 def attention(cfg: ModelConfig, q: jax.Array, k: jax.Array, v: jax.Array,

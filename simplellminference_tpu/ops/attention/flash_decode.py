@@ -13,7 +13,14 @@ kv-head tiles, with:
     XLA fallback reads all max_seq slots);
   * GQA: all `G = heads / kv_heads` query heads of one kv head processed
     per tile as a [G, bk] score matrix (reference maps head->kv-head
-    serially, mha_kernel.cu:72).
+    serially, mha_kernel.cu:72);
+  * **head packing**: when G is small (MHA: G == 1), HB = 8 // G kv heads
+    are processed per grid step — one [HB, bk, D] DMA instead of HB tiny
+    ones, and the [HB·G, bk] score block fills the VPU sublanes. Without
+    this, one-head tiles run the kernel at ~12% of HBM bandwidth;
+  * stacked-arena mode: cache may be [L, B, kvN, Smax, D] with a traced
+    ``layer`` index consumed by the BlockSpec index maps (zero-copy reads
+    from inside a scan over layers — see ops/matmul.py).
 
 Cache layout: [B, kvN, Smax, D] (seq × head_dim in the tiled last-two dims).
 """
@@ -32,12 +39,13 @@ NEG_INF = -1e30
 
 def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *, scale: float, bk: int,
-                   group: int):
+                   group: int, hb: int):
     del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     kv_len = lens_ref[bi]
+    rows = hb * group  # query rows per tile
 
     @pl.when(ki == 0)
     def _():
@@ -47,30 +55,35 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(ki * bk < kv_len)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = k_ref[0, 0, 0].astype(jnp.float32)       # [bk, D]
+        q = q_ref[0, 0].astype(jnp.float32)              # [HB, G, D]
+        k = k_ref[0, 0].astype(jnp.float32)              # [HB, bk, D]
+        # Batched over packed heads: [HB, G, bk]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [G, bk]
-        k_pos = ki * bk + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        s = s.reshape(rows, bk)
+        k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(k_pos < kv_len, s, NEG_INF)
 
-        m_prev = m_ref[:group, :1]
+        m_prev = m_ref[:rows, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        l_ref[:group, :1] = l_ref[:group, :1] * alpha + jnp.sum(
+        l_ref[:rows, :1] = l_ref[:rows, :1] * alpha + jnp.sum(
             p, axis=1, keepdims=True)
-        v = v_ref[0, 0, 0].astype(jnp.float32)       # [bk, D]
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
-        m_ref[:group, :1] = m_new
+        v = v_ref[0, 0].astype(jnp.float32)              # [HB, bk, D]
+        pv = jax.lax.dot_general(
+            p.reshape(hb, group, bk), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [HB, G, D]
+        acc_ref[:] = (acc_ref[:] * alpha.reshape(hb, group, 1)
+                      + pv)
+        m_ref[:rows, :1] = m_new
 
     @pl.when(ki == nk - 1)
     def _():
-        l = jnp.maximum(l_ref[:group, :1], 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        l = jnp.maximum(l_ref[:rows, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:]
+                       / l.reshape(hb, group, 1)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bk", "interpret"))
@@ -79,11 +92,8 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                  interpret: bool = False,
                  layer: jax.Array | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D] — or the full stacked
-    arena [L, B, kvN, Smax, D] with a traced ``layer`` index (the layer id
-    is scalar-prefetched into the BlockSpec index maps, so a scan over
-    layers reads the arena in place instead of materializing a per-layer
-    slice copy). kv_lens: [B] -> out [B, N, D]; attends to cache slots
-    [0, kv_len) per sequence."""
+    arena [L, B, kvN, Smax, D] with a traced ``layer`` index. kv_lens: [B]
+    -> out [B, N, D]; attends to cache slots [0, kv_len) per sequence."""
     if k_cache.ndim == 4:
         k_cache = k_cache[None]
         v_cache = v_cache[None]
@@ -99,7 +109,12 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     assert smax % bk == 0, (smax, bk)
     nk = smax // bk
 
-    qg = q.reshape(b, kvn, group, d)
+    # Pack kv heads so each tile carries >= 8 query rows (full sublanes).
+    hb = 1
+    while (hb * group < 8 and hb * 2 <= kvn and kvn % (hb * 2) == 0):
+        hb *= 2
+
+    qg = q.reshape(b, kvn // hb, hb, group, d)
 
     def kv_index(i_b, i_h, i_k, lens_ref, layer_ref):
         # clamp past-the-end blocks to the last valid block: same index ->
@@ -109,28 +124,30 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, kvn, nk),
+        grid=(b, kvn // hb, nk),
         in_specs=[
-            pl.BlockSpec((1, 1, group, d),
-                         lambda i_b, i_h, i_k, lens, li: (i_b, i_h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, bk, d), kv_index),
-            pl.BlockSpec((1, 1, 1, bk, d), kv_index),
+            pl.BlockSpec((1, 1, hb, group, d),
+                         lambda i_b, i_h, i_k, lens, li:
+                         (i_b, i_h, 0, 0, 0)),
+            pl.BlockSpec((1, 1, hb, bk, d), kv_index),
+            pl.BlockSpec((1, 1, hb, bk, d), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, group, d),
+        out_specs=pl.BlockSpec((1, 1, hb, group, d),
                                lambda i_b, i_h, i_k, lens, li:
-                               (i_b, i_h, 0, 0)),
+                               (i_b, i_h, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((max(group, 8), 128), jnp.float32),
-            pltpu.VMEM((max(group, 8), 128), jnp.float32),
-            pltpu.VMEM((group, d), jnp.float32),
+            pltpu.VMEM((max(hb * group, 8), 128), jnp.float32),
+            pltpu.VMEM((max(hb * group, 8), 128), jnp.float32),
+            pltpu.VMEM((hb, group, d), jnp.float32),
         ],
     )
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, bk=bk,
-                          group=group),
+                          group=group, hb=hb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kvn, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
+                                       q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -44,6 +44,26 @@ def _largest_divisor(n: int, cap: int, mult: int) -> int:
     return mult
 
 
+def _best_tile(n: int, target: int, mult: int, hard_cap: int) -> int:
+    """Divisor of n (multiple of `mult`) nearest `target` in log space.
+
+    Unlike a plain largest-divisor-below-cap, this may pick a tile LARGER
+    than target when n's factorization is awkward — e.g. n = 22016
+    (= 128·172) has no divisor between 512 and 5504, and 5504 runs ~40%
+    faster than 512 (sweep in benchmarks/micro.py).
+    """
+    import math
+    best, best_cost = mult, float("inf")
+    d = mult
+    while d <= min(n, hard_cap):
+        if n % d == 0:
+            cost = abs(math.log(d / target))
+            if cost < best_cost:
+                best, best_cost = d, cost
+        d += mult
+    return best
+
+
 def _qmm_kernel(layer_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
                 n_groups: int, group_size: int, out_dtype):
     # s_ref holds ALL K-groups for this N tile ([1, G_total, bn]) — a
@@ -74,7 +94,7 @@ def _qmm_kernel(layer_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
                                              "bm", "bn", "bk"))
 def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
                      out_dtype=jnp.bfloat16, interpret: bool = False,
-                     bm: int | None = None, bn: int = 512,
+                     bm: int | None = None, bn: int = 2048,
                      bk: int = 512, layer: jax.Array | None = None
                      ) -> jax.Array:
     """y = x @ dequant(q, scales)  (optionally of stacked layer ``layer``).
@@ -106,7 +126,9 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
     m_p = m + pad_m
 
-    bn_eff = _largest_divisor(n, bn, 128)
+    # N tile: nearest divisor to the target in log space, capped so the
+    # int8 block + fp32 accumulator stay within the VMEM budget.
+    bn_eff = _best_tile(n, bn, 128, hard_cap=8192)
     bk_eff = _largest_divisor(k, bk, max(group_size, 128))
     if bk_eff % group_size != 0:
         bk_eff = group_size  # group must tile the K block

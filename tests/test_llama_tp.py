@@ -1,0 +1,81 @@
+"""shard_map tensor-parallel forward vs the single-device reference.
+
+The TP body (models/llama_tp.py) runs megatron-style: column-permuted
+fused projections, local heads, explicit psum after wo / w_down, vocab-
+parallel embedding and LM head. On the 8-device CPU mesh it must agree
+with llama.forward bit-for-bit up to fp32 reduction order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplellminference_tpu.core.config import ModelConfig
+from simplellminference_tpu.models import llama, llama_tp
+from simplellminference_tpu.parallel import mesh as mesh_lib, sharding
+from simplellminference_tpu.runtime.kv_cache import DenseKVCache
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig.tiny_test(num_heads=8, num_kv_heads=4, head_dim=32,
+                                hidden_size=256, intermediate_size=512,
+                                vocab_size=256, num_layers=2,
+                                dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    mesh = mesh_lib.build_mesh(mesh_lib.MeshConfig(data=2, model=4))
+    tp_params, fwd = llama_tp.make_tp_forward(cfg, mesh, params)
+    tp_params = sharding.shard_params(cfg, tp_params, mesh)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 8)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (2, 8))
+    return cfg, params, tp_params, fwd, mesh, tokens, positions
+
+
+def test_tp_no_cache_matches(setup):
+    cfg, params, tp_params, fwd, mesh, tokens, positions = setup
+    ref, _ = llama.forward(cfg, params, tokens, positions)
+    got, _ = fwd(tp_params, tokens, positions, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tp_prefill_and_decode_match(setup):
+    cfg, params, tp_params, fwd, mesh, tokens, positions = setup
+
+    def new_cache():
+        return DenseKVCache.create(cfg.num_layers, 2, 64, cfg.num_kv_heads,
+                                   cfg.head_dim, jnp.float32)
+
+    offs = jnp.zeros((2,), jnp.int32)
+    lens = jnp.asarray([8, 8], jnp.int32)
+    ref, refc = llama.forward(cfg, params, tokens, positions, new_cache(),
+                              offs, lens)
+    tpc = sharding.shard_kv_cache(new_cache(), mesh, cfg.num_kv_heads)
+    got, gotc = fwd(tp_params, tokens, positions, tpc, offs, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    tok = jnp.argmax(ref[:, 7], -1).astype(jnp.int32)[:, None]
+    pos = jnp.full((2, 1), 8, jnp.int32)
+    o8 = jnp.asarray([8, 8], jnp.int32)
+    l9 = jnp.asarray([9, 9], jnp.int32)
+    ref2, _ = llama.forward(cfg, params, tok, pos, refc, o8, l9)
+    got2, _ = fwd(tp_params, tok, pos, gotc, o8, l9)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_permutation_identity_at_tp1(setup):
+    cfg, params, *_ = setup
+    out = llama_tp.permute_params_for_tp(cfg, params, 1)
+    assert out is params
+
+
+def test_permutation_roundtrip(setup):
+    cfg, params, *_ = setup
+    perm = llama_tp._qkv_perm(cfg, 4)
+    assert sorted(perm.tolist()) == list(range(len(perm)))
+    perm2 = llama_tp._gate_up_perm(cfg, 4)
+    assert sorted(perm2.tolist()) == list(range(len(perm2)))
