@@ -58,8 +58,12 @@ def _bench_params(cfg, quantize: bool, key):
         k_dim = shape[-2]
         g = max(k_dim // gs, 1)
         q = _fake_int8(shape)
+        # bf16 scales: XLA's memory-space assignment relocates the scale
+        # arrays to its alternate memory inside the layer loop; at f32 the
+        # big ones (90 MB gate_up) get re-staged EVERY iteration (~2 GB/step
+        # of hidden traffic), at bf16 they fit and hoist out of the loop.
         scales = jnp.full((*shape[:-2], g, shape[-1]),
-                          shape[-2] ** -0.5 / 127.0, jnp.float32)
+                          shape[-2] ** -0.5 / 127.0, jnp.bfloat16)
         return QuantizedWeight(q=q, scales=scales)
 
     params = {
@@ -74,7 +78,10 @@ def _bench_params(cfg, quantize: bool, key):
         },
         "final_norm": jnp.ones((h,), dtype),
     }
-    params["lm_head"] = _fake_int8((h, v)).astype(dtype) * 0.002
+    # INT8 LM head (QuantConfig.quantize_lm_head): halves the largest
+    # single weight read of the decode step (h x vocab).
+    params["lm_head"] = (w((h, v)) if quantize
+                         else _fake_int8((h, v)).astype(dtype) * 0.002)
     return params
 
 
@@ -105,6 +112,8 @@ def main():
 
     quantize = not args.fp
     params = _bench_params(cfg, quantize, jax.random.PRNGKey(0))
+    from simplellminference_tpu.runtime.weights import canonicalize_layouts
+    params = canonicalize_layouts(params)
     jax.block_until_ready(params)
     wbytes = weight_bytes(params)
 

@@ -86,11 +86,13 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
                        / l.reshape(hb, group, 1)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bk", "interpret",
+                                             "rows_target"))
 def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                  kv_lens: jax.Array, bk: int = 256,
                  interpret: bool = False,
-                 layer: jax.Array | None = None) -> jax.Array:
+                 layer: jax.Array | None = None,
+                 rows_target: int = 16) -> jax.Array:
     """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D] — or the full stacked
     arena [L, B, kvN, Smax, D] with a traced ``layer`` index. kv_lens: [B]
     -> out [B, N, D]; attends to cache slots [0, kv_len) per sequence."""
@@ -109,9 +111,12 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     assert smax % bk == 0, (smax, bk)
     nk = smax // bk
 
-    # Pack kv heads so each tile carries >= 8 query rows (full sublanes).
+    # Pack kv heads so each tile carries >= rows_target query rows (full
+    # sublanes; more rows amortize per-grid-step overhead at the cost of
+    # bigger KV DMA blocks).
     hb = 1
-    while (hb * group < 8 and hb * 2 <= kvn and kvn % (hb * 2) == 0):
+    while (hb * group < rows_target and hb * 2 <= kvn
+           and kvn % (hb * 2) == 0):
         hb *= 2
 
     qg = q.reshape(b, kvn // hb, hb, group, d)

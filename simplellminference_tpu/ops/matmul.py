@@ -44,19 +44,21 @@ def _largest_divisor(n: int, cap: int, mult: int) -> int:
     return mult
 
 
-def _best_tile(n: int, target: int, mult: int, hard_cap: int) -> int:
+def _best_tile(n: int, target: int, mult: int, hard_cap: int,
+               fits=None) -> int:
     """Divisor of n (multiple of `mult`) nearest `target` in log space.
 
     Unlike a plain largest-divisor-below-cap, this may pick a tile LARGER
     than target when n's factorization is awkward — e.g. n = 22016
     (= 128·172) has no divisor between 512 and 5504, and 5504 runs ~40%
-    faster than 512 (sweep in benchmarks/micro.py).
+    faster than 512 (sweep in benchmarks/micro.py). ``fits(d)`` vetoes
+    candidates (VMEM budget).
     """
     import math
     best, best_cost = mult, float("inf")
     d = mult
     while d <= min(n, hard_cap):
-        if n % d == 0:
+        if n % d == 0 and (fits is None or fits(d)):
             cost = abs(math.log(d / target))
             if cost < best_cost:
                 best, best_cost = d, cost
@@ -66,9 +68,12 @@ def _best_tile(n: int, target: int, mult: int, hard_cap: int) -> int:
 
 def _qmm_kernel(layer_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
                 n_groups: int, group_size: int, out_dtype):
-    # s_ref holds ALL K-groups for this N tile ([1, G_total, bn]) — a
-    # full-dim sublane block sidesteps the (8, 128) tile-divisibility rule
-    # for small group counts; rows are indexed by the K grid step.
+    # s_ref block = this K step's group rows ([1, 1, n_groups, bn]); the
+    # wrapper reshapes scales to [L, K/bk, n_groups, N] so the block's
+    # last-two dims (n_groups, bn) satisfy tiling by full-extent equality
+    # and the per-group row index below is STATIC (required for non-f32
+    # scale dtypes, whose sublane alignment Mosaic cannot prove for
+    # dynamic row indices).
     k_step = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -82,7 +87,7 @@ def _qmm_kernel(layer_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
         qg = q_ref[0, sl, :].astype(jnp.bfloat16)       # VPU cast, no mul
         partial = jnp.dot(x[:, sl], qg,
                           preferred_element_type=jnp.float32)
-        scale_row = s_ref[0, k_step * n_groups + g, :]
+        scale_row = s_ref[0, 0, g, :]
         acc_ref[:] += partial * scale_row[None, :].astype(jnp.float32)
 
     @pl.when(k_step == n_k - 1)
@@ -126,15 +131,41 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
     m_p = m + pad_m
 
-    # N tile: nearest divisor to the target in log space, capped so the
-    # int8 block + fp32 accumulator stay within the VMEM budget.
-    bn_eff = _best_tile(n, bn, 128, hard_cap=8192)
+    # N tile: nearest divisor to the target in log space, vetoing tiles
+    # whose double-buffered blocks + fp32 accumulator bust the ~16 MB VMEM
+    # (the decode path bm=16 affords bn≈5504; prefill bm=256 does not).
     bk_eff = _largest_divisor(k, bk, max(group_size, 128))
+
+    def fits(d: int) -> bool:
+        vmem = (2 * bm * bk_eff * 2          # x blocks (bf16)
+                + 2 * bk_eff * d             # q blocks (int8)
+                + 2 * scales.shape[1] * d * 4  # scales blocks
+                + 2 * bm * d * 2             # out blocks (bf16)
+                + bm * d * 4)                # accumulator
+        return vmem <= 13 * 2 ** 20
+
+    bn_eff = _best_tile(n, bn, 128, hard_cap=8192, fits=fits)
     if bk_eff % group_size != 0:
         bk_eff = group_size  # group must tile the K block
     n_groups = bk_eff // group_size
 
     grid = (m_p // bm, n // bn_eff, k // bk_eff)
+
+    # Scales as [L, K/bk, n_groups, N]: one block per K grid step. Pin the
+    # reshape result to row-major — otherwise XLA's layout assignment can
+    # give it a permuted layout and then insert a full relocation copy
+    # (~22 MB per layer-step for 7B w_down) to satisfy the custom call's
+    # row-major operand constraint.
+    scales4 = scales.reshape(scales.shape[0], k // bk_eff, n_groups, n)
+    if (not interpret and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        try:
+            from jax.experimental.layout import (Layout,
+                                                 with_layout_constraint)
+            scales4 = with_layout_constraint(
+                scales4, Layout(major_to_minor=(0, 1, 2, 3)))
+        except ImportError:
+            pass
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -143,8 +174,8 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
             pl.BlockSpec((bm, bk_eff), lambda i, j, kk, li: (i, kk)),
             pl.BlockSpec((1, bk_eff, bn_eff),
                          lambda i, j, kk, li: (li[0], kk, j)),
-            pl.BlockSpec((1, scales.shape[1], bn_eff),
-                         lambda i, j, kk, li: (li[0], 0, j)),
+            pl.BlockSpec((1, 1, n_groups, bn_eff),
+                         lambda i, j, kk, li: (li[0], kk, 0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk, li: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn_eff), jnp.float32)],
@@ -164,7 +195,7 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(layer, x2, q, scales)
+    )(layer, x2, q, scales4)
 
     if pad_m:
         out = out[:m]

@@ -162,6 +162,28 @@ def params_from_torch_state_dict(cfg: ModelConfig, state_dict,
     return params_from_fetcher(cfg, fetch, quant=quant, dtype=dtype)
 
 
+def canonicalize_layouts(params: dict) -> dict:
+    """device_put every array into row-major (default) device layout.
+
+    Params produced by jitted builders/converters can come back in an
+    XLA-chosen layout (e.g. scales in {2,0,1}); the Pallas custom calls
+    constrain their operands to row-major, and a non-row-major stacked
+    scales array forces a full relocation copy INSIDE the layer loop
+    (~22 MB per layer per step for 7B w_down — 12% of the decode step).
+    One explicit device_put here makes the in-jit reshape a bitcast.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    def fix(x):
+        if not isinstance(x, jax.Array):
+            return x
+        fmt = Format(Layout(major_to_minor=tuple(range(x.ndim))),
+                     x.sharding)
+        return jax.device_put(x, fmt)
+
+    return jax.tree.map(fix, params)
+
+
 def quantize_params(params: dict, quant: QuantConfig) -> dict:
     """Post-hoc quantization of an already-loaded fp params tree."""
     out = dict(params)

@@ -83,6 +83,21 @@ def test_int8_ppl_delta_gate(hf_and_params):
     assert abs(p_q - p_fp) / p_fp < 0.05
 
 
+def test_int8_lm_head_ppl_delta(hf_and_params):
+    """quantize_lm_head also quantizes the head; PPL must stay close."""
+    _, cfg, params = hf_and_params
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 256, 96).tolist()
+    p_fp = perplexity(cfg, params, ids, window=48)
+    qparams = quantize_params(
+        params, QuantConfig(mode="int8", group_size=32,
+                            quantize_lm_head=True))
+    from simplellminference_tpu.ops.linear import QuantizedWeight
+    assert isinstance(qparams["lm_head"], QuantizedWeight)
+    p_q = perplexity(cfg, qparams, ids, window=48)
+    assert abs(p_q - p_fp) / p_fp < 0.05
+
+
 def test_checkpoint_roundtrip_quantized(hf_and_params, tmp_path):
     _, cfg, params = hf_and_params
     qparams = quantize_params(params, QuantConfig(mode="int8", group_size=32))
