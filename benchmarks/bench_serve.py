@@ -1,0 +1,111 @@
+"""Serving benchmark: continuous-batching Engine on the real chip.
+
+BASELINE config #3 measured the honest way — through the Engine (paged KV,
+admit/preempt scheduling, multi-step decode bursts), not the fused
+Generator loop. Emits tokens/s and TTFT p50/p99 (the BASELINE metrics).
+
+    python benchmarks/bench_serve.py --model llama2-7b --requests 16
+
+Request arrival: all-at-once by default (offered load > capacity, so the
+scheduler's admit/queue path is exercised); --stagger N adds N new
+requests per engine step instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama2-7b",
+                    choices=["llama2-7b", "tinyllama", "qwen2-7b"])
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--pages", type=int, default=512)
+    ap.add_argument("--page-size", type=int, default=16)
+    ap.add_argument("--kv-dtype", default="bf16",
+                    choices=["bf16", "fp8", "int8", "f32"])
+    ap.add_argument("--burst", type=int, default=8)
+    ap.add_argument("--stagger", type=int, default=0)
+    args = ap.parse_args()
+
+    import bench as bench_mod
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    ModelConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine.engine import Engine
+    from simplellminference_tpu.runtime.weights import canonicalize_layouts
+
+    mk = {"llama2-7b": ModelConfig.llama2_7b,
+          "tinyllama": ModelConfig.tinyllama_1_1b,
+          "qwen2-7b": ModelConfig.qwen2_7b}[args.model]
+    cfg = mk(dtype="bfloat16")
+    params = canonicalize_layouts(
+        bench_mod._bench_params(cfg, True, None))
+    jax.block_until_ready(params)
+
+    ecfg = EngineConfig(
+        max_batch_size=args.batch,
+        kv=KVCacheConfig(page_size=args.page_size, num_pages=args.pages,
+                         max_pages_per_seq=max(
+                             (args.prompt_len + args.max_new)
+                             // args.page_size + 2, 16),
+                         kv_dtype=args.kv_dtype))
+    eng = Engine(cfg, params, ecfg, decode_burst=args.burst)
+
+    rng = np.random.default_rng(0)
+    sampling = SamplingParams(max_new_tokens=args.max_new)
+
+    def make_req():
+        ids = rng.integers(1, cfg.vocab_size, args.prompt_len).tolist()
+        return eng.add_request(prompt_ids=ids, sampling=sampling)
+
+    # Warm-up: compile prefill + burst graphs on a throwaway request.
+    warm = make_req()
+    eng.run()
+    assert warm.output_ids, "warmup produced no tokens"
+
+    eng.metrics = type(eng.metrics)()  # reset counters after warmup
+    t0 = time.perf_counter()
+    pending = args.requests
+    if args.stagger <= 0:
+        for _ in range(args.requests):
+            make_req()
+        pending = 0
+    while eng.has_work or pending > 0:
+        for _ in range(min(args.stagger, pending)):
+            make_req()
+            pending -= 1
+        eng.step()
+    wall = time.perf_counter() - t0
+
+    m = eng.metrics
+    detail = m.summary()
+    detail.update(platform=jax.devices()[0].platform, wall_s=round(wall, 3),
+                  kv_dtype=args.kv_dtype, burst=args.burst)
+    print(json.dumps({"detail": detail}), file=sys.stderr)
+    print(json.dumps({
+        "metric": f"serve_tokens_per_sec_{args.model}_int8_kv-"
+                  f"{args.kv_dtype}_b{args.batch}",
+        "value": round(m.tokens_generated / wall, 2),
+        "unit": "tokens/s",
+        "ttft_p50_s": round(m.ttft_percentile(0.5) or -1, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,8 +38,11 @@ class ModelConfig:
     max_seq_len: int = 2048
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"  # parameter/compute dtype ("float32" for parity tests)
-    # Optional rope scaling (Llama-3 style); None = plain RoPE.
+    # Optional rope scaling; dict per HF config.json ("rope_type":
+    # "llama3" | "linear", plus factors). None = plain RoPE.
     rope_scaling: Optional[dict] = None
+    # QKV projection bias (Qwen2-style; Llama has none).
+    attention_bias: bool = False
     model_type: str = "llama"
 
     @property
@@ -61,6 +64,22 @@ class ModelConfig:
                 f"num_heads ({self.num_heads}) must be divisible by "
                 f"num_kv_heads ({self.num_kv_heads})"
             )
+        # Configs are jit static args -> must be hashable; freeze the
+        # rope_scaling dict into a sorted item tuple. (Lists appear when
+        # a checkpoint's JSON round-trips the tuple form.)
+        if isinstance(self.rope_scaling, dict):
+            object.__setattr__(self, "rope_scaling",
+                               tuple(sorted(self.rope_scaling.items())))
+        elif isinstance(self.rope_scaling, list):
+            object.__setattr__(
+                self, "rope_scaling",
+                tuple(sorted((k, v) for k, v in self.rope_scaling)))
+
+    @property
+    def rope_scaling_dict(self) -> Optional[dict]:
+        if self.rope_scaling is None:
+            return None
+        return dict(self.rope_scaling)
 
     @classmethod
     def from_hf_dict(cls, d: dict[str, Any], **overrides) -> "ModelConfig":
@@ -83,6 +102,9 @@ class ModelConfig:
             max_seq_len=d.get("max_position_embeddings", 2048),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             rope_scaling=d.get("rope_scaling"),
+            # Qwen2 has QKV bias unconditionally; Llama exposes a flag.
+            attention_bias=d.get(
+                "attention_bias", d.get("model_type") == "qwen2"),
             model_type=d.get("model_type", "llama"),
         )
         kw.update(overrides)
@@ -132,7 +154,26 @@ class ModelConfig:
             vocab_size=128256, hidden_size=3072, intermediate_size=8192,
             num_layers=28, num_heads=24, num_kv_heads=8, head_dim=128,
             rope_theta=500000.0, max_seq_len=8192,
+            rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                          "original_max_position_embeddings": 8192},
             tie_word_embeddings=True), ov)
+
+    @classmethod
+    def mistral_7b(cls, **ov) -> "ModelConfig":
+        return cls._preset(dict(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=10000.0, max_seq_len=8192,
+            model_type="mistral"), ov)
+
+    @classmethod
+    def qwen2_7b(cls, **ov) -> "ModelConfig":
+        return cls._preset(dict(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128,
+            rope_theta=1000000.0, max_seq_len=32768,
+            attention_bias=True, model_type="qwen2"), ov)
 
     @classmethod
     def tiny_test(cls, **ov) -> "ModelConfig":

@@ -23,6 +23,26 @@ import jax.numpy as jnp
 import typing
 
 
+def _row_major_zeros(shape, dtype):
+    """zeros with an explicit row-major device layout.
+
+    Eagerly-created pools can come back in an XLA-chosen layout; the Pallas
+    paged kernels constrain operands to row-major, and a mismatched pool
+    layout makes XLA relocate the ENTIRE pool (GBs) per layer per decode
+    step. Pinning the layout here makes those relocations impossible.
+    """
+    z = jnp.zeros(shape, dtype)
+    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+        return z
+    try:
+        from jax.experimental.layout import Format, Layout
+        fmt = Format(Layout(major_to_minor=tuple(range(len(shape)))),
+                     z.sharding)
+        return jax.device_put(z, fmt)
+    except ImportError:
+        return z
+
+
 def kv_storage_dtype(name: str):
     """KV storage dtypes: bf16, f32, fp8 (e4m3 direct cast — the TPU-native
     compressed format, v5e+ has native fp8 loads), int8 (per-token-head
@@ -48,14 +68,20 @@ class PagedKVCache:
     @classmethod
     def create(cls, num_layers: int, num_pages: int, num_kv_heads: int,
                page_size: int, head_dim: int, dtype=jnp.bfloat16):
+        """Allocates ``num_pages`` usable pages + one TRASH page (the last
+        row): the Pallas write kernels redirect unmapped (-1) table entries
+        there, since a blocked out-spec cannot skip its write-back
+        (ops/paged_append.py). The allocator never hands out the trash
+        page."""
         dtype = jnp.dtype(dtype)
-        shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
-        k = jnp.zeros(shape, dtype)
-        v = jnp.zeros(shape, dtype)
+        shape = (num_layers, num_pages + 1, num_kv_heads, page_size,
+                 head_dim)
+        k = _row_major_zeros(shape, dtype)
+        v = _row_major_zeros(shape, dtype)
         if dtype == jnp.int8:
             return cls(k=k, v=v,
-                       k_scale=jnp.zeros(shape[:-1], jnp.float32),
-                       v_scale=jnp.zeros(shape[:-1], jnp.float32))
+                       k_scale=_row_major_zeros(shape[:-1], jnp.float32),
+                       v_scale=_row_major_zeros(shape[:-1], jnp.float32))
         return cls(k=k, v=v)
 
     @property
@@ -150,6 +176,12 @@ def write_decode(pool_k: jax.Array, pool_v: jax.Array, new_k: jax.Array,
     return pool_k, pool_v, None, None
 
 
+def _use_pallas_writes() -> bool:
+    from simplellminference_tpu.ops.attention import dispatch
+    return jax.default_backend() == "tpu" and (
+        jax.device_count() == 1 or dispatch.SHARD_MAP_LOCAL)
+
+
 def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
                           new_k: jax.Array, new_v: jax.Array,
                           tables: jax.Array, layer: jax.Array,
@@ -157,10 +189,18 @@ def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
                           pool_vs: jax.Array | None = None):
     """Stacked-pool prefill write: pools [L, P, kvN, ps, D] + layer index.
 
-    Native XLA scatters on the stacked pools run in place when the pools
-    are scan-carry state — unlike slicing a layer out first, which
-    materializes a full per-layer pool copy (~P·kvN·ps·D bytes).
+    On single-chip TPU (bf16/fp8 pools) this is an in-place Pallas write
+    (ops/paged_append.py) — the jnp scatter fallback is correct but drags
+    XLA's layout assignment into relocating the whole pool per layer step
+    inside the decode loop. int8 pools (side scale scatters) and CPU/GSPMD
+    paths keep the scatter.
     """
+    if pool_ks is None and _use_pallas_writes():
+        from simplellminference_tpu.ops.paged_append import (
+            paged_append_prefill)
+        pk, pv = paged_append_prefill(pool_k, pool_v, new_k, new_v,
+                                      tables, layer)
+        return pk, pv, None, None
     _, p, kvn, ps, d = pool_k.shape
     b, s, _, _ = new_k.shape
     npg = s // ps if s % ps == 0 else s // ps + 1
@@ -198,6 +238,12 @@ def write_decode_stacked(pool_k: jax.Array, pool_v: jax.Array,
                          pool_ks: jax.Array | None = None,
                          pool_vs: jax.Array | None = None):
     """Stacked-pool decode write: one token per sequence at ``layer``."""
+    if pool_ks is None and _use_pallas_writes():
+        from simplellminference_tpu.ops.paged_append import (
+            paged_append_decode)
+        pk, pv = paged_append_decode(pool_k, pool_v, new_k, new_v,
+                                     tables, positions, layer)
+        return pk, pv, None, None
     ps = pool_k.shape[3]
     page_idx = jnp.take_along_axis(
         tables, (positions // ps)[:, None], axis=1)[:, 0]       # [B]

@@ -92,6 +92,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     # --- attention block (reference: model.cpp:52-90) ---
     attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]), cfg.rms_norm_eps)
     qkv = linear(attn_in, lw["wqkv"], layer=li)
+    if "wqkv_bias" in lw:  # Qwen2-style QKV bias
+        qkv = qkv + norm_w(lw["wqkv_bias"]).astype(qkv.dtype)
     q = qkv[..., :n * d].reshape(b, s, n, d)
     k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
     v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
@@ -155,7 +157,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     b, s = tokens.shape
     dtype = jnp.dtype(cfg.dtype)
     x = params["embed"][tokens].astype(dtype)  # [B, S, H] row gather
-    sin, cos = ref_ops.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    sin, cos = ref_ops.rope_tables_for(cfg, positions)
     lw = params["layers"]
 
     if cache is not None:
@@ -230,7 +232,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     dtype = jnp.dtype(cfg.dtype)
     x = params["embed"][tokens].astype(dtype)
-    sin, cos = ref_ops.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    sin, cos = ref_ops.rope_tables_for(cfg, positions)
 
     if prefill:
         mask = ref_ops.causal_mask(s, s)[None, None]
@@ -322,6 +324,9 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         },
         "final_norm": jnp.ones((h,), dtype),
     }
+    if cfg.attention_bias:
+        params["layers"]["wqkv_bias"] = w(keys[9],
+                                          (L, (n + 2 * kvn) * d), 0.02)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(keys[8], (h, v), 0.02)
     return params

@@ -85,6 +85,8 @@ def permute_params_for_tp(cfg: ModelConfig, params: Params,
     out = dict(params)
     layers = dict(params["layers"])
     layers["wqkv"] = _permute_cols(layers["wqkv"], _qkv_perm(cfg, tp))
+    if "wqkv_bias" in layers:
+        layers["wqkv_bias"] = layers["wqkv_bias"][..., _qkv_perm(cfg, tp)]
     layers["w_gate_up"] = _permute_cols(layers["w_gate_up"],
                                         _gate_up_perm(cfg, tp))
     out["layers"] = layers
@@ -107,7 +109,7 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
     x = jnp.where(hit[..., None], params["embed"][local_ids], 0)
     x = jax.lax.psum(x.astype(jnp.float32), MODEL_AXIS).astype(dtype)
 
-    sin, cos = ref_ops.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    sin, cos = ref_ops.rope_tables_for(cfg, positions)
     lw = params["layers"]
 
     if cache_k is not None:

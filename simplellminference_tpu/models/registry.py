@@ -47,8 +47,9 @@ def _register_builtin():
             init_params=llama.init_params,
             hf_param_map=llama_hf_param_map,
         ),
-        # HF model_types sharing the Llama graph shape.
-        aliases=("mistral", "tinyllama"),
+        # HF model_types sharing the Llama graph shape (qwen2 adds the
+        # QKV bias, handled by cfg.attention_bias).
+        aliases=("mistral", "tinyllama", "qwen2"),
     )
 
 

@@ -23,12 +23,13 @@ NEG_INF = -1e30
 
 def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
                   o_ref, m_ref, l_ref, acc_ref, *, scale: float, ps: int,
-                  group: int):
+                  group: int, hb: int):
     del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     pi = pl.program_id(2)
     np_ = pl.num_programs(2)
     kv_len = lens_ref[bi]
+    rows = hb * group
 
     @pl.when(pi == 0)
     def _():
@@ -38,29 +39,33 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
 
     @pl.when(pi * ps < kv_len)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = kp_ref[0, 0, 0].astype(jnp.float32)      # [ps, D]
+        q = q_ref[0, 0].astype(jnp.float32)          # [HB, G, D]
+        k = kp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [G, ps]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # [HB, G, ps]
+        s = s.reshape(rows, ps)
         k_pos = pi * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(k_pos < kv_len, s, NEG_INF)
 
-        m_prev = m_ref[:group, :1]
+        m_prev = m_ref[:rows, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        l_ref[:group, :1] = l_ref[:group, :1] * alpha + jnp.sum(
+        l_ref[:rows, :1] = l_ref[:rows, :1] * alpha + jnp.sum(
             p, axis=1, keepdims=True)
-        v = vp_ref[0, 0, 0].astype(jnp.float32)      # [ps, D]
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
-        m_ref[:group, :1] = m_new
+        v = vp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
+        pv = jax.lax.dot_general(
+            p.reshape(hb, group, ps), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [HB, G, D]
+        acc_ref[:] = acc_ref[:] * alpha.reshape(hb, group, 1) + pv
+        m_ref[:rows, :1] = m_new
 
     @pl.when(pi == np_ - 1)
     def _():
-        l = jnp.maximum(l_ref[:group, :1], 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        l = jnp.maximum(l_ref[:rows, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:]
+                       / l.reshape(hb, group, 1)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -85,7 +90,12 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     group = n // kvn
     scale = d ** -0.5
 
-    qg = q.reshape(b, kvn, group, d)
+    # Pack kv heads per grid step (a page holds all heads): fills the VPU
+    # sublanes at group=1 and turns 4 KB page DMAs into 32 KB ones.
+    hb = 1
+    while (hb * group < 16 and hb * 2 <= kvn and kvn % (hb * 2) == 0):
+        hb *= 2
+    qg = q.reshape(b, kvn // hb, hb, group, d)
 
     def page_index(i_b, i_h, i_p, lens_ref, tables_ref, layer_ref):
         last = jnp.maximum(lens_ref[i_b] - 1, 0) // ps
@@ -94,30 +104,32 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, kvn, mp),
+        grid=(b, kvn // hb, mp),
         in_specs=[
-            pl.BlockSpec((1, 1, group, d),
+            pl.BlockSpec((1, 1, hb, group, d),
                          lambda i_b, i_h, i_p, lens, tbl, li:
-                         (i_b, i_h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, ps, d), page_index),
-            pl.BlockSpec((1, 1, 1, ps, d), page_index),
+                         (i_b, i_h, 0, 0, 0)),
+            pl.BlockSpec((1, 1, hb, ps, d), page_index),
+            pl.BlockSpec((1, 1, hb, ps, d), page_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, group, d),
+        out_specs=pl.BlockSpec((1, 1, hb, group, d),
                                lambda i_b, i_h, i_p, lens, tbl, li:
-                               (i_b, i_h, 0, 0)),
+                               (i_b, i_h, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((max(group, 8), 128), jnp.float32),
-            pltpu.VMEM((max(group, 8), 128), jnp.float32),
-            pltpu.VMEM((group, d), jnp.float32),
+            pltpu.VMEM((max(hb * group, 8), 128), jnp.float32),
+            pltpu.VMEM((max(hb * group, 8), 128), jnp.float32),
+            pltpu.VMEM((hb, group, d), jnp.float32),
         ],
     )
 
     # The page gather IS the BlockSpec index map: tables are prefetched and
     # each grid step's DMA source is the mapped page block.
     out = pl.pallas_call(
-        functools.partial(_paged_kernel, scale=scale, ps=ps, group=group),
+        functools.partial(_paged_kernel, scale=scale, ps=ps, group=group,
+                          hb=hb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kvn, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
+                                       q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

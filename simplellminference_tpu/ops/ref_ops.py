@@ -41,17 +41,50 @@ def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
 
 
 def rope_tables(positions: jax.Array, head_dim: int, theta: float,
-                dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
+                dtype=jnp.float32,
+                rope_scaling: dict | tuple | None = None
+                ) -> tuple[jax.Array, jax.Array]:
     """sin/cos tables for the given positions: [..., head_dim // 2].
 
     freq_d = theta^(-2d/head_dim), angle = pos * freq — matches the
     reference's precomputed cache (rope_cache_cal, rope_kernel.cpp:4-19)
-    but computed for arbitrary position tensors instead of a [max_seq] arena.
+    but computed for arbitrary position tensors instead of a [max_seq]
+    arena, with optional HF-style frequency scaling ("llama3" wavelength-
+    banded scaling, "linear" position-interpolation scaling).
     """
     half = head_dim // 2
     freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / head_dim)
+    if rope_scaling is not None:
+        rs = dict(rope_scaling) if not isinstance(rope_scaling, dict) \
+            else rope_scaling
+        kind = rs.get("rope_type", rs.get("type", "llama3"))
+        factor = float(rs.get("factor", 8.0))
+        if kind == "linear":
+            freqs = freqs / factor
+        elif kind == "llama3":
+            low = float(rs.get("low_freq_factor", 1.0))
+            high = float(rs.get("high_freq_factor", 4.0))
+            old_len = float(rs.get("original_max_position_embeddings", 8192))
+            wavelen = 2.0 * jnp.pi / freqs
+            low_wavelen = old_len / low
+            high_wavelen = old_len / high
+            # smooth band: interpolate between scaled and unscaled
+            smooth = (old_len / wavelen - low) / (high - low)
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            scaled = (1.0 - smooth) * (freqs / factor) + smooth * freqs
+            freqs = jnp.where(wavelen > low_wavelen, freqs / factor,
+                              jnp.where(wavelen < high_wavelen, freqs,
+                                        scaled))
+        elif kind != "default":
+            raise ValueError(f"unsupported rope_type {kind!r}")
     angles = positions[..., None].astype(jnp.float32) * freqs  # [..., half]
     return jnp.sin(angles).astype(dtype), jnp.cos(angles).astype(dtype)
+
+
+def rope_tables_for(cfg, positions: jax.Array, dtype=jnp.float32):
+    """rope_tables driven by a ModelConfig (theta + scaling)."""
+    return rope_tables(positions, cfg.head_dim, cfg.rope_theta, dtype,
+                       rope_scaling=cfg.rope_scaling)
 
 
 def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:

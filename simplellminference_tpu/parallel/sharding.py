@@ -40,6 +40,7 @@ def _layer_specs() -> dict[str, P]:
         "input_norm": P(None, None),
         "post_norm": P(None, None),
         "wqkv": P(None, None, m),
+        "wqkv_bias": P(None, m),       # column-sharded like wqkv's N
         "wo": P(None, m, None),
         "w_gate_up": P(None, None, m),
         "w_down": P(None, m, None),

@@ -33,8 +33,10 @@ class DenseKVCache:
     @classmethod
     def create(cls, num_layers: int, batch: int, max_seq: int,
                num_kv_heads: int, head_dim: int, dtype=jnp.bfloat16):
+        from simplellminference_tpu.memory.paged_kv import _row_major_zeros
         shape = (num_layers, batch, num_kv_heads, max_seq, head_dim)
-        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        return cls(k=_row_major_zeros(shape, dtype),
+                   v=_row_major_zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:

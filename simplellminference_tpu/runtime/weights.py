@@ -53,9 +53,17 @@ _QUANTIZABLE = {"layers/wqkv", "layers/wo", "layers/w_gate_up",
 
 
 def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
+    """Param map for the Llama graph family (llama, mistral, qwen2, ...).
+
+    Qwen2 shares the graph with QKV bias added (cfg.attention_bias)."""
     m = dict(_HF_LLAMA_MAP)
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
+    if cfg.attention_bias:
+        m["layers/wqkv_bias"] = (
+            "model.layers.{i}.self_attn.q_proj.bias",
+            "model.layers.{i}.self_attn.k_proj.bias",
+            "model.layers.{i}.self_attn.v_proj.bias")
     return m
 
 

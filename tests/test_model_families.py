@@ -1,0 +1,90 @@
+"""Golden tests for the extended model families: Llama-3 rope scaling and
+Qwen2 (QKV bias), each vs the HuggingFace torch implementation on a random
+tiny model (no network). Same methodology as test_llama_golden.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from simplellminference_tpu.core.config import ModelConfig
+from simplellminference_tpu.models import llama
+from simplellminference_tpu.models.registry import get_model_family
+from simplellminference_tpu.runtime.weights import params_from_torch_state_dict
+
+
+def _logits_match(hf, cfg, params, tokens, rtol=2e-4, atol=2e-4):
+    with torch.no_grad():
+        want = hf(torch.tensor(tokens.astype(np.int64))).logits.numpy()
+    positions = np.arange(tokens.shape[1], dtype=np.int32)[None]
+    positions = np.broadcast_to(positions, tokens.shape)
+    got, _ = llama.forward(cfg, params, jnp.asarray(tokens),
+                           jnp.asarray(positions))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=rtol, atol=atol)
+
+
+def test_llama3_rope_scaling_matches_hf():
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=500000.0, tie_word_embeddings=False,
+        attention_bias=False, mlp_bias=False,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64})
+    torch.manual_seed(1)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.rope_scaling is not None
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens)
+
+
+def test_qwen2_matches_hf():
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False)
+    torch.manual_seed(2)
+    hf = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.attention_bias and cfg.model_type == "qwen2"
+    assert get_model_family("qwen2").name == "llama"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert "wqkv_bias" in params["layers"]
+    tokens = np.array([[1, 5, 9, 200, 17, 3]], np.int32)
+    _logits_match(hf, cfg, params, tokens)
+
+
+def test_qwen2_decode_with_cache_matches_no_cache():
+    cfg = ModelConfig.tiny_test(attention_bias=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    from simplellminference_tpu.runtime.kv_cache import DenseKVCache
+    toks = jnp.asarray([[4, 8, 15, 16, 23, 42]], jnp.int32)
+    pos = jnp.arange(6, dtype=jnp.int32)[None]
+    full, _ = llama.forward(cfg, params, toks, pos)
+
+    cache = DenseKVCache.create(cfg.num_layers, 1, 32, cfg.num_kv_heads,
+                                cfg.head_dim, jnp.float32)
+    lg, cache = llama.forward(cfg, params, toks[:, :5], pos[:, :5], cache,
+                              jnp.zeros((1,), jnp.int32),
+                              jnp.asarray([5], jnp.int32))
+    lg2, _ = llama.forward(cfg, params, toks[:, 5:], pos[:, 5:], cache,
+                           jnp.asarray([5], jnp.int32),
+                           jnp.asarray([6], jnp.int32))
+    np.testing.assert_allclose(np.asarray(lg2[:, 0]), np.asarray(full[:, 5]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rope_scaling_config_hashable():
+    cfg = ModelConfig.llama3_2_3b(num_layers=2)
+    hash(cfg)  # jit static arg requirement
+    assert dict(cfg.rope_scaling)["factor"] == 32.0
