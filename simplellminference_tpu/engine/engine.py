@@ -89,10 +89,9 @@ class Engine:
             s = tokens.shape[1]
             positions = jnp.arange(s, dtype=jnp.int32)[None]
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
-                                tables, kv_len, prefill=True)
-            last = jnp.take_along_axis(
-                logits, (kv_len - 1)[:, None, None], axis=1)[:, 0]
-            return last, cache
+                                tables, kv_len, prefill=True,
+                                last_token_only=True)
+            return logits[:, -1], cache
 
         @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
         def _burst_fn(steps, params, cache, tokens, pos, tables, active,

@@ -32,7 +32,8 @@ def _row_major_zeros(shape, dtype):
     step. Pinning the layout here makes those relocations impossible.
     """
     z = jnp.zeros(shape, dtype)
-    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+    if (jax.default_backend() != "tpu" or jax.device_count() != 1
+            or isinstance(z, jax.core.Tracer)):  # in-jit: XLA temp, no pin
         return z
     try:
         from jax.experimental.layout import Format, Layout

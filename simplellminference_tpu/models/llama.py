@@ -144,6 +144,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             offsets: Optional[jax.Array] = None,
             kv_lens: Optional[jax.Array] = None,
             prefill_from_zero: bool = True,
+            last_token_only: bool = False,
             ) -> tuple[jax.Array, Optional[DenseKVCache]]:
     """Full forward pass.
 
@@ -152,7 +153,11 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     = number of valid cache slots after this step. ``prefill_from_zero`` is
     a STATIC flag: multi-token cache writes start at slot 0 (true for the
     Generator's batched prefill; chunked prefill must pass False).
-    Returns (logits [B, S, V] fp32, updated cache).
+    ``last_token_only`` (static): project only each sequence's last valid
+    hidden state (slot kv_lens-1-offsets of this call's S tokens) through
+    the LM head — at an 8k prefill the full [B, S, V] fp32 logits cost
+    ~1 GB of HBM and a vocab-sized matmul per position that generation
+    immediately discards. Returns (logits [B, S or 1, V] fp32, cache).
     """
     b, s = tokens.shape
     dtype = jnp.dtype(cfg.dtype)
@@ -199,6 +204,11 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
         x, _ = jax.lax.scan(body, x,
                             jnp.arange(cfg.num_layers, dtype=jnp.int32))
 
+    if last_token_only and s > 1:
+        last = (kv_lens - 1 - offsets if kv_lens is not None
+                else jnp.full((b,), s - 1, jnp.int32))
+        x = jnp.take_along_axis(x, last[:, None, None], axis=1)  # [B,1,H]
+
     x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
@@ -214,6 +224,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
 def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                   positions: jax.Array, cache, tables: jax.Array,
                   kv_lens: jax.Array, prefill: bool,
+                  last_token_only: bool = False,
                   ) -> tuple[jax.Array, Any]:
     """Forward pass over the paged KV cache (engine path).
 
@@ -223,7 +234,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     AFTER this step. ``prefill`` (static): S>1 whole-prompt pass starting
     at position 0 (right-padded) — attention is causal self-attention on
     the fresh k/v; decode (S==1) attends through the page tables.
-    Returns (logits [B, S, V] fp32, updated cache).
+    ``last_token_only`` (static): see :func:`forward`.
+    Returns (logits [B, S or 1, V] fp32, updated cache).
     """
     from simplellminference_tpu.memory import paged_kv as pkv
     from simplellminference_tpu.memory.paged_kv import PagedKVCache
@@ -289,6 +301,10 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     cache = PagedKVCache(k=new_k, v=new_v,
                          k_scale=new_ks if quant_kv else None,
                          v_scale=new_vs if quant_kv else None)
+
+    if last_token_only and s > 1:
+        # Paged prefill runs from position 0: last valid slot = kv_len-1.
+        x = jnp.take_along_axis(x, (kv_lens - 1)[:, None, None], axis=1)
 
     x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")

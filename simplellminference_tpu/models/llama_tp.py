@@ -96,7 +96,7 @@ def permute_params_for_tp(cfg: ModelConfig, params: Params,
 def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
                    positions: jax.Array, cache_k, cache_v,
                    offsets, kv_lens, prefill_from_zero: bool,
-                   vocab_shard: int):
+                   vocab_shard: int, last_token_only: bool = False):
     """Per-shard body: local heads/intermediate, explicit collectives."""
     b, s = tokens.shape
     dtype = jnp.dtype(cfg.dtype)
@@ -144,6 +144,11 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
         x, _ = jax.lax.scan(body, x,
                             jnp.arange(cfg.num_layers, dtype=jnp.int32))
 
+    if last_token_only and s > 1:
+        last = (kv_lens - 1 - offsets if kv_lens is not None
+                else jnp.full((b,), s - 1, jnp.int32))
+        x = jnp.take_along_axis(x, last[:, None, None], axis=1)
+
     x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
@@ -171,7 +176,8 @@ def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params):
         shard_kv_heads=(cfg.num_kv_heads % tp == 0))
 
     def forward_fn(params, tokens, positions, cache: Optional[DenseKVCache],
-                   offsets=None, kv_lens=None, prefill_from_zero=True):
+                   offsets=None, kv_lens=None, prefill_from_zero=True,
+                   last_token_only=False):
         b, s = tokens.shape
         if cache is not None:
             if offsets is None:
@@ -190,7 +196,8 @@ def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params):
             try:
                 return _forward_local(cfg, params, tokens, positions, ck,
                                       cv, offsets, kv_lens,
-                                      prefill_from_zero, vocab_shard)
+                                      prefill_from_zero, vocab_shard,
+                                      last_token_only)
             finally:
                 dispatch.SHARD_MAP_LOCAL = old
 

@@ -56,7 +56,7 @@ class Generator:
         @partial(jax.jit, static_argnames=(), donate_argnums=(3,))
         def _prefill(params, tokens, positions, cache, offsets, kv_lens):
             logits, cache = fwd(cfg, params, tokens, positions, cache,
-                                offsets, kv_lens)
+                                offsets, kv_lens, last_token_only=True)
             return logits, cache
 
         @partial(jax.jit, donate_argnums=(3,))
@@ -91,9 +91,7 @@ class Generator:
         logits, cache = self._prefill_fn(
             self.params, jnp.asarray(tokens), jnp.asarray(positions), cache,
             jnp.asarray(offsets), jnp.asarray(kv_lens))
-        last = jnp.take_along_axis(
-            logits, (kv_lens - 1)[:, None, None], axis=1)[:, 0]
-        return last, cache, lens
+        return logits[:, -1], cache, lens
 
     def generate(self, prompts: Sequence[Sequence[int]],
                  params: SamplingParams = SamplingParams()) -> GenerateResult:
@@ -167,10 +165,9 @@ class Generator:
         positions = jnp.broadcast_to(jnp.arange(bucket, dtype=jnp.int32),
                                      (b, bucket))
         logits, cache = fwd(cfg, params, tokens, positions, cache,
-                            jnp.zeros((b,), jnp.int32), kv_lens)
-        last = jnp.take_along_axis(
-            logits, (kv_lens - 1)[:, None, None], axis=1)[:, 0]
-        first_tok = sampling_ops.greedy(last)
+                            jnp.zeros((b,), jnp.int32), kv_lens,
+                            last_token_only=True)
+        first_tok = sampling_ops.greedy(logits[:, -1])
 
         def step(carry, _):
             cache, tok, pos = carry
