@@ -25,6 +25,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model-dir", default=None,
                     help="HF checkpoint dir (config.json + *.safetensors)")
+    ap.add_argument("--blob", default=None,
+                    help="reference-format raw FP32 weight blob "
+                         "(SimpleLLMInference export; needs --config)")
+    ap.add_argument("--config", default=None,
+                    help="HF-style config.json for --blob")
     ap.add_argument("--tokenizer", default=None,
                     help="tokenizer path override (default: model dir)")
     ap.add_argument("--prompt", default="Once upon a time")
@@ -61,7 +66,17 @@ def main(argv=None):
     quant = QuantConfig(mode=args.quant, group_size=args.group_size)
 
     t0 = time.perf_counter()
-    if args.model_dir:
+    if args.blob:
+        # Migration path: the reference's mmap'd raw-FP32 blob
+        # (model.cpp:204-245) + an explicit config.
+        if not args.config or not args.tokenizer:
+            ap.error("--blob requires --config and --tokenizer")
+        from simplellminference_tpu.runtime.raw_blob import load_reference_blob
+        cfg = ModelConfig.from_hf_json(args.config, dtype=args.dtype)
+        params = load_reference_blob(args.blob, cfg, quant=quant,
+                                     dtype=args.dtype)
+        tok = load_tokenizer(args.tokenizer)
+    elif args.model_dir:
         from simplellminference_tpu.runtime.weights import load_safetensors_dir
         cfg, params = load_safetensors_dir(args.model_dir, quant=quant,
                                            dtype=args.dtype)

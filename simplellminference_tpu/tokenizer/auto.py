@@ -15,6 +15,9 @@ def load_tokenizer(model_dir_or_file: str):
     (The reference takes an explicit sentencepiece path, model.h:61.)
     """
     p = model_dir_or_file
+    if p == "bytes":
+        from simplellminference_tpu.tokenizer.bytes import ByteTokenizer
+        return ByteTokenizer()
     if os.path.isfile(p):
         if p.endswith(".json"):
             return HFTokenizer(p)

@@ -79,6 +79,33 @@ def test_quantized_load_close_to_fp(tmp_path, cfg, params):
     assert jnp.mean(jnp.abs(got - ref)) < 0.15
 
 
+def test_cli_generates_from_blob(tmp_path, cfg, params, capsys):
+    """End-to-end migration path: blob + config.json -> CLI generation."""
+    import json
+
+    from simplellminference_tpu.cli import generate as cli
+
+    blob = str(tmp_path / "weights.bin")
+    raw_blob.save_reference_blob(blob, cfg, params)
+    cfg_json = str(tmp_path / "config.json")
+    with open(cfg_json, "w") as f:
+        json.dump({
+            "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.num_kv_heads,
+            "head_dim": cfg.head_dim, "rms_norm_eps": cfg.rms_norm_eps,
+            "rope_theta": cfg.rope_theta, "max_position_embeddings": 128,
+            "tie_word_embeddings": True,
+        }, f)
+    cli.main(["--blob", blob, "--config", cfg_json, "--tokenizer", "bytes",
+              "--prompt", "hi", "--max-new-tokens", "4",
+              "--dtype", "float32", "--cpu", "--no-stream"])
+    out = capsys.readouterr()
+    assert "tok/s" in out.err
+
+
 def test_untied_config_materializes_head(tmp_path, params):
     cfg_untied = ModelConfig.tiny_test(tie_word_embeddings=False)
     # params fixture was built tied; build untied-compatible blob from the
