@@ -65,7 +65,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                   cache_k: Optional[jax.Array], cache_v: Optional[jax.Array],
                   offsets: Optional[jax.Array], mask: jax.Array,
                   kv_lens: Optional[jax.Array], prefill_from_zero: bool,
-                  tp_axis: Optional[str] = None):
+                  tp_axis: Optional[str] = None,
+                  ring_collectives: bool = False):
     """One decoder layer. x: [B, S, H]. Returns (x', cache_k', cache_v').
 
     ``lw`` is the FULL stacked layer-params subtree ([L, ...] leaves) and
@@ -119,11 +120,20 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                                              layer=li)
     else:
         attn = dispatch.attention(cfg, q, k, v, mask)
-    attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li)
-    if tp_axis is not None:
-        # Row-sharded wo: partial products all-reduce over ICI. (GSPMD
-        # inserts this automatically; in the shard_map body it is ours.)
-        attn = jax.lax.psum(attn, tp_axis)
+    attn_in_rows = attn.reshape(b, s, n * d)
+    if tp_axis is not None and ring_collectives and _is_quant(lw["wo"]):
+        # Ring-fused dequant+matmul+all-reduce: each ring step computes one
+        # output window while the previous partial rides the ICI.
+        from simplellminference_tpu.parallel.collective import (
+            matmul_allreduce_ring_quant)
+        attn = matmul_allreduce_ring_quant(attn_in_rows, lw["wo"],
+                                           tp_axis, layer=li)
+    else:
+        attn = linear(attn_in_rows, lw["wo"], layer=li)
+        if tp_axis is not None:
+            # Row-sharded wo: partial products all-reduce over ICI. (GSPMD
+            # inserts this automatically; in the shard_map body it is ours.)
+            attn = jax.lax.psum(attn, tp_axis)
     x = x + attn
 
     # --- FFN block (reference: model.cpp:93-128) ---
@@ -132,11 +142,23 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
         cfg.intermediate_size // jax.lax.axis_size(tp_axis))
     gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
     gate, up = gate_up[..., :i], gate_up[..., i:]
-    down = linear(ref_ops.swiglu(gate, up), lw["w_down"], layer=li)
-    if tp_axis is not None:
-        down = jax.lax.psum(down, tp_axis)
+    swi = ref_ops.swiglu(gate, up)
+    if tp_axis is not None and ring_collectives and _is_quant(lw["w_down"]):
+        from simplellminference_tpu.parallel.collective import (
+            matmul_allreduce_ring_quant)
+        down = matmul_allreduce_ring_quant(swi, lw["w_down"], tp_axis,
+                                           layer=li)
+    else:
+        down = linear(swi, lw["w_down"], layer=li)
+        if tp_axis is not None:
+            down = jax.lax.psum(down, tp_axis)
     x = x + down
     return x, cache_k, cache_v
+
+
+def _is_quant(w) -> bool:
+    from simplellminference_tpu.ops.linear import QuantizedWeight
+    return isinstance(w, QuantizedWeight)
 
 
 def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,

@@ -96,7 +96,8 @@ def permute_params_for_tp(cfg: ModelConfig, params: Params,
 def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
                    positions: jax.Array, cache_k, cache_v,
                    offsets, kv_lens, prefill_from_zero: bool,
-                   vocab_shard: int, last_token_only: bool = False):
+                   vocab_shard: int, last_token_only: bool = False,
+                   ring_collectives: bool = False):
     """Per-shard body: local heads/intermediate, explicit collectives."""
     b, s = tokens.shape
     dtype = jnp.dtype(cfg.dtype)
@@ -126,7 +127,8 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
             x, ck, cv = carry
             x, ck, cv = llama.decoder_layer(
                 cfg, lw, li, x, sin, cos, ck, cv, offsets, mask, kv_lens,
-                prefill_from_zero, tp_axis=MODEL_AXIS)
+                prefill_from_zero, tp_axis=MODEL_AXIS,
+                ring_collectives=ring_collectives)
             return (x, ck, cv), None
 
         (x, cache_k, cache_v), _ = jax.lax.scan(
@@ -138,7 +140,8 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
         def body(x, li):
             x, _, _ = llama.decoder_layer(
                 cfg, lw, li, x, sin, cos, None, None, None, mask, None,
-                False, tp_axis=MODEL_AXIS)
+                False, tp_axis=MODEL_AXIS,
+                ring_collectives=ring_collectives)
             return x, None
 
         x, _ = jax.lax.scan(body, x,
@@ -160,7 +163,8 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
     return logits.astype(jnp.float32), cache_k, cache_v
 
 
-def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params):
+def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params,
+                    ring_collectives: bool = False):
     """Returns (tp_params, forward_fn) where forward_fn matches
     :func:`llama.forward`'s signature and runs the shard_map TP body.
 
@@ -197,7 +201,7 @@ def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params):
                 return _forward_local(cfg, params, tokens, positions, ck,
                                       cv, offsets, kv_lens,
                                       prefill_from_zero, vocab_shard,
-                                      last_token_only)
+                                      last_token_only, ring_collectives)
             finally:
                 dispatch.SHARD_MAP_LOCAL = old
 

@@ -66,7 +66,7 @@ def _best_tile(n: int, target: int, mult: int, hard_cap: int,
     return best
 
 
-def _qmm_kernel(layer_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
+def _qmm_kernel(meta_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
                 n_groups: int, group_size: int, out_dtype):
     # s_ref block = this K step's group rows ([1, 1, n_groups, bn]); the
     # wrapper reshapes scales to [L, K/bk, n_groups, N] so the block's
@@ -96,17 +96,25 @@ def _qmm_kernel(layer_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
-                                             "bm", "bn", "bk"))
+                                             "bm", "bn", "bk", "n_size"))
 def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
                      out_dtype=jnp.bfloat16, interpret: bool = False,
                      bm: int | None = None, bn: int = 2048,
-                     bk: int = 512, layer: jax.Array | None = None
-                     ) -> jax.Array:
+                     bk: int = 512, layer: jax.Array | None = None,
+                     n_start: jax.Array | None = None,
+                     n_size: int | None = None) -> jax.Array:
     """y = x @ dequant(q, scales)  (optionally of stacked layer ``layer``).
 
     x: [..., K] (any float dtype; computed in bf16 on the MXU).
     q: [K, N] int8 or [L, K, N] with ``layer`` given;
     scales: [K // group_size, N] (or [L, K // group_size, N]).
+
+    ``n_start``/``n_size``: compute only output columns
+    [n_start, n_start + n_size) — n_start is a traced scalar consumed by
+    the BlockSpec index maps (must be a multiple of the N tile; n_size
+    static). This is the ring collective-matmul building block: each ring
+    step computes one output chunk while the previous chunk's partial sum
+    rides the ICI (parallel/collective.py).
     """
     if q.ndim == 2:
         q = q[None]
@@ -144,12 +152,21 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
                 + bm * d * 4)                # accumulator
         return vmem <= 13 * 2 ** 20
 
-    bn_eff = _best_tile(n, bn, 128, hard_cap=8192, fits=fits)
+    n_out = n_size if n_size is not None else n
+    bn_eff = _best_tile(n_out, bn, 128, hard_cap=8192, fits=fits)
     if bk_eff % group_size != 0:
         bk_eff = group_size  # group must tile the K block
     n_groups = bk_eff // group_size
 
-    grid = (m_p // bm, n // bn_eff, k // bk_eff)
+    if n_start is None:
+        n_off = jnp.zeros((1,), jnp.int32)
+    else:
+        # runtime contract: n_start % bn_eff == 0 (ring chunk sizes are
+        # chosen as multiples of the tile by the caller)
+        n_off = (jnp.asarray(n_start, jnp.int32) // bn_eff).reshape(1)
+    meta = jnp.concatenate([layer, n_off])
+
+    grid = (m_p // bm, n_out // bn_eff, k // bk_eff)
 
     # Scales as [L, K/bk, n_groups, N]: one block per K grid step. Pin the
     # reshape result to row-major — otherwise XLA's layout assignment can
@@ -171,13 +188,13 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk_eff), lambda i, j, kk, li: (i, kk)),
+            pl.BlockSpec((bm, bk_eff), lambda i, j, kk, mt: (i, kk)),
             pl.BlockSpec((1, bk_eff, bn_eff),
-                         lambda i, j, kk, li: (li[0], kk, j)),
+                         lambda i, j, kk, mt: (mt[0], kk, mt[1] + j)),
             pl.BlockSpec((1, 1, n_groups, bn_eff),
-                         lambda i, j, kk, li: (li[0], kk, 0, j)),
+                         lambda i, j, kk, mt: (mt[0], kk, 0, mt[1] + j)),
         ],
-        out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk, li: (i, j)),
+        out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk, mt: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn_eff), jnp.float32)],
     )
 
@@ -185,18 +202,19 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
         functools.partial(_qmm_kernel, n_groups=n_groups,
                           group_size=group_size, out_dtype=out_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_p, n), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m_p, n_out), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_p * n * k,
-            bytes_accessed=m_p * k * 2 + k * n + scales.size * 4 + m_p * n * 2,
+            flops=2 * m_p * n_out * k,
+            bytes_accessed=(m_p * k * 2 + k * n_out + scales.size * 4
+                            + m_p * n_out * 2),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(layer, x2, q, scales4)
+    )(meta, x2, q, scales4)
 
     if pad_m:
         out = out[:m]
-    return out.reshape(*orig_shape[:-1], n)
+    return out.reshape(*orig_shape[:-1], n_out)

@@ -148,3 +148,61 @@ def psum_baseline(x: jax.Array, w_shard: jax.Array,
     """Reference: local matmul + monolithic psum (what GSPMD emits)."""
     y = jnp.dot(x, w_shard, preferred_element_type=jnp.float32)
     return lax.psum(y, axis).astype(x.dtype)
+
+
+def matmul_allreduce_ring_quant(x: jax.Array, w, axis: str = MODEL_AXIS,
+                                layer: jax.Array | None = None) -> jax.Array:
+    """Ring all-reduce fused with the INT8 dequant+matmul — the BASELINE
+    north-star "per-layer all-reduce overlapped with the next layer's
+    dequant-matmul", realized as: each ring step runs the Pallas
+    dequant+matmul on ONE output-column window (scalar-prefetched
+    ``n_start``) while the previous window's partial sum rides the ICI via
+    ``ppermute``.
+
+    Inside shard_map: x [..., K/tp]; w: QuantizedWeight with local q
+    [K/tp, N] (or stacked [L, K/tp, N] + ``layer``). Returns [..., N]
+    fully reduced. Non-TPU backends fall back to sliced reference matmuls
+    (same ring, jnp compute) so the CPU mesh tests the schedule.
+    """
+    from simplellminference_tpu.ops import ref_ops
+    from simplellminference_tpu.ops.linear import QuantizedWeight
+
+    assert isinstance(w, QuantizedWeight)
+    tp = lax.axis_size(axis)
+    n = w.q.shape[-1]
+    me = lax.axis_index(axis)
+    stacked = w.q.ndim == 3
+
+    def window(start, size):
+        if jax.default_backend() == "tpu":
+            from simplellminference_tpu.ops.matmul import quantized_matmul
+            return quantized_matmul(
+                x, w.q, w.scales, out_dtype=jnp.float32,
+                layer=layer if stacked else None,
+                n_start=start, n_size=size)
+        q, s = w.q, w.scales
+        if stacked:
+            q = lax.dynamic_index_in_dim(q, layer, 0, keepdims=False)
+            s = lax.dynamic_index_in_dim(s, layer, 0, keepdims=False)
+        qw = lax.dynamic_slice_in_dim(q, start, size, axis=-1)
+        sw = lax.dynamic_slice_in_dim(s, start, size, axis=-1)
+        return ref_ops.quantized_matmul_ref(x, qw, sw,
+                                            out_dtype=jnp.float32)
+
+    if tp == 1:
+        return window(jnp.zeros((), jnp.int32), n).astype(x.dtype)
+
+    assert n % tp == 0, (n, tp)
+    nc = n // tp
+    perm = [(i, (i + 1) % tp) for i in range(tp)]
+
+    # Ring recurrence (see matmul_allreduce_ring): device d works on chunk
+    # (d - 1 - c) mod tp at step c and ends holding the full sum of chunk d.
+    acc = window(((me - 1) % tp) * nc, nc)
+    for c in range(1, tp):
+        acc = lax.ppermute(acc, axis, perm)          # overlaps next window
+        acc = acc + window(((me - 1 - c) % tp) * nc, nc)
+    gathered = lax.all_gather(acc.astype(x.dtype), axis, axis=0,
+                              tiled=False)
+    parts = [gathered[i] for i in range(tp)]
+    return jnp.concatenate(parts, axis=-1)

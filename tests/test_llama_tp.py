@@ -67,6 +67,24 @@ def test_tp_prefill_and_decode_match(setup):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_tp_ring_quant_matches(setup):
+    """Ring-fused dequant+matmul+all-reduce TP == single-device INT8."""
+    from simplellminference_tpu.core.config import QuantConfig
+    from simplellminference_tpu.runtime.weights import quantize_params
+
+    cfg, params, _, _, mesh, tokens, positions = setup
+    qparams = quantize_params(params, QuantConfig(mode="int8",
+                                                  group_size=64))
+    ref, _ = llama.forward(cfg, qparams, tokens, positions)
+
+    tp_params, fwd = llama_tp.make_tp_forward(cfg, mesh, qparams,
+                                              ring_collectives=True)
+    tp_params = sharding.shard_params(cfg, tp_params, mesh)
+    got, _ = fwd(tp_params, tokens, positions, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_permutation_identity_at_tp1(setup):
     cfg, params, *_ = setup
     out = llama_tp.permute_params_for_tp(cfg, params, 1)
