@@ -41,7 +41,6 @@ def _bench_params(cfg, quantize: bool, key):
 
     h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     n, kvn, d, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
-    gs = 128
     dtype = jnp.dtype(cfg.dtype)
 
     @functools.partial(jax.jit, static_argnames=("shape",))
@@ -55,15 +54,14 @@ def _bench_params(cfg, quantize: bool, key):
             scale = shape[-2] ** -0.5 / 127.0
             return (_fake_int8(shape).astype(jnp.float32) * scale
                     ).astype(dtype)
-        k_dim = shape[-2]
-        g = max(k_dim // gs, 1)
         q = _fake_int8(shape)
-        # bf16 scales: XLA's memory-space assignment relocates the scale
-        # arrays to its alternate memory inside the layer loop; at f32 the
-        # big ones (90 MB gate_up) get re-staged EVERY iteration (~2 GB/step
-        # of hidden traffic), at bf16 they fit and hoist out of the loop.
-        scales = jnp.full((*shape[:-2], g, shape[-1]),
-                          shape[-2] ** -0.5 / 127.0, jnp.bfloat16)
+        # Per-output-channel scales (QuantConfig.group_size=0): the
+        # standard near-lossless weight-only INT8 scheme, and the fastest —
+        # groupwise scale arrays are large enough that XLA's loop optimizer
+        # re-stages them every layer step (measured ~2 GB/step of hidden
+        # traffic at group 128).
+        scales = jnp.full((*shape[:-2], 1, shape[-1]),
+                          shape[-2] ** -0.5 / 127.0, jnp.float32)
         return QuantizedWeight(q=q, scales=scales)
 
     params = {

@@ -197,7 +197,11 @@ class QuantConfig:
     """
 
     mode: str = "none"          # "none" | "int8"  (weight-only group quant)
-    group_size: int = 128       # contraction-dim group for scales
+    # Contraction-dim group for scales; 0 = per-output-channel (one scale
+    # per column — the standard near-lossless weight-only INT8 scheme, and
+    # the fastest: scales shrink K/group x, which matters because XLA's
+    # loop optimizer re-stages large scale arrays every layer step).
+    group_size: int = 128
     kv_dtype: str = "bf16"      # "bf16" | "int8" | "fp8"  (KV cache storage)
     scale_dtype: str = "float32"
     # Also quantize the LM head (embeddings/norms always stay high

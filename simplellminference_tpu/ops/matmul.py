@@ -67,13 +67,17 @@ def _best_tile(n: int, target: int, mult: int, hard_cap: int,
 
 
 def _qmm_kernel(meta_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
-                n_groups: int, group_size: int, out_dtype):
+                n_groups: int, group_size: int, out_dtype,
+                per_channel: bool):
     # s_ref block = this K step's group rows ([1, 1, n_groups, bn]); the
     # wrapper reshapes scales to [L, K/bk, n_groups, N] so the block's
     # last-two dims (n_groups, bn) satisfy tiling by full-extent equality
     # and the per-group row index below is STATIC (required for non-f32
     # scale dtypes, whose sublane alignment Mosaic cannot prove for
-    # dynamic row indices).
+    # dynamic row indices). Per-channel mode (one scale row per output
+    # column, the standard near-lossless weight-only INT8 scheme): the
+    # group spans ALL K steps, so the raw int32-domain sum accumulates and
+    # the scale applies once at write-out.
     k_step = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -82,17 +86,27 @@ def _qmm_kernel(meta_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]  # [bm, bk] bf16
-    for g in range(n_groups):
-        sl = slice(g * group_size, (g + 1) * group_size)
-        qg = q_ref[0, sl, :].astype(jnp.bfloat16)       # VPU cast, no mul
-        partial = jnp.dot(x[:, sl], qg,
-                          preferred_element_type=jnp.float32)
-        scale_row = s_ref[0, 0, g, :]
-        acc_ref[:] += partial * scale_row[None, :].astype(jnp.float32)
+    if per_channel:
+        qg = q_ref[0].astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(x, qg, preferred_element_type=jnp.float32)
+    else:
+        for g in range(n_groups):
+            sl = slice(g * group_size, (g + 1) * group_size)
+            qg = q_ref[0, sl, :].astype(jnp.bfloat16)   # VPU cast, no mul
+            partial = jnp.dot(x[:, sl], qg,
+                              preferred_element_type=jnp.float32)
+            scale_row = s_ref[0, 0, g, :]
+            acc_ref[:] += partial * scale_row[None, :].astype(jnp.float32)
 
     @pl.when(k_step == n_k - 1)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_dtype)
+        if per_channel:
+            scale_row = s_ref[0, 0, 0, :]
+            out_ref[:] = (acc_ref[:]
+                          * scale_row[None, :].astype(jnp.float32)
+                          ).astype(out_dtype)
+        else:
+            out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
@@ -154,9 +168,13 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
 
     n_out = n_size if n_size is not None else n
     bn_eff = _best_tile(n_out, bn, 128, hard_cap=8192, fits=fits)
-    if bk_eff % group_size != 0:
-        bk_eff = group_size  # group must tile the K block
-    n_groups = bk_eff // group_size
+    per_channel = group_size == k  # one scale row per output column
+    if per_channel:
+        n_groups = 1
+    else:
+        if bk_eff % group_size != 0:
+            bk_eff = group_size  # group must tile the K block
+        n_groups = bk_eff // group_size
 
     if n_start is None:
         n_off = jnp.zeros((1,), jnp.int32)
@@ -173,7 +191,8 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
     # give it a permuted layout and then insert a full relocation copy
     # (~22 MB per layer-step for 7B w_down) to satisfy the custom call's
     # row-major operand constraint.
-    scales4 = scales.reshape(scales.shape[0], k // bk_eff, n_groups, n)
+    n_kslabs = 1 if per_channel else k // bk_eff
+    scales4 = scales.reshape(scales.shape[0], n_kslabs, n_groups, n)
     if (not interpret and jax.default_backend() == "tpu"
             and jax.device_count() == 1):
         try:
@@ -192,7 +211,9 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
             pl.BlockSpec((1, bk_eff, bn_eff),
                          lambda i, j, kk, mt: (mt[0], kk, mt[1] + j)),
             pl.BlockSpec((1, 1, n_groups, bn_eff),
-                         lambda i, j, kk, mt: (mt[0], kk, 0, mt[1] + j)),
+                         (lambda i, j, kk, mt: (mt[0], 0, 0, mt[1] + j))
+                         if per_channel else
+                         (lambda i, j, kk, mt: (mt[0], kk, 0, mt[1] + j))),
         ],
         out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk, mt: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn_eff), jnp.float32)],
@@ -200,7 +221,8 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, n_groups=n_groups,
-                          group_size=group_size, out_dtype=out_dtype),
+                          group_size=group_size, out_dtype=out_dtype,
+                          per_channel=per_channel),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_p, n_out), out_dtype),
         compiler_params=pltpu.CompilerParams(

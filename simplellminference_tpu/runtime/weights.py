@@ -78,8 +78,8 @@ def _maybe_quantize(path: str, w, quant: QuantConfig):
     eligible = path in _QUANTIZABLE or (path == "lm_head"
                                         and quant.quantize_lm_head)
     if quant.enabled and eligible and not isinstance(w, QuantizedWeight):
-        gs = quant.group_size
         k = w.shape[-2]
+        gs = quant.group_size or k          # 0 = per-output-channel
         if k % gs != 0:
             gs = int(np.gcd(k, gs)) or k
         return QuantizedWeight.quantize(w, gs)

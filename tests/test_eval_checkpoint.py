@@ -83,6 +83,19 @@ def test_int8_ppl_delta_gate(hf_and_params):
     assert abs(p_q - p_fp) / p_fp < 0.05
 
 
+def test_int8_per_channel_ppl_delta(hf_and_params):
+    """Per-output-channel INT8 (group_size=0 — the fast default) stays
+    within the PPL budget; scales are [1, N] per weight."""
+    _, cfg, params = hf_and_params
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 256, 96).tolist()
+    p_fp = perplexity(cfg, params, ids, window=48)
+    qparams = quantize_params(params, QuantConfig(mode="int8", group_size=0))
+    assert qparams["layers"]["wqkv"].scales.shape[-2] == 1
+    p_q = perplexity(cfg, qparams, ids, window=48)
+    assert abs(p_q - p_fp) / p_fp < 0.05
+
+
 def test_int8_lm_head_ppl_delta(hf_and_params):
     """quantize_lm_head also quantizes the head; PPL must stay close."""
     _, cfg, params = hf_and_params

@@ -16,6 +16,8 @@ from simplellminference_tpu.ops.matmul import quantized_matmul
     (24, 256, 128, 64),      # m not a multiple of 16 -> padding path
     (64, 384, 512, 128),     # prefill-ish
     (128, 256, 256, 256),    # one group per K block
+    (8, 512, 256, 512),      # per-output-channel (group == K)
+    (16, 1024, 384, 1024),   # per-channel spanning multiple K blocks
 ])
 def test_quantized_matmul_matches_ref(rng, m, k, n, gs):
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
