@@ -244,7 +244,11 @@ class EngineConfig:
 
     max_batch_size: int = 8
     max_seq_len: int = 8192
-    prefill_chunk: int = 512        # chunked-prefill bucket size
+    # Chunked prefill: prompts longer than this run in fixed chunks
+    # (bounded activation memory, one compiled graph for any length,
+    # TTFT-fairness scheduling granularity). 0 = always whole-prompt
+    # (fastest for prompts that fit — the default).
+    prefill_chunk: int = 0
     max_queue: int = 256
     kv: KVCacheConfig = dataclasses.field(default_factory=KVCacheConfig)
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)

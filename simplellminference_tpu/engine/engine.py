@@ -93,6 +93,17 @@ class Engine:
                                 last_token_only=True)
             return logits[:, -1], cache
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
+                              chunk_offset):
+            s = tokens.shape[1]
+            positions = chunk_offset + jnp.arange(s, dtype=jnp.int32)[None]
+            logits, cache = fwd(cfg_, params, tokens, positions, cache,
+                                tables, kv_len, prefill=True,
+                                last_token_only=True,
+                                chunk_offset=chunk_offset)
+            return logits[:, -1], cache
+
         @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
         def _burst_fn(steps, params, cache, tokens, pos, tables, active,
                       key, temp, top_k, top_p):
@@ -114,6 +125,7 @@ class Engine:
             return toks.T, cache  # [B, steps]
 
         self._prefill_fn = _prefill_fn
+        self._prefill_chunk_fn = _prefill_chunk_fn
         self._burst_fn = _burst_fn
 
     # ------------- public API -------------
@@ -194,16 +206,36 @@ class Engine:
                                   slot=slot)
 
     def _prefill(self, req: Request):
-        """B=1 bucketed prefill of everything computed so far."""
+        """B=1 prefill of everything computed so far.
+
+        Prompts up to ``prefill_chunk`` run as one bucketed pass; longer
+        prompts run in fixed ``prefill_chunk``-token chunks (one compiled
+        graph regardless of prompt length, activation memory bounded by
+        the chunk — the scheduling granularity for TTFT fairness).
+        """
         ids = req.prompt_ids + req.output_ids
         ln = len(ids)
-        bucket = next_power_of_2(max(ln, 16))
-        tokens = np.zeros((1, bucket), np.int32)
-        tokens[0, :ln] = ids
         tables = jnp.asarray(self.allocator.row(req.slot)[None])
-        last, self.cache = self._prefill_fn(
-            self.params, self.cache, jnp.asarray(tokens), tables,
-            jnp.asarray([ln], np.int32))
+        chunk = self.ecfg.prefill_chunk
+        if chunk and chunk > 0 and ln > chunk \
+                and chunk % self.ecfg.kv.page_size == 0:
+            n_chunks = -(-ln // chunk)
+            padded = np.zeros((n_chunks * chunk,), np.int32)
+            padded[:ln] = ids
+            for j in range(n_chunks):
+                tok = jnp.asarray(padded[None, j * chunk:(j + 1) * chunk])
+                kv_after = min(ln, (j + 1) * chunk)
+                last, self.cache = self._prefill_chunk_fn(
+                    self.params, self.cache, tok, tables,
+                    jnp.asarray([kv_after], np.int32),
+                    jnp.asarray(j * chunk, np.int32))
+        else:
+            bucket = next_power_of_2(max(ln, 16))
+            tokens = np.zeros((1, bucket), np.int32)
+            tokens[0, :ln] = ids
+            last, self.cache = self._prefill_fn(
+                self.params, self.cache, jnp.asarray(tokens), tables,
+                jnp.asarray([ln], np.int32))
         self.metrics.prefills += 1
         self.metrics.prompt_tokens += ln
         # sample the first token now (TTFT ends here)

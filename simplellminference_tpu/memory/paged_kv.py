@@ -187,8 +187,12 @@ def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
                           new_k: jax.Array, new_v: jax.Array,
                           tables: jax.Array, layer: jax.Array,
                           pool_ks: jax.Array | None = None,
-                          pool_vs: jax.Array | None = None):
+                          pool_vs: jax.Array | None = None,
+                          page_offset: jax.Array | None = None):
     """Stacked-pool prefill write: pools [L, P, kvN, ps, D] + layer index.
+
+    ``page_offset``: first table column to write (chunked prefill writes
+    chunk j at page_offset = j * chunk // page_size; default 0).
 
     On single-chip TPU (bf16/fp8 pools) this is an in-place Pallas write
     (ops/paged_append.py) — the jnp scatter fallback is correct but drags
@@ -200,8 +204,14 @@ def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
         from simplellminference_tpu.ops.paged_append import (
             paged_append_prefill)
         pk, pv = paged_append_prefill(pool_k, pool_v, new_k, new_v,
-                                      tables, layer)
+                                      tables, layer,
+                                      page_offset=page_offset)
         return pk, pv, None, None
+    if page_offset is not None:
+        ps = pool_k.shape[3]
+        npg = -(-new_k.shape[1] // ps)
+        tables = jax.lax.dynamic_slice_in_dim(
+            tables, jnp.asarray(page_offset, jnp.int32), npg, axis=1)
     _, p, kvn, ps, d = pool_k.shape
     b, s, _, _ = new_k.shape
     npg = s // ps if s % ps == 0 else s // ps + 1

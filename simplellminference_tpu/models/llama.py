@@ -247,6 +247,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                   positions: jax.Array, cache, tables: jax.Array,
                   kv_lens: jax.Array, prefill: bool,
                   last_token_only: bool = False,
+                  chunk_offset: Optional[jax.Array] = None,
                   ) -> tuple[jax.Array, Any]:
     """Forward pass over the paged KV cache (engine path).
 
@@ -256,6 +257,11 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     AFTER this step. ``prefill`` (static): S>1 whole-prompt pass starting
     at position 0 (right-padded) — attention is causal self-attention on
     the fresh k/v; decode (S==1) attends through the page tables.
+    ``chunk_offset`` (traced, page-aligned): CHUNKED prefill — this call
+    processes prompt tokens [chunk_offset, chunk_offset + S), writing
+    their pages and attending to all cached positions < kv_len plus the
+    causal part of the fresh chunk (activation memory stays O(S·total)
+    per layer instead of the whole prompt).
     ``last_token_only`` (static): see :func:`forward`.
     Returns (logits [B, S or 1, V] fp32, updated cache).
     """
@@ -268,7 +274,10 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     x = params["embed"][tokens].astype(dtype)
     sin, cos = ref_ops.rope_tables_for(cfg, positions)
 
-    if prefill:
+    chunked = prefill and chunk_offset is not None
+    if chunked:
+        mask = None  # built against the gathered cache inside the layer
+    elif prefill:
         mask = ref_ops.causal_mask(s, s)[None, None]
     else:
         mask = None
@@ -291,7 +300,27 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         k = ref_ops.apply_rope(k, sin, cos)
 
         scale_args = (pks, pvs) if quant_kv else (None, None)
-        if prefill:
+        if chunked:
+            ps = pk.shape[3]
+            pk, pv, nks, nvs = pkv.write_prefill_stacked(
+                pk, pv, k, v, tables, li, *scale_args,
+                page_offset=chunk_offset // ps)
+            # Attend chunk queries against everything cached so far
+            # (including the just-written chunk) through a dense gather.
+            ck, cv = pkv.gather_dense(
+                jax.lax.dynamic_index_in_dim(pk, li, 0, False),
+                jax.lax.dynamic_index_in_dim(pv, li, 0, False),
+                tables,
+                *(tuple(jax.lax.dynamic_index_in_dim(x_, li, 0, False)
+                        for x_ in (nks, nvs)) if quant_kv else (None, None)))
+            smax = ck.shape[2]
+            key_pos = jnp.arange(smax)[None, None, None, :]
+            q_pos = positions[:, None, :, None]
+            cmask = ((key_pos <= q_pos)
+                     & (key_pos < kv_lens[:, None, None, None]))
+            attn = ref_ops.attention(q, ck.transpose(0, 2, 1, 3),
+                                     cv.transpose(0, 2, 1, 3), cmask)
+        elif prefill:
             pk, pv, nks, nvs = pkv.write_prefill_stacked(
                 pk, pv, k, v, tables, li, *scale_args)
             attn = dispatch.attention(cfg, q, k, v, mask)
@@ -325,8 +354,9 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                          v_scale=new_vs if quant_kv else None)
 
     if last_token_only and s > 1:
-        # Paged prefill runs from position 0: last valid slot = kv_len-1.
-        x = jnp.take_along_axis(x, (kv_lens - 1)[:, None, None], axis=1)
+        # Last valid slot = kv_len-1 (absolute) -> chunk-local index.
+        idx = kv_lens - 1 - (chunk_offset if chunked else 0)
+        x = jnp.take_along_axis(x, idx[:, None, None], axis=1)
 
     x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")

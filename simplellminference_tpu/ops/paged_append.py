@@ -110,11 +110,13 @@ def _prefill_kernel(layer_ref, pages_ref, newk_ref, newv_ref,
 @jax.jit
 def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array,
                          new_k: jax.Array, new_v: jax.Array,
-                         tables: jax.Array, layer: jax.Array
+                         tables: jax.Array, layer: jax.Array,
+                         page_offset: jax.Array | None = None
                          ) -> tuple[jax.Array, jax.Array]:
-    """Write a whole right-padded prompt into pages in place.
+    """Write a right-padded prompt (or prompt chunk) into pages in place.
 
-    new_k/v: [B, S, kvN, D] from position 0; pages for the padded tail map
+    new_k/v: [B, S, kvN, D] from absolute position ``page_offset * ps``
+    (0 by default — whole-prompt prefill); pages for the padded tail map
     to -1 in ``tables`` and land in the trash page.
     """
     l_, p, kvn, ps, d = pool_k.shape
@@ -128,8 +130,12 @@ def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array,
         return (x.reshape(b, npg, ps, kvn, d)
                 .transpose(0, 1, 3, 2, 4).astype(dtype))  # [B, npg, kvN, ps, D]
 
-    pages = jnp.where(tables[:, :npg] < 0, p - 1,
-                      tables[:, :npg]).astype(jnp.int32)
+    if page_offset is None:
+        tbl = tables[:, :npg]
+    else:
+        tbl = jax.lax.dynamic_slice_in_dim(
+            tables, jnp.asarray(page_offset, jnp.int32), npg, axis=1)
+    pages = jnp.where(tbl < 0, p - 1, tbl).astype(jnp.int32)
 
     def new_index(i_b, i_p, li, pg):
         return (i_b, i_p, 0, 0, 0)

@@ -131,3 +131,23 @@ def test_engine_mixed_sampling_params(model):
     want = dense_reference(cfg, params, [[1, 2, 3]], 8)[0]
     assert r_greedy.output_ids == want       # greedy row unaffected
     assert len(r_sampled.output_ids) == 8
+
+
+def test_engine_chunked_prefill_matches_whole(model):
+    """Chunked prefill (chunk < prompt) produces the same greedy tokens as
+    whole-prompt prefill — the chunk path writes page-aligned chunks and
+    attends through the gathered cache."""
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, cfg.vocab_size, 70).tolist(),
+               rng.integers(1, cfg.vocab_size, 33).tolist()]
+    whole = make_engine(cfg, params).generate(
+        prompts, SamplingParams(max_new_tokens=8))
+
+    ecfg = EngineConfig(
+        max_batch_size=4, prefill_chunk=32,
+        kv=KVCacheConfig(page_size=8, num_pages=64, max_pages_per_seq=16,
+                         kv_dtype="f32"))
+    eng = Engine(cfg, params, ecfg, decode_burst=4)
+    chunked = eng.generate(prompts, SamplingParams(max_new_tokens=8))
+    assert chunked == whole
