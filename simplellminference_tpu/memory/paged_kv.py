@@ -200,13 +200,19 @@ def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
     inside the decode loop. int8 pools (side scale scatters) and CPU/GSPMD
     paths keep the scatter.
     """
-    if pool_ks is None and _use_pallas_writes():
+    if _use_pallas_writes():
+        if pool_ks is None:
+            from simplellminference_tpu.ops.paged_append import (
+                paged_append_prefill)
+            pk, pv = paged_append_prefill(pool_k, pool_v, new_k, new_v,
+                                          tables, layer,
+                                          page_offset=page_offset)
+            return pk, pv, None, None
         from simplellminference_tpu.ops.paged_append import (
-            paged_append_prefill)
-        pk, pv = paged_append_prefill(pool_k, pool_v, new_k, new_v,
-                                      tables, layer,
-                                      page_offset=page_offset)
-        return pk, pv, None, None
+            paged_append_prefill_quant)
+        return paged_append_prefill_quant(pool_k, pool_v, pool_ks, pool_vs,
+                                          new_k, new_v, tables, layer,
+                                          page_offset=page_offset)
     if page_offset is not None:
         ps = pool_k.shape[3]
         npg = -(-new_k.shape[1] // ps)
@@ -249,12 +255,18 @@ def write_decode_stacked(pool_k: jax.Array, pool_v: jax.Array,
                          pool_ks: jax.Array | None = None,
                          pool_vs: jax.Array | None = None):
     """Stacked-pool decode write: one token per sequence at ``layer``."""
-    if pool_ks is None and _use_pallas_writes():
+    if _use_pallas_writes():
+        if pool_ks is None:
+            from simplellminference_tpu.ops.paged_append import (
+                paged_append_decode)
+            pk, pv = paged_append_decode(pool_k, pool_v, new_k, new_v,
+                                         tables, positions, layer)
+            return pk, pv, None, None
         from simplellminference_tpu.ops.paged_append import (
-            paged_append_decode)
-        pk, pv = paged_append_decode(pool_k, pool_v, new_k, new_v,
-                                     tables, positions, layer)
-        return pk, pv, None, None
+            paged_append_decode_quant)
+        return paged_append_decode_quant(pool_k, pool_v, pool_ks, pool_vs,
+                                         new_k, new_v, tables, positions,
+                                         layer)
     ps = pool_k.shape[3]
     page_idx = jnp.take_along_axis(
         tables, (positions // ps)[:, None], axis=1)[:, 0]       # [B]

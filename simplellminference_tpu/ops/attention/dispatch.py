@@ -95,13 +95,14 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
     assert s == 1, "paged attention path is decode-only (S == 1)"
     stacked = pool_k.ndim == 5
     ps = pool_k.shape[3] if stacked else pool_k.shape[2]
-    if (_use_flash() and d in (64, 128, 256) and ps % 8 == 0
-            and pool_ks is None):
+    if _use_flash() and d in (64, 128, 256) and ps % 8 == 0:
         from simplellminference_tpu.ops.attention.paged_decode import (
             paged_flash_decode)
         return paged_flash_decode(q[:, 0], pool_k, pool_v, tables,
                                   kv_lens,
-                                  layer=layer if stacked else None)[:, None]
+                                  layer=layer if stacked else None,
+                                  k_scale=pool_ks,
+                                  v_scale=pool_vs)[:, None]
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
         pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)

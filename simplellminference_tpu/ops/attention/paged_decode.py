@@ -22,8 +22,14 @@ NEG_INF = -1e30
 
 
 def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
-                  o_ref, m_ref, l_ref, acc_ref, *, scale: float, ps: int,
-                  group: int, hb: int):
+                  *refs, scale: float, ps: int, group: int, hb: int,
+                  quant_kv: bool):
+    if quant_kv:
+        # INT8 KV: per-token-per-head scale pages ride along; dequant on
+        # the VPU right after the page DMA.
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
     del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     pi = pl.program_id(2)
@@ -41,6 +47,8 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [HB, G, D]
         k = kp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
+        if quant_kv:
+            k = k * ks_ref[0, 0, 0][..., None]       # [HB, ps, 1]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # [HB, G, ps]
@@ -55,6 +63,8 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
         l_ref[:rows, :1] = l_ref[:rows, :1] * alpha + jnp.sum(
             p, axis=1, keepdims=True)
         v = vp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
+        if quant_kv:
+            v = v * vs_ref[0, 0, 0][..., None]
         pv = jax.lax.dot_general(
             p.reshape(hb, group, ps), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [HB, G, D]
@@ -72,17 +82,27 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
 def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        tables: jax.Array, kv_lens: jax.Array,
                        interpret: bool = False,
-                       layer: jax.Array | None = None) -> jax.Array:
+                       layer: jax.Array | None = None,
+                       k_scale: jax.Array | None = None,
+                       v_scale: jax.Array | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_pool: [P, kvN, ps, D] — or the stacked pools
     [L, P, kvN, ps, D] with a traced ``layer`` index (scalar-prefetched,
     zero-copy reads from inside a scan over layers); tables: [B, MP] int32
-    (-1 = unmapped); kv_lens: [B] -> out [B, N, D]."""
+    (-1 = unmapped); kv_lens: [B] -> out [B, N, D].
+
+    INT8 KV: pass per-token-per-head scale pools k/v_scale
+    ([L, P, kvN, ps]); scale pages are DMA'd with their data pages and
+    dequantized on the VPU in-kernel."""
     if k_pool.ndim == 4:
         k_pool = k_pool[None]
         v_pool = v_pool[None]
+        if k_scale is not None:
+            k_scale = k_scale[None]
+            v_scale = v_scale[None]
         layer = jnp.zeros((), jnp.int32)
     assert layer is not None, "stacked pools need a layer index"
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    quant_kv = k_scale is not None
 
     b, n, d = q.shape
     _, p, kvn, ps, _ = k_pool.shape
@@ -102,16 +122,34 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         pid = tables_ref[i_b, jnp.minimum(i_p, last)]
         return (layer_ref[0], jnp.maximum(pid, 0), i_h, 0, 0)
 
+    def scale_index(i_b, i_h, i_p, lens_ref, tables_ref, layer_ref):
+        li, pid, _, _, _ = page_index(i_b, i_h, i_p, lens_ref, tables_ref,
+                                      layer_ref)
+        return (li, pid, i_h, 0, 0)
+
+    q_spec = pl.BlockSpec((1, 1, hb, group, d),
+                          lambda i_b, i_h, i_p, lens, tbl, li:
+                          (i_b, i_h, 0, 0, 0))
+    in_specs = [
+        q_spec,
+        pl.BlockSpec((1, 1, hb, ps, d), page_index),
+        pl.BlockSpec((1, 1, hb, ps, d), page_index),
+    ]
+    operands = [qg, k_pool, v_pool]
+    if quant_kv:
+        # Head-block as its own dim so the block's last-two dims (hb, ps)
+        # EQUAL the array dims — Mosaic rejects (hb, ps) blocks carved out
+        # of a [..., kvN, ps] array when hb < kvN (not 8/128-divisible).
+        # Dim-split reshape of a row-major pool is a free view.
+        sshape = (k_scale.shape[0], k_scale.shape[1], kvn // hb, hb, ps)
+        in_specs += [pl.BlockSpec((1, 1, 1, hb, ps), scale_index)] * 2
+        operands += [k_scale.astype(jnp.float32).reshape(sshape),
+                     v_scale.astype(jnp.float32).reshape(sshape)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, kvn // hb, mp),
-        in_specs=[
-            pl.BlockSpec((1, 1, hb, group, d),
-                         lambda i_b, i_h, i_p, lens, tbl, li:
-                         (i_b, i_h, 0, 0, 0)),
-            pl.BlockSpec((1, 1, hb, ps, d), page_index),
-            pl.BlockSpec((1, 1, hb, ps, d), page_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, hb, group, d),
                                lambda i_b, i_h, i_p, lens, tbl, li:
                                (i_b, i_h, 0, 0, 0)),
@@ -126,7 +164,7 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     # each grid step's DMA source is the mapped page block.
     out = pl.pallas_call(
         functools.partial(_paged_kernel, scale=scale, ps=ps, group=group,
-                          hb=hb),
+                          hb=hb, quant_kv=quant_kv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),
@@ -140,5 +178,5 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         ),
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), tables.astype(jnp.int32), layer,
-      qg, k_pool, v_pool)
+      *operands)
     return out.reshape(b, n, d)

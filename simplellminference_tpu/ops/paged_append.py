@@ -167,3 +167,184 @@ def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array,
         input_output_aliases={4: 0, 5: 1},
     )(layer, pages, chunks(new_k, pool_k.dtype), chunks(new_v, pool_v.dtype),
       pool_k, pool_v)
+
+
+def _decode_quant_kernel(layer_ref, pages_ref, slots_ref, newk_ref, newv_ref,
+                         newks_ref, newvs_ref, pk_in, pv_in, pks_in, pvs_in,
+                         pk_out, pv_out, pks_out, pvs_out):
+    b = pl.program_id(0)
+    kvn = pk_in.shape[2]
+    ps = pk_in.shape[3]
+    rel = slots_ref[b]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kvn, ps, 1), 1)
+    mask = rows == rel
+    pk_out[0, 0] = jnp.where(mask, newk_ref[0, :, 0:1, :], pk_in[0, 0])
+    pv_out[0, 0] = jnp.where(mask, newv_ref[0, :, 0:1, :], pv_in[0, 0])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kvn, ps), 1)
+    smask = lane == rel
+    pks_out[0, 0] = jnp.where(smask, newks_ref[0], pks_in[0, 0])
+    pvs_out[0, 0] = jnp.where(smask, newvs_ref[0], pvs_in[0, 0])
+
+
+@jax.jit
+def paged_append_decode_quant(pool_k, pool_v, pool_ks, pool_vs,
+                              new_k, new_v, tables, positions, layer):
+    """INT8-KV decode write: quantize rows host-graph-side, write int8 data
+    + per-token-head scales into the pools in place (full-page RMW).
+
+    pool_k/v: [L, P, kvN, ps, D] int8; pool_k/v_s: [L, P, kvN, ps] f32;
+    new_k/v: [B, kvN, D] float.
+    """
+    from simplellminference_tpu.memory.paged_kv import quantize_kv
+
+    l_, p, kvn, ps, d = pool_k.shape
+    b = new_k.shape[0]
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    page_idx = jnp.take_along_axis(
+        tables, (positions // ps)[:, None], axis=1)[:, 0]
+    page_idx = jnp.where(page_idx < 0, p - 1, page_idx).astype(jnp.int32)
+    slots = (positions % ps).astype(jnp.int32)
+
+    qk, sk = quantize_kv(new_k)
+    qv, sv = quantize_kv(new_v)
+    nk = qk[:, :, None, :]                                  # [B, kvN, 1, D]
+    nv = qv[:, :, None, :]
+    # broadcast scale over the lane dim so the kernel block is [kvN, ps]
+    nks = jnp.broadcast_to(sk[:, :, None], (b, kvn, ps)).astype(jnp.float32)
+    nvs = jnp.broadcast_to(sv[:, :, None], (b, kvn, ps)).astype(jnp.float32)
+
+    def new_index(i_b, li, pg, sl):
+        return (i_b, 0, 0, 0)
+
+    def new_s_index(i_b, li, pg, sl):
+        return (i_b, 0, 0)
+
+    def pool_index(i_b, li, pg, sl):
+        return (li[0], pg[i_b], 0, 0, 0)
+
+    def pool_s_index(i_b, li, pg, sl):
+        return (li[0], pg[i_b], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvn, 1, d), new_index),
+            pl.BlockSpec((1, kvn, 1, d), new_index),
+            pl.BlockSpec((1, kvn, ps), new_s_index),
+            pl.BlockSpec((1, kvn, ps), new_s_index),
+            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, ps), pool_s_index),
+            pl.BlockSpec((1, 1, kvn, ps), pool_s_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, ps), pool_s_index),
+            pl.BlockSpec((1, 1, kvn, ps), pool_s_index),
+        ],
+    )
+    # Flat operands: layer(0), pages(1), slots(2), new_k(3), new_v(4),
+    # new_ks(5), new_vs(6), pools(7..10) -> aliased outputs 0..3.
+    return pl.pallas_call(
+        _decode_quant_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            jax.ShapeDtypeStruct(pool_ks.shape, pool_ks.dtype),
+            jax.ShapeDtypeStruct(pool_vs.shape, pool_vs.dtype),
+        ],
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
+    )(layer, page_idx, slots, nk, nv, nks, nvs,
+      pool_k, pool_v, pool_ks, pool_vs)
+
+
+def _prefill_quant_kernel(layer_ref, pages_ref, newk_ref, newv_ref,
+                          newks_ref, newvs_ref, pk_in, pv_in, pks_in,
+                          pvs_in, pk_out, pv_out, pks_out, pvs_out):
+    del layer_ref, pages_ref, pk_in, pv_in, pks_in, pvs_in
+    pk_out[0, 0] = newk_ref[0, 0]
+    pv_out[0, 0] = newv_ref[0, 0]
+    pks_out[0, 0] = newks_ref[0, 0]
+    pvs_out[0, 0] = newvs_ref[0, 0]
+
+
+@jax.jit
+def paged_append_prefill_quant(pool_k, pool_v, pool_ks, pool_vs,
+                               new_k, new_v, tables, layer,
+                               page_offset=None):
+    """INT8-KV prefill write: whole pages of int8 data + scale pages."""
+    from simplellminference_tpu.memory.paged_kv import quantize_kv
+
+    l_, p, kvn, ps, d = pool_k.shape
+    b, s, _, _ = new_k.shape
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    npg = -(-s // ps)
+    pad = npg * ps - s
+
+    qk, sk = quantize_kv(new_k)   # [B, S, kvN, D], [B, S, kvN]
+    qv, sv = quantize_kv(new_v)
+
+    def chunks(x):
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else x
+        return (x.reshape(b, npg, ps, kvn, d)
+                .transpose(0, 1, 3, 2, 4))                # [B,npg,kvN,ps,D]
+
+    def schunks(x):
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+        return (x.reshape(b, npg, ps, kvn)
+                .transpose(0, 1, 3, 2).astype(jnp.float32))  # [B,npg,kvN,ps]
+
+    if page_offset is None:
+        tbl = tables[:, :npg]
+    else:
+        tbl = jax.lax.dynamic_slice_in_dim(
+            tables, jnp.asarray(page_offset, jnp.int32), npg, axis=1)
+    pages = jnp.where(tbl < 0, p - 1, tbl).astype(jnp.int32)
+
+    def new_index(i_b, i_p, li, pg):
+        return (i_b, i_p, 0, 0, 0)
+
+    def new_s_index(i_b, i_p, li, pg):
+        return (i_b, i_p, 0, 0)
+
+    def pool_index(i_b, i_p, li, pg):
+        return (li[0], pg[i_b, i_p], 0, 0, 0)
+
+    def pool_s_index(i_b, i_p, li, pg):
+        return (li[0], pg[i_b, i_p], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, npg),
+        in_specs=[
+            pl.BlockSpec((1, 1, kvn, ps, d), new_index),
+            pl.BlockSpec((1, 1, kvn, ps, d), new_index),
+            pl.BlockSpec((1, 1, kvn, ps), new_s_index),
+            pl.BlockSpec((1, 1, kvn, ps), new_s_index),
+            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, ps), pool_s_index),
+            pl.BlockSpec((1, 1, kvn, ps), pool_s_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, ps), pool_s_index),
+            pl.BlockSpec((1, 1, kvn, ps), pool_s_index),
+        ],
+    )
+    return pl.pallas_call(
+        _prefill_quant_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            jax.ShapeDtypeStruct(pool_ks.shape, pool_ks.dtype),
+            jax.ShapeDtypeStruct(pool_vs.shape, pool_vs.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+    )(layer, pages, chunks(qk), chunks(qv), schunks(sk), schunks(sv),
+      pool_k, pool_v, pool_ks, pool_vs)

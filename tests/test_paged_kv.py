@@ -75,6 +75,31 @@ def test_paged_flash_decode_matches_gather_ref(rng):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_paged_flash_decode_int8_kv_matches_gather_ref(rng):
+    """INT8 KV pools with per-token-head scales: in-kernel dequant path."""
+    p, kvn, ps, d = 16, 2, 16, 64
+    b, n, mp = 2, 4, 4
+    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((p, kvn, ps, d)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((p, kvn, ps, d)), jnp.float32)
+    qk, sk = pkv.quantize_kv(kf)
+    qv, sv = pkv.quantize_kv(vf)
+    perm = rng.permutation(p)[:b * mp].reshape(b, mp)
+    tables = jnp.asarray(perm, jnp.int32)
+    kv_lens = jnp.asarray([5, mp * ps], jnp.int32)
+
+    got = paged_flash_decode(q, qk, qv, tables, kv_lens, interpret=True,
+                             k_scale=sk, v_scale=sv)
+
+    ck, cv = pkv.gather_dense(qk, qv, tables, sk, sv)
+    mask = (jnp.arange(mp * ps)[None, None, None, :]
+            < kv_lens[:, None, None, None])
+    want = ref_ops.attention(q[:, None], ck.transpose(0, 2, 1, 3),
+                             cv.transpose(0, 2, 1, 3), mask)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 @pytest.fixture(scope="module")
 def tiny_model():
     cfg = ModelConfig.tiny_test()
