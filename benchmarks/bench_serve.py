@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--page-size", type=int, default=16)
     ap.add_argument("--kv-dtype", default="bf16",
                     choices=["bf16", "fp8", "int8", "f32"])
-    ap.add_argument("--burst", type=int, default=8)
+    ap.add_argument("--burst", type=int, default=4)
     ap.add_argument("--stagger", type=int, default=0)
     args = ap.parse_args()
 
@@ -74,10 +74,14 @@ def main():
         ids = rng.integers(1, cfg.vocab_size, args.prompt_len).tolist()
         return eng.add_request(prompt_ids=ids, sampling=sampling)
 
-    # Warm-up: compile prefill + burst graphs on a throwaway request.
-    warm = make_req()
+    # Warm-up: compile prefill + burst graphs on throwaway requests —
+    # a full admit batch (warms the batched-prefill variant) plus a
+    # single request (warms the row-count=1 variant).
+    warm = [make_req() for _ in range(args.batch)]
     eng.run()
-    assert warm.output_ids, "warmup produced no tokens"
+    warm.append(make_req())
+    eng.run()
+    assert all(w.output_ids for w in warm), "warmup produced no tokens"
 
     eng.metrics = type(eng.metrics)()  # reset counters after warmup
     t0 = time.perf_counter()

@@ -47,7 +47,7 @@ class Engine:
     """Single-model continuous-batching inference engine."""
 
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
-                 tokenizer=None, decode_burst: int = 8,
+                 tokenizer=None, decode_burst: int = 4,
                  forward_paged=None):
         self.cfg = cfg
         self.params = params
@@ -81,32 +81,56 @@ class Engine:
         self._key = jax.random.PRNGKey(0)
         self._detok: dict[int, StreamingDetokenizer] = {}
 
+        # burst pipeline: device-carried (token, pos) from the in-flight
+        # burst, host overrides for slots changed since its dispatch, and
+        # the unprocessed burst output (synced one burst late).
+        self._dev_tok = None
+        self._dev_pos = None
+        self._override = np.zeros(b, bool)
+        self._inflight = None  # (toks_dev, [(slot, req)])
+
         cfg_ = cfg
         fwd = self._fwd
 
         @partial(jax.jit, donate_argnums=(1,))
-        def _prefill_fn(params, cache, tokens, tables, kv_len):
+        def _prefill_fn(params, cache, tokens, tables, kv_len,
+                        key, temp, top_k, top_p):
             s = tokens.shape[1]
             positions = jnp.arange(s, dtype=jnp.int32)[None]
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
                                 tables, kv_len, prefill=True,
                                 last_token_only=True)
-            return logits[:, -1], cache
+            # first token sampled in-graph: no separate sampling dispatch
+            # (~25 ms through the tunnel) per admitted request.
+            tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
+                                      top_p)
+            return tok, cache
 
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
-                              chunk_offset):
+                              chunk_offset, key, temp, top_k, top_p):
             s = tokens.shape[1]
             positions = chunk_offset + jnp.arange(s, dtype=jnp.int32)[None]
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
                                 tables, kv_len, prefill=True,
                                 last_token_only=True,
                                 chunk_offset=chunk_offset)
-            return logits[:, -1], cache
+            tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
+                                      top_p)
+            return tok, cache
 
-        @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-        def _burst_fn(steps, params, cache, tokens, pos, tables, active,
-                      key, temp, top_k, top_p):
+        @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4))
+        def _burst_fn(steps, params, cache, dev_tok, dev_pos, ov_tok,
+                      ov_pos, ov_mask, tables, active, key, temp, top_k,
+                      top_p):
+            # Device-carried decode state: dev_tok/dev_pos come back from
+            # the PREVIOUS burst (still in flight when the host dispatches
+            # this one — the host never waits on them). ov_* override the
+            # slots the host changed since (admits): merged in-graph, so
+            # pipelining costs no extra dispatch.
+            tokens = jnp.where(ov_mask, ov_tok, dev_tok)
+            pos = jnp.where(ov_mask, ov_pos, dev_pos)
+
             def step(carry, _):
                 cache, tok, pos, key = carry
                 kv_lens = pos + 1
@@ -120,9 +144,9 @@ class Engine:
                 pos = pos + active.astype(jnp.int32)
                 return (cache, nxt, pos, key), nxt
 
-            (cache, _, pos, _), toks = jax.lax.scan(
+            (cache, tok, pos, _), toks = jax.lax.scan(
                 step, (cache, tokens, pos, key), None, length=steps)
-            return toks.T, cache  # [B, steps]
+            return toks.T, tok, pos, cache  # [B, steps], [B], [B]
 
         self._prefill_fn = _prefill_fn
         self._prefill_chunk_fn = _prefill_chunk_fn
@@ -162,7 +186,8 @@ class Engine:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.waiting) or any(s is not None for s in self.slots)
+        return (bool(self.waiting) or self._inflight is not None
+                or any(s is not None for s in self.slots))
 
     def run(self):
         """Drive until all requests complete."""
@@ -186,6 +211,7 @@ class Engine:
 
     def _admit(self):
         free = self._free_slots()
+        admitted: list[Request] = []
         while free and self.waiting:
             req = self.waiting[0]
             slot = free[0]
@@ -201,12 +227,69 @@ class Engine:
             self._temp[slot] = req.sampling.temperature
             self._top_k[slot] = req.sampling.top_k
             self._top_p[slot] = req.sampling.top_p
-            self._prefill(req)
+            admitted.append(req)
             metrics_lib.log_event("request_admitted", req_id=req.req_id,
                                   slot=slot)
+        if not admitted:
+            return
+        chunk = self.ecfg.prefill_chunk
+        pending: list[tuple[list[Request], jax.Array]] = []
+        batchable: list[Request] = []
+        for req in admitted:
+            ln = req.total_len
+            if chunk and chunk > 0 and ln > chunk \
+                    and chunk % self.ecfg.kv.page_size == 0:
+                pending.append(([req], self._prefill(req)))
+            else:
+                batchable.append(req)
+        if batchable:
+            pending.append((batchable, self._prefill_batch(batchable)))
+        # one host sync for ALL admitted prefills (not one per request):
+        # prefill dispatches queue back-to-back on the device.
+        for reqs, dev_toks in pending:
+            toks = np.asarray(dev_toks)
+            for i, req in enumerate(reqs):
+                tok_id = int(toks[i])
+                self._next_tok[req.slot] = tok_id
+                self._override[req.slot] = True  # fresh state for pipeline
+                self._emit_tokens(req, [tok_id])
 
-    def _prefill(self, req: Request):
-        """B=1 prefill of everything computed so far.
+    def _prefill_batch(self, reqs: list[Request]) -> jax.Array:
+        """ONE batched prefill dispatch for all admitted short prompts
+        (row-padded to the longest bucket; rows are independent — each
+        writes its own block-table pages). Returns [len(reqs)] device
+        tokens. Row count is bucketed to a power of two to bound compile
+        variants; padding rows carry -1 tables (trash page) and len 1."""
+        n = len(reqs)
+        lens = [r.total_len for r in reqs]
+        bucket = next_power_of_2(max(max(lens), 16))
+        nb = next_power_of_2(n)
+        tokens = np.zeros((nb, bucket), np.int32)
+        mp = self.allocator.table().shape[1]
+        tables = np.full((nb, mp), -1, np.int32)
+        kv_len = np.ones(nb, np.int32)
+        slots = [r.slot for r in reqs]
+        for i, r in enumerate(reqs):
+            ids = r.prompt_ids + r.output_ids
+            tokens[i, :lens[i]] = ids
+            tables[i] = self.allocator.row(r.slot)
+            kv_len[i] = lens[i]
+            self._pos[r.slot] = lens[i]
+            self.metrics.prefills += 1
+            self.metrics.prompt_tokens += lens[i]
+        self._key, sub = jax.random.split(self._key)
+        idx = np.asarray(slots + [0] * (nb - n))
+        dev_toks, self.cache = self._prefill_fn(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(tables), jnp.asarray(kv_len), sub,
+            jnp.asarray(self._temp[idx]), jnp.asarray(self._top_k[idx]),
+            jnp.asarray(self._top_p[idx]))
+        return dev_toks[:n]
+
+    def _prefill(self, req: Request) -> jax.Array:
+        """B=1 prefill of everything computed so far. Returns the first
+        sampled token as a DEVICE array — callers sync once per admit
+        batch, not per request.
 
         Prompts up to ``prefill_chunk`` run as one bucketed pass; longer
         prompts run in fixed ``prefill_chunk``-token chunks (one compiled
@@ -216,6 +299,11 @@ class Engine:
         ids = req.prompt_ids + req.output_ids
         ln = len(ids)
         tables = jnp.asarray(self.allocator.row(req.slot)[None])
+        self._key, sub = jax.random.split(self._key)
+        samp = (sub,
+                jnp.asarray(self._temp[req.slot:req.slot + 1]),
+                jnp.asarray(self._top_k[req.slot:req.slot + 1]),
+                jnp.asarray(self._top_p[req.slot:req.slot + 1]))
         chunk = self.ecfg.prefill_chunk
         if chunk and chunk > 0 and ln > chunk \
                 and chunk % self.ecfg.kv.page_size == 0:
@@ -225,30 +313,21 @@ class Engine:
             for j in range(n_chunks):
                 tok = jnp.asarray(padded[None, j * chunk:(j + 1) * chunk])
                 kv_after = min(ln, (j + 1) * chunk)
-                last, self.cache = self._prefill_chunk_fn(
+                dev_tok, self.cache = self._prefill_chunk_fn(
                     self.params, self.cache, tok, tables,
                     jnp.asarray([kv_after], np.int32),
-                    jnp.asarray(j * chunk, np.int32))
+                    jnp.asarray(j * chunk, np.int32), *samp)
         else:
             bucket = next_power_of_2(max(ln, 16))
             tokens = np.zeros((1, bucket), np.int32)
             tokens[0, :ln] = ids
-            last, self.cache = self._prefill_fn(
+            dev_tok, self.cache = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(tokens), tables,
-                jnp.asarray([ln], np.int32))
+                jnp.asarray([ln], np.int32), *samp)
         self.metrics.prefills += 1
         self.metrics.prompt_tokens += ln
-        # sample the first token now (TTFT ends here)
-        self._key, sub = jax.random.split(self._key)
-        tok = sampling_ops.sample(
-            last, sub,
-            jnp.asarray(self._temp[req.slot:req.slot + 1]),
-            jnp.asarray(self._top_k[req.slot:req.slot + 1]),
-            jnp.asarray(self._top_p[req.slot:req.slot + 1]))
-        tok_id = int(np.asarray(tok)[0])
         self._pos[req.slot] = ln
-        self._next_tok[req.slot] = tok_id
-        self._emit_tokens(req, [tok_id])
+        return dev_tok
 
     def _emit_tokens(self, req: Request, toks: list[int]):
         """Append sampled tokens, applying stop conditions. May finish."""
@@ -296,13 +375,15 @@ class Engine:
         return True
 
     def _ensure_burst_pages(self) -> bool:
-        """Extend every running slot to cover pos + burst tokens."""
+        """Extend every running slot's pages to cover the pipeline depth:
+        host ``_pos`` lags the device position by up to one unprocessed
+        burst, and the burst about to dispatch advances one more."""
         while True:
             ok = True
             for req in list(self.slots):
                 if req is None:
                     continue
-                target = int(self._pos[req.slot]) + self.burst + 1
+                target = int(self._pos[req.slot]) + 2 * self.burst + 1
                 if self.allocator.seq_len(req.slot) < target:
                     if not self.allocator.extend(req.slot, target):
                         ok = False
@@ -313,11 +394,23 @@ class Engine:
                 return False
 
     def step(self):
-        """One scheduling iteration: admit → burst decode → bookkeeping."""
+        """One scheduling iteration: admit → dispatch burst N+1 → process
+        burst N.
+
+        The burst output sync happens one burst LATE: decode state (token,
+        position) carries on-device between bursts, so the next burst is
+        dispatched before the previous one's tokens reach the host — host
+        bookkeeping and the ~tens-of-ms dispatch+sync overhead overlap
+        device compute instead of serializing with it.
+        """
         self._admit()
         running = [r for r in self.slots if r is not None]
         if not running:
-            if not self.waiting:
+            self._process_inflight()
+            if any(s is not None for s in self.slots) or not self.waiting:
+                return
+            self._admit()  # the drain may have freed pages
+            if any(s is not None for s in self.slots):
                 return
             # nothing running but waiting couldn't admit: hard OOM for the
             # head request — fail it rather than livelock.
@@ -327,32 +420,71 @@ class Engine:
             self.metrics.requests_failed += 1
             req.emit([], finished=True)
             return
-        if not self._ensure_burst_pages():
-            # could not even cover one burst — shrink to single steps by
-            # failing the largest request (degenerate; avoids livelock)
-            victim = max(running, key=lambda r: r.total_len)
-            victim.state = RequestState.FAILED
-            victim.error = "KV page pool exhausted"
-            self.allocator.free_seq(victim.slot)
-            self.slots[victim.slot] = None
-            self.metrics.requests_failed += 1
-            victim.emit([], finished=True)
+        if self._inflight is not None and all(
+                r.sampling.max_new_tokens - r.num_generated <= self.burst
+                for r in running):
+            # the in-flight burst already finishes every running request —
+            # don't dispatch a burst of pure waste.
+            self._process_inflight()
             return
+        if not self._ensure_burst_pages():
+            self._process_inflight()  # finishes may free pages
+            if not self._ensure_burst_pages():
+                # could not even cover one burst — fail the largest
+                # request (degenerate; avoids livelock)
+                running = [r for r in self.slots if r is not None]
+                if not running:
+                    return
+                victim = max(running, key=lambda r: r.total_len)
+                victim.state = RequestState.FAILED
+                victim.error = "KV page pool exhausted"
+                self.allocator.free_seq(victim.slot)
+                self.slots[victim.slot] = None
+                self.metrics.requests_failed += 1
+                victim.emit([], finished=True)
+                return
 
         active = np.asarray([s is not None for s in self.slots], bool)
         tables = jnp.asarray(self.allocator.table())
         self._key, sub = jax.random.split(self._key)
-        toks, self.cache = self._burst_fn(
-            self.burst, self.params, self.cache,
+        if self._dev_tok is None:
+            dev_tok = jnp.asarray(self._next_tok)
+            dev_pos = jnp.asarray(self._pos)
+            ov_mask = np.ones(len(self.slots), bool)
+        else:
+            dev_tok, dev_pos = self._dev_tok, self._dev_pos
+            ov_mask = self._override
+        toks, self._dev_tok, self._dev_pos, self.cache = self._burst_fn(
+            self.burst, self.params, self.cache, dev_tok, dev_pos,
             jnp.asarray(self._next_tok), jnp.asarray(self._pos),
-            tables, jnp.asarray(active), sub,
+            jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
             jnp.asarray(self._temp), jnp.asarray(self._top_k),
             jnp.asarray(self._top_p))
-        toks = np.asarray(toks)  # [B, burst] — sync point
+        self._override[:] = False
         self.metrics.decode_bursts += 1
+        prev = self._inflight
+        self._inflight = (toks, [(r.slot, r) for r in running])
+        if prev is not None:
+            self._bookkeep(*prev)
+        self.metrics.observe_step(
+            busy_slots=int(active.sum()), total_slots=len(self.slots),
+            used_pages=self.ecfg.kv.num_pages - self.allocator.num_free,
+            total_pages=self.ecfg.kv.num_pages)
 
-        for slot, req in enumerate(list(self.slots)):
-            if req is None:
+    def _process_inflight(self):
+        """Drain the pipeline: sync + bookkeep the in-flight burst."""
+        if self._inflight is None:
+            return
+        toks_dev, snapshot = self._inflight
+        self._inflight = None
+        self._bookkeep(toks_dev, snapshot)
+
+    def _bookkeep(self, toks_dev, snapshot):
+        toks = np.asarray(toks_dev)  # [B, burst] — the one sync point
+        for slot, req in snapshot:
+            # skip slots whose request was replaced/finished since dispatch
+            if self.slots[slot] is not req \
+                    or req.state != RequestState.RUNNING:
                 continue
             # The burst consumed _next_tok (emitted by the previous
             # prefill/burst) and produced `burst` new tokens; the last one
@@ -362,7 +494,3 @@ class Engine:
             if req.state == RequestState.RUNNING:
                 self._pos[slot] += self.burst
                 self._next_tok[slot] = burst_toks[-1]
-        self.metrics.observe_step(
-            busy_slots=int(active.sum()), total_slots=len(self.slots),
-            used_pages=self.ecfg.kv.num_pages - self.allocator.num_free,
-            total_pages=self.ecfg.kv.num_pages)
