@@ -139,18 +139,21 @@ def bench_qmm_sweep(a):
 
 
 def bench_flash_sweep(a):
-    for bk in (128, 256, 512, 1024):
-        try:
-            r = bench_flash_decode_cfg(bk=bk, t=256)
-            print(json.dumps(r), flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"op": f"flash bk{bk}",
-                              "error": str(e)[:120]}), flush=True)
+    for kv_len in (144, 512, 1024):
+        for bk, rows in ((256, 16), (256, 32), (512, 16), (512, 32),
+                         (1024, 16), (128, 32)):
+            try:
+                r = bench_flash_decode_cfg(bk=bk, rows_target=rows,
+                                           kv_len=kv_len, t=256)
+                print(json.dumps(r), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"op": f"flash bk{bk} rt{rows} l{kv_len}",
+                                  "error": str(e)[:120]}), flush=True)
     return {"op": "flash_sweep", "done": True}
 
 
 def bench_flash_decode_cfg(b=8, n=32, kvn=32, d=128, smax=1024, kv_len=256,
-                           t=32, bk=256):
+                           t=32, bk=256, rows_target=16):
     from simplellminference_tpu.ops.attention.flash_decode import flash_decode
 
     key = jax.random.PRNGKey(0)
@@ -160,12 +163,13 @@ def bench_flash_decode_cfg(b=8, n=32, kvn=32, d=128, smax=1024, kv_len=256,
     q = jnp.ones((b, n, d), jnp.bfloat16)
 
     def step(c, i, kc, vc):
-        o = flash_decode(c + i.astype(jnp.bfloat16) * 0, kc, vc, lens, bk=bk)
+        o = flash_decode(c + i.astype(jnp.bfloat16) * 0, kc, vc, lens,
+                         bk=bk, rows_target=rows_target)
         return o * 0 + c
 
     sec = timed_scan(step, q, t, consts=(kc, vc))
     bytes_ = 2 * b * kvn * kv_len * d * 2
-    return {"op": f"flash_decode bk{bk} len{kv_len}/{smax}",
+    return {"op": f"flash_decode bk{bk} rt{rows_target} len{kv_len}/{smax}",
             "us": round(sec * 1e6, 1),
             "gb_s": round(bytes_ / sec / 1e9, 1),
             "roofline_frac": round(bytes_ / sec / V5E_BW, 3)}

@@ -87,15 +87,21 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bk", "interpret",
-                                             "rows_target"))
+                                             "rows_target", "max_kv"))
 def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                 kv_lens: jax.Array, bk: int = 256,
+                 kv_lens: jax.Array, bk: int | None = None,
                  interpret: bool = False,
                  layer: jax.Array | None = None,
-                 rows_target: int = 16) -> jax.Array:
+                 rows_target: int = 16,
+                 max_kv: int | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D] — or the full stacked
     arena [L, B, kvN, Smax, D] with a traced ``layer`` index. kv_lens: [B]
-    -> out [B, N, D]; attends to cache slots [0, kv_len) per sequence."""
+    -> out [B, N, D]; attends to cache slots [0, kv_len) per sequence.
+
+    ``max_kv``: static upper bound on kv_lens when the caller knows one
+    tighter than the arena capacity (generate() knows prompt + max_new) —
+    the seq-block grid dim shrinks to ceil(max_kv / bk), so per-step cost
+    scales with the workload's real window, not the arena allocation."""
     if k_cache.ndim == 4:
         k_cache = k_cache[None]
         v_cache = v_cache[None]
@@ -107,9 +113,16 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     _, _, kvn, smax, _ = k_cache.shape
     group = n // kvn
     scale = d ** -0.5
+    if bk is None:
+        # Cost = ceil(len/bk)*bk slots transferred + ~per-grid-step
+        # overhead: small bk wastes less transfer on the partial last
+        # block (dominant at short windows), large bk keeps the grid
+        # small at long windows (sweep in benchmarks/micro.py).
+        bk = 128 if smax <= 1024 else 256
+    bound = smax if max_kv is None else min(smax, max(bk, max_kv))
     bk = min(bk, smax)
     assert smax % bk == 0, (smax, bk)
-    nk = smax // bk
+    nk = -(-bound // bk)
 
     # Pack kv heads so each tile carries >= rows_target query rows (full
     # sublanes; more rows amortize per-grid-step overhead at the cost of

@@ -68,9 +68,17 @@ class Generator:
         self._prefill_fn = _prefill
         self._decode_fn = _decode
 
-    def new_cache(self, batch: int) -> DenseKVCache:
+    def new_cache(self, batch: int,
+                  seq_len: Optional[int] = None) -> DenseKVCache:
+        """``seq_len``: the workload's true bound (prompt bucket +
+        max_new). The arena is sized to it (rounded up to 256 slots) —
+        the flash-decode grid iterates ceil(smax/bk) seq blocks per call,
+        so an arena sized to max_seq makes every short decode pay grid
+        steps for slots that can never be live."""
         c = self.cfg
-        return DenseKVCache.create(c.num_layers, batch, self.max_seq,
+        s = self.max_seq if seq_len is None else min(
+            self.max_seq, -(-seq_len // 256) * 256)
+        return DenseKVCache.create(c.num_layers, batch, s,
                                    c.num_kv_heads, c.head_dim, self.kv_dtype)
 
     def prefill(self, cache: DenseKVCache, prompts: Sequence[Sequence[int]]):
@@ -97,7 +105,9 @@ class Generator:
                  params: SamplingParams = SamplingParams()) -> GenerateResult:
         """Python-loop generation (engine-style; per-step host control)."""
         b = len(prompts)
-        cache = self.new_cache(b)
+        bucket = min(next_power_of_2(max(len(p) for p in prompts)),
+                     self.max_seq)
+        cache = self.new_cache(b, bucket + params.max_new_tokens)
         last_logits, cache, lens = self.prefill(cache, prompts)
         lens_arr = jnp.asarray(lens, jnp.int32)
         key = jax.random.PRNGKey(params.seed)
@@ -160,7 +170,8 @@ class Generator:
         fwd = self._forward
         cfg = self.cfg
         b, bucket = tokens.shape
-        cache = self.new_cache(b)  # traced zeros -> XLA temp, in-place loop
+        # traced zeros -> XLA temp, in-place loop; sized to the workload
+        cache = self.new_cache(b, bucket + max_new_tokens)
 
         positions = jnp.broadcast_to(jnp.arange(bucket, dtype=jnp.int32),
                                      (b, bucket))
