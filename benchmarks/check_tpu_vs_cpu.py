@@ -33,12 +33,15 @@ def main():
     from simplellminference_tpu.runtime.weights import quantize_params
 
     quant = "--int8" in sys.argv
+    # --per-channel: group_size=0 -> one scale per output column (the
+    # production decode config; exercises the fused FFN megakernel path)
+    gs = 0 if "--per-channel" in sys.argv else 128
     cfg = ModelConfig.tinyllama_1_1b(num_layers=4, max_seq_len=256,
                                      dtype="bfloat16")
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
     if quant:
         params = quantize_params(params, QuantConfig(mode="int8",
-                                                     group_size=128))
+                                                     group_size=gs))
     gen = Generator(cfg, params, max_batch=2, max_seq=256)
     res = gen.generate([[1, 2, 3, 4, 5], [9, 8, 7]],
                        SamplingParams(max_new_tokens=12))

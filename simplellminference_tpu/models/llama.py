@@ -137,6 +137,20 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     x = x + attn
 
     # --- FFN block (reference: model.cpp:93-128) ---
+    if (tp_axis is None and li is not None
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        from simplellminference_tpu.ops import ffn_fused
+        if ffn_fused.fused_ffn_available(lw, h, cfg.intermediate_size,
+                                         b * s):
+            # decode hot path: rmsnorm+gate_up+SwiGLU+down+residual as ONE
+            # pallas call — no inter-matmul DMA ramp/drain, no XLA fusion
+            # boundaries (ops/ffn_fused.py).
+            gu, dn = lw["w_gate_up"], lw["w_down"]
+            out = ffn_fused.fused_ffn(
+                x.reshape(b * s, h), lw["post_norm"], gu.q, gu.scales,
+                dn.q, dn.scales, li, eps=cfg.rms_norm_eps)
+            return out.reshape(b, s, h), cache_k, cache_v
     ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"]), cfg.rms_norm_eps)
     i = cfg.intermediate_size if tp_axis is None else (
         cfg.intermediate_size // jax.lax.axis_size(tp_axis))
