@@ -228,8 +228,8 @@ class KVCacheConfig:
     — capacity is bounded by HBM pages, not per-sequence max length.
     """
 
-    page_size: int = 16            # tokens per page
-    num_pages: int = 2048          # total device pages (per layer tier)
+    page_size: int = 32            # tokens per page (bigger pages = bigger page DMAs)
+    num_pages: int = 1024          # total device pages (per layer tier)
     max_pages_per_seq: int = 512   # block-table width
     kv_dtype: str = "bf16"
 

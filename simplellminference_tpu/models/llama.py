@@ -350,6 +350,17 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li)
         x = x + attn
 
+        if (jax.default_backend() == "tpu" and jax.device_count() == 1):
+            from simplellminference_tpu.ops import ffn_fused
+            if ffn_fused.fused_ffn_available(lw, cfg.hidden_size,
+                                             cfg.intermediate_size, b * s):
+                gu, dn = lw["w_gate_up"], lw["w_down"]
+                xo = ffn_fused.fused_ffn(
+                    x.reshape(b * s, cfg.hidden_size), lw["post_norm"],
+                    gu.q, gu.scales, dn.q, dn.scales, li,
+                    eps=cfg.rms_norm_eps)
+                return (xo.reshape(b, s, cfg.hidden_size), pk, pv, pks,
+                        pvs), None
         ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
                                  cfg.rms_norm_eps)
         i = cfg.intermediate_size

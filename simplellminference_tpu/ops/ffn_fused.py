@@ -213,6 +213,204 @@ def fused_ffn(x: jax.Array, norm_w: jax.Array, q1: jax.Array,
     return out[:m]
 
 
+def _wo_kernel(layer_ref, attn_ref, x_ref, wq_ref, ws_ref, nw_ref, q1_ref,
+               s1_ref, q2_ref, s2_ref, out_ref, at_ref, acc0_ref, xres_ref,
+               xn_ref, acc1_ref, gu_ref, h_ref, acc2_ref, *, eps: float,
+               k0: int, k1: int, n1: int, k2: int, bk0: int, bk1: int,
+               bn1: int, bk2: int, out_dtype):
+    """wo + residual + rmsnorm + gate_up + SwiGLU + down + residual."""
+    i = pl.program_id(0)
+    t0 = k0
+    t1 = t0 + n1 * k1
+
+    @pl.when(i == 0)
+    def _():
+        a = attn_ref[:].astype(jnp.bfloat16)
+        for kk in range(k0):
+            at_ref[kk] = a[:, kk * bk0:(kk + 1) * bk0]
+        acc0_ref[:] = jnp.zeros_like(acc0_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    @pl.when(i < t0)
+    def _():
+        acc0_ref[:] += jnp.dot(at_ref[i], wq_ref[0].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(i == t0 - 1)
+    def _():
+        # Round exactly like the unfused path (qmm -> bf16 out -> bf16
+        # residual add): keeps fused and unfused decode token streams
+        # IDENTICAL, which the TPU-vs-CPU parity harness relies on.
+        wo_out = (acc0_ref[:] * ws_ref[0, 0][None].astype(jnp.float32)
+                  ).astype(jnp.bfloat16)
+        xres = (x_ref[:] + wo_out).astype(jnp.float32)
+        xres_ref[:] = xres
+        inv = jax.lax.rsqrt(jnp.mean(xres * xres, axis=1, keepdims=True)
+                            + eps)
+        xn = (xres * inv * nw_ref[0, 0][None].astype(jnp.float32)
+              ).astype(jnp.bfloat16)
+        for kk in range(k1):
+            xn_ref[kk] = xn[:, kk * bk1:(kk + 1) * bk1]
+
+    @pl.when((i >= t0) & (i < t1))
+    def _():
+        j1 = (i - t0) // k1
+        kk1 = (i - t0) % k1
+
+        @pl.when(kk1 == 0)
+        def _():
+            acc1_ref[:] = jnp.zeros_like(acc1_ref)
+
+        acc1_ref[:] += jnp.dot(xn_ref[kk1], q1_ref[0].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+
+        @pl.when(kk1 == k1 - 1)
+        def _():
+            gu_ref[j1] = acc1_ref[:] * s1_ref[0, 0][None].astype(jnp.float32)
+
+    @pl.when(i == t1 - 1)
+    def _():
+        half = n1 // 2
+        per = bn1 // bk2
+        for jb in range(half):
+            g = gu_ref[jb]
+            u = gu_ref[jb + half]
+            sw = (g * jax.lax.logistic(g) * u).astype(jnp.bfloat16)
+            for t in range(per):
+                h_ref[jb * per + t] = sw[:, t * bk2:(t + 1) * bk2]
+
+    @pl.when(i >= t1)
+    def _():
+        acc2_ref[:] += jnp.dot(h_ref[i - t1], q2_ref[0].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(i == t1 + k2 - 1)
+    def _():
+        out_ref[:] = (acc2_ref[:] * s2_ref[0, 0][None].astype(jnp.float32)
+                      + xres_ref[:]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_wo_ffn(attn: jax.Array, x: jax.Array, wo_q: jax.Array,
+                 wo_s: jax.Array, norm_w: jax.Array, q1: jax.Array,
+                 s1: jax.Array, q2: jax.Array, s2: jax.Array,
+                 layer: jax.Array, eps: float = 1e-5,
+                 interpret: bool = False) -> jax.Array:
+    """x + down(swiglu(gate_up(rms(x + attn @ wo)))) — the whole post-
+    attention half of a decoder layer as ONE weight stream.
+
+    attn: [m, N*D]; x: [m, H]; wo_q: [L, N*D, H] int8 (+ per-channel
+    wo_s [L, 1, H]); q1/s1/q2/s2 as :func:`fused_ffn`.
+
+    NOT dispatched from the model: on v5e 7B decode this measured ~10
+    tok/s SLOWER than standalone wo qmm + :func:`fused_ffn` (the extra
+    VMEM residency squeezes the gate_up stream's buffering). Kept as a
+    tested building block for parts with more VMEM headroom.
+    """
+    m, nd = attn.shape
+    _, h = x.shape
+    l_, _, n1_full = q1.shape
+    inter = q2.shape[1]
+
+    m_pad = max(16, -(-m // 8) * 8)
+    a2 = attn.astype(jnp.bfloat16)
+    x2 = x.astype(jnp.bfloat16)
+    if m_pad != m:
+        a2 = jnp.pad(a2, ((0, m_pad - m), (0, 0)))
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    tiles = ffn_tiles(h, inter, m_pad)
+    assert tiles is not None, (h, inter)
+    bk1, bn1, bk2 = tiles
+    # bk0 = 512 matches the standalone qmm's K split, so the f32
+    # accumulation order (and thus the rounded bf16 result) is identical.
+    bk0 = _largest_divisor(nd, 256, 128)
+    k0 = nd // bk0
+    k1 = h // bk1
+    n1 = n1_full // bn1
+    k2 = inter // bk2
+    t0 = k0
+    t1 = t0 + n1 * k1
+    grid = (t1 + k2,)
+
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    nw3 = norm_w.reshape(l_, 1, h)
+    ws3 = wo_s.reshape(l_, 1, h)
+    s1r = s1.reshape(l_, 1, n1_full)
+    s2r = s2.reshape(l_, 1, h)
+
+    def wo_index(i, li):
+        return (li[0], jnp.minimum(i, t0 - 1), 0)
+
+    def q1_index(i, li):
+        ic = jnp.clip(i - t0, 0, n1 * k1 - 1)
+        return (li[0], ic % k1, ic // k1)
+
+    def s1_index(i, li):
+        return (li[0], 0, jnp.clip(i - t0, 0, n1 * k1 - 1) // k1)
+
+    def q2_index(i, li):
+        return (li[0], jnp.maximum(i - t1, 0), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, nd), lambda i, li: (0, 0)),       # attn
+            pl.BlockSpec((m_pad, h), lambda i, li: (0, 0)),        # x
+            pl.BlockSpec((1, bk0, h), wo_index),                   # wo q
+            pl.BlockSpec((1, 1, h), lambda i, li: (li[0], 0, 0)),  # wo s
+            pl.BlockSpec((1, 1, h), lambda i, li: (li[0], 0, 0)),  # norm
+            pl.BlockSpec((1, bk1, bn1), q1_index),                 # q1
+            pl.BlockSpec((1, 1, bn1), s1_index),                   # s1
+            pl.BlockSpec((1, bk2, h), q2_index),                   # q2
+            pl.BlockSpec((1, 1, h), lambda i, li: (li[0], 0, 0)),  # s2
+        ],
+        out_specs=pl.BlockSpec((m_pad, h), lambda i, li: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((k0, m_pad, bk0), jnp.bfloat16),   # attn slabs
+            pltpu.VMEM((m_pad, h), jnp.float32),          # acc0 (wo)
+            pltpu.VMEM((m_pad, h), jnp.float32),          # x + attn@wo
+            pltpu.VMEM((k1, m_pad, bk1), jnp.bfloat16),   # xn slabs
+            pltpu.VMEM((m_pad, bn1), jnp.float32),        # acc1
+            pltpu.VMEM((n1, m_pad, bn1), jnp.float32),    # gate_up
+            pltpu.VMEM((k2, m_pad, bk2), jnp.bfloat16),   # swiglu slabs
+            pltpu.VMEM((m_pad, h), jnp.float32),          # acc2
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_wo_kernel, eps=eps, k0=k0, k1=k1, n1=n1, k2=k2,
+                          bk0=bk0, bk1=bk1, bn1=bn1, bk2=bk2,
+                          out_dtype=x.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, h), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * (nd * h + h * n1_full + inter * h),
+            bytes_accessed=nd * h + h * n1_full + inter * h,
+            transcendentals=m_pad * inter,
+        ),
+        interpret=interpret,
+    )(layer, a2, x2, wo_q, ws3, nw3, q1, s1r, q2, s2r)
+    return out[:m]
+
+
+def fused_wo_ffn_available(lw, nd: int, h: int, inter: int, m: int) -> bool:
+    """True when the wo+FFN megakernel applies on top of the FFN gates."""
+    from simplellminference_tpu.ops.linear import QuantizedWeight
+
+    wo = lw.get("wo")
+    if not (isinstance(wo, QuantizedWeight) and wo.q.ndim == 3
+            and wo.scales.shape[-2] == 1):
+        return False
+    if nd % 128 != 0:
+        return False
+    return fused_ffn_available(lw, h, inter, m)
+
+
 def fused_ffn_available(lw, h: int, inter: int, m: int) -> bool:
     """True when the decode-path fused FFN kernel applies."""
     from simplellminference_tpu.ops.linear import QuantizedWeight
