@@ -40,6 +40,10 @@ def main():
                     choices=["bf16", "fp8", "int8", "f32"])
     ap.add_argument("--burst", type=int, default=4)
     ap.add_argument("--stagger", type=int, default=0)
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="first N prompt tokens identical across requests "
+                         "(system-prompt workload; exercises the prefix "
+                         "cache)")
     args = ap.parse_args()
 
     import bench as bench_mod
@@ -70,8 +74,12 @@ def main():
     rng = np.random.default_rng(0)
     sampling = SamplingParams(max_new_tokens=args.max_new)
 
+    shared = rng.integers(1, cfg.vocab_size, args.shared_prefix).tolist() \
+        if args.shared_prefix > 0 else []
+
     def make_req():
-        ids = rng.integers(1, cfg.vocab_size, args.prompt_len).tolist()
+        n = max(args.prompt_len - len(shared), 0)
+        ids = shared + rng.integers(1, cfg.vocab_size, n).tolist()
         return eng.add_request(prompt_ids=ids, sampling=sampling)
 
     # Warm-up: compile prefill + burst graphs on throwaway requests —

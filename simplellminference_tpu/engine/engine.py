@@ -109,8 +109,11 @@ class Engine:
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
                               chunk_offset, key, temp, top_k, top_p):
+            # chunk_offset: [B] per-row start position (page-aligned) —
+            # batched prefix-cache suffixes start at different offsets
             s = tokens.shape[1]
-            positions = chunk_offset + jnp.arange(s, dtype=jnp.int32)[None]
+            positions = (chunk_offset[:, None]
+                         + jnp.arange(s, dtype=jnp.int32)[None])
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
                                 tables, kv_len, prefill=True,
                                 last_token_only=True,
@@ -209,16 +212,61 @@ class Engine:
     def _free_slots(self) -> list[int]:
         return [i for i, s in enumerate(self.slots) if s is None]
 
+    def _find_prefix_source(self, req: Request,
+                            exclude: set[int]) -> tuple[int, int]:
+        """(src_slot, shareable_tokens): the RUNNING request whose prompt
+        shares the longest page-aligned prefix with ``req``. Shared pages
+        are complete and immutable — each sequence only writes at
+        positions >= its own prompt length >= the shared prefix.
+
+        ``exclude``: slots admitted THIS cycle whose prefill dispatches
+        after the suffix batch (cached/chunked admits) — sharing from
+        them would read pages before they are written."""
+        ps = self.ecfg.kv.page_size
+        best_slot, best = -1, 0
+        cap = req.total_len - 1  # at least one token must prefill
+        for cand in self.slots:
+            if cand is None or cand.state != RequestState.RUNNING \
+                    or cand.slot in exclude:
+                continue
+            n = 0
+            for a, b in zip(req.prompt_ids, cand.prompt_ids):
+                if a != b:
+                    break
+                n += 1
+            n = (min(n, cap) // ps) * ps
+            if n > best:
+                best, best_slot = n, cand.slot
+        return best_slot, best
+
     def _admit(self):
         free = self._free_slots()
         admitted: list[Request] = []
+        chunk = self.ecfg.prefill_chunk
+        late: set[int] = set()  # this cycle's cached/chunked admits
         while free and self.waiting:
             req = self.waiting[0]
             slot = free[0]
-            # allocate pages for everything computed so far (prompt +
-            # already-generated tokens for preempted requests)
-            if not self.allocator.alloc_seq(slot, req.total_len):
+            # prefix cache: share complete prompt-prefix pages with a
+            # running request (refcounted, zero-copy), then allocate only
+            # the remainder. Prefill starts after the shared prefix.
+            req.cached_len = 0
+            src, shareable = self._find_prefix_source(req, late)
+            if src >= 0 and shareable > 0:
+                shared = self.allocator.share_prefix(src, slot, shareable)
+                if shared > 0:
+                    if self.allocator.extend(slot, req.total_len):
+                        req.cached_len = shared
+                    else:
+                        self.allocator.free_seq(slot)  # drop the share
+            if req.cached_len == 0 \
+                    and not self.allocator.alloc_seq(slot, req.total_len):
                 break  # pool exhausted — wait for finishes
+            if req.cached_len or (
+                    chunk and chunk > 0
+                    and req.total_len - req.cached_len > chunk
+                    and chunk % self.ecfg.kv.page_size == 0):
+                late.add(slot)
             self.waiting.popleft()
             free.pop(0)
             req.slot = slot
@@ -228,22 +276,37 @@ class Engine:
             self._top_k[slot] = req.sampling.top_k
             self._top_p[slot] = req.sampling.top_p
             admitted.append(req)
+            if req.cached_len:
+                self.metrics.prefix_cache_hits += 1
+                self.metrics.prompt_tokens_cached += req.cached_len
             metrics_lib.log_event("request_admitted", req_id=req.req_id,
-                                  slot=slot)
+                                  slot=slot, cached=req.cached_len)
         if not admitted:
             return
         chunk = self.ecfg.prefill_chunk
         pending: list[tuple[list[Request], jax.Array]] = []
         batchable: list[Request] = []
+        cached: list[Request] = []
+        others: list[Request] = []
         for req in admitted:
-            ln = req.total_len
+            ln = req.total_len - req.cached_len
             if chunk and chunk > 0 and ln > chunk \
                     and chunk % self.ecfg.kv.page_size == 0:
-                pending.append(([req], self._prefill(req)))
+                others.append(req)      # long remainder: chunk loop
+            elif req.cached_len:
+                cached.append(req)      # short suffix: batched below
             else:
                 batchable.append(req)
+        # dispatch order = dependency order: a prefix-cached request may
+        # share pages written by an EARLIER admit of this same cycle, so
+        # whole-prompt prefills go first and suffixes follow.
         if batchable:
             pending.append((batchable, self._prefill_batch(batchable)))
+        for req in others:
+            pending.append(([req], self._prefill(req,
+                                                 start=req.cached_len)))
+        if cached:
+            pending.append((cached, self._prefill_suffix_batch(cached)))
         # one host sync for ALL admitted prefills (not one per request):
         # prefill dispatches queue back-to-back on the device.
         for reqs, dev_toks in pending:
@@ -286,18 +349,55 @@ class Engine:
             jnp.asarray(self._top_p[idx]))
         return dev_toks[:n]
 
-    def _prefill(self, req: Request) -> jax.Array:
-        """B=1 prefill of everything computed so far. Returns the first
-        sampled token as a DEVICE array — callers sync once per admit
-        batch, not per request.
+    def _prefill_suffix_batch(self, reqs: list[Request]) -> jax.Array:
+        """ONE dispatch for all prefix-cached admits: each row prefills
+        only its uncached suffix at its own page-aligned offset (the
+        chunk graph takes per-row chunk offsets). Returns [len(reqs)]
+        device tokens."""
+        n = len(reqs)
+        sufs = [r.total_len - r.cached_len for r in reqs]
+        bucket = next_power_of_2(max(max(sufs), 16))
+        nb = next_power_of_2(n)
+        tokens = np.zeros((nb, bucket), np.int32)
+        mp = self.allocator.table().shape[1]
+        tables = np.full((nb, mp), -1, np.int32)
+        kv_len = np.ones(nb, np.int32)
+        offs = np.zeros(nb, np.int32)
+        slots = [r.slot for r in reqs]
+        for i, r in enumerate(reqs):
+            ids = r.prompt_ids + r.output_ids
+            tokens[i, :sufs[i]] = ids[r.cached_len:]
+            tables[i] = self.allocator.row(r.slot)
+            kv_len[i] = r.total_len
+            offs[i] = r.cached_len
+            self._pos[r.slot] = r.total_len
+            self.metrics.prefills += 1
+            self.metrics.prompt_tokens += r.total_len
+        self._key, sub = jax.random.split(self._key)
+        idx = np.asarray(slots + [0] * (nb - n))
+        dev_toks, self.cache = self._prefill_chunk_fn(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(tables), jnp.asarray(kv_len), jnp.asarray(offs),
+            sub, jnp.asarray(self._temp[idx]),
+            jnp.asarray(self._top_k[idx]), jnp.asarray(self._top_p[idx]))
+        return dev_toks[:n]
+
+    def _prefill(self, req: Request, start: int = 0) -> jax.Array:
+        """B=1 prefill of tokens [start, total) — ``start`` > 0 means the
+        prefix-cache covered [0, start) with shared pages (page-aligned).
+        Returns the first sampled token as a DEVICE array — callers sync
+        once per admit batch, not per request.
 
         Prompts up to ``prefill_chunk`` run as one bucketed pass; longer
         prompts run in fixed ``prefill_chunk``-token chunks (one compiled
         graph regardless of prompt length, activation memory bounded by
-        the chunk — the scheduling granularity for TTFT fairness).
+        the chunk — the scheduling granularity for TTFT fairness). Cached
+        suffixes always take the chunk graph (it attends through the page
+        tables to the shared prefix).
         """
         ids = req.prompt_ids + req.output_ids
         ln = len(ids)
+        todo = ln - start
         tables = jnp.asarray(self.allocator.row(req.slot)[None])
         self._key, sub = jax.random.split(self._key)
         samp = (sub,
@@ -305,18 +405,23 @@ class Engine:
                 jnp.asarray(self._top_k[req.slot:req.slot + 1]),
                 jnp.asarray(self._top_p[req.slot:req.slot + 1]))
         chunk = self.ecfg.prefill_chunk
-        if chunk and chunk > 0 and ln > chunk \
-                and chunk % self.ecfg.kv.page_size == 0:
-            n_chunks = -(-ln // chunk)
-            padded = np.zeros((n_chunks * chunk,), np.int32)
-            padded[:ln] = ids
+        use_chunks = chunk and chunk > 0 and todo > chunk \
+            and chunk % self.ecfg.kv.page_size == 0
+        if start > 0 or use_chunks:
+            # chunk offsets stay page-aligned: start is page-aligned and
+            # multi-chunk runs only with page-multiple chunk sizes
+            step = chunk if use_chunks else next_power_of_2(max(todo, 16))
+            n_chunks = -(-todo // step)
+            padded = np.zeros((n_chunks * step,), np.int32)
+            padded[:todo] = ids[start:]
             for j in range(n_chunks):
-                tok = jnp.asarray(padded[None, j * chunk:(j + 1) * chunk])
-                kv_after = min(ln, (j + 1) * chunk)
+                off = start + j * step
+                tok = jnp.asarray(padded[None, j * step:(j + 1) * step])
+                kv_after = min(ln, off + step)
                 dev_tok, self.cache = self._prefill_chunk_fn(
                     self.params, self.cache, tok, tables,
                     jnp.asarray([kv_after], np.int32),
-                    jnp.asarray(j * chunk, np.int32), *samp)
+                    jnp.asarray([off], np.int32), *samp)
         else:
             bucket = next_power_of_2(max(ln, 16))
             tokens = np.zeros((1, bucket), np.int32)

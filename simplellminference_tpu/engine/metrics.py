@@ -28,6 +28,8 @@ class EngineMetrics:
     engine_steps: int = 0
     decode_bursts: int = 0
     prefills: int = 0
+    prefix_cache_hits: int = 0
+    prompt_tokens_cached: int = 0  # prompt tokens served by shared pages
     # time integrals for occupancy/utilization averages
     busy_slot_steps: int = 0
     total_slot_steps: int = 0
@@ -77,6 +79,8 @@ class EngineMetrics:
             "engine_steps": self.engine_steps,
             "decode_bursts": self.decode_bursts,
             "prefills": self.prefills,
+            "prefix_cache_hits": self.prefix_cache_hits,
+            "prompt_tokens_cached": self.prompt_tokens_cached,
             "tokens_per_sec": round(self.tokens_per_sec, 2),
             "batch_occupancy": round(self.batch_occupancy, 4),
             "page_utilization": round(self.page_utilization, 4),

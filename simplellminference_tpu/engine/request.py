@@ -35,6 +35,9 @@ class Request:
     first_token_t: Optional[float] = None
     finish_t: Optional[float] = None
     preempt_count: int = 0
+    # tokens covered by prefix-cache page sharing at the LAST admit
+    # (prefill starts there instead of 0); reset on each (re)admission
+    cached_len: int = 0
 
     @property
     def num_generated(self) -> int:

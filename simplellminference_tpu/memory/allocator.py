@@ -31,7 +31,7 @@ class PageAllocator:
             ("pa_extend", [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
             ("pa_free_seq", [ctypes.c_void_p, ctypes.c_int32]),
             ("pa_share_prefix", [ctypes.c_void_p, ctypes.c_int32,
-                                 ctypes.c_int32]),
+                                 ctypes.c_int32, ctypes.c_int32]),
             ("pa_cow_last_page", [ctypes.c_void_p, ctypes.c_int32]),
             ("pa_get_row", [ctypes.c_void_p, ctypes.c_int32,
                             ctypes.POINTER(ctypes.c_int32)]),
@@ -73,8 +73,11 @@ class PageAllocator:
     def free_seq(self, slot: int) -> int:
         return self._lib.pa_free_seq(self._h, slot)
 
-    def share_prefix(self, src: int, dst: int) -> bool:
-        return self._lib.pa_share_prefix(self._h, src, dst) >= 0
+    def share_prefix(self, src: int, dst: int, n_tokens: int) -> int:
+        """Share src's first full pages covering <= n_tokens into the
+        FRESH slot dst (refcounted, zero-copy). Returns tokens shared
+        (multiple of page_size; 0 = none), -1 on bad args."""
+        return self._lib.pa_share_prefix(self._h, src, dst, n_tokens)
 
     def cow_last_page(self, slot: int) -> int:
         return self._lib.pa_cow_last_page(self._h, slot)

@@ -191,8 +191,10 @@ def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
                           page_offset: jax.Array | None = None):
     """Stacked-pool prefill write: pools [L, P, kvN, ps, D] + layer index.
 
-    ``page_offset``: first table column to write (chunked prefill writes
-    chunk j at page_offset = j * chunk // page_size; default 0).
+    ``page_offset``: first table column to write — a scalar, or a [B]
+    vector for batched chunked/suffix prefill where each row starts at
+    its own page-aligned offset (prefix-cache suffixes). Columns past the
+    table width map to -1 (trash page).
 
     On single-chip TPU (bf16/fp8 pools) this is an in-place Pallas write
     (ops/paged_append.py) — the jnp scatter fallback is correct but drags
@@ -200,24 +202,27 @@ def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
     inside the decode loop. int8 pools (side scale scatters) and CPU/GSPMD
     paths keep the scatter.
     """
+    if page_offset is not None:
+        ps = pool_k.shape[3]
+        npg = -(-new_k.shape[1] // ps)
+        po = jnp.asarray(page_offset, jnp.int32)
+        if po.ndim == 0:
+            po = jnp.full((tables.shape[0],), po, jnp.int32)
+        cols = po[:, None] + jnp.arange(npg, dtype=jnp.int32)[None]
+        safe = jnp.minimum(cols, tables.shape[1] - 1)
+        tables = jnp.where(cols < tables.shape[1],
+                           jnp.take_along_axis(tables, safe, axis=1), -1)
     if _use_pallas_writes():
         if pool_ks is None:
             from simplellminference_tpu.ops.paged_append import (
                 paged_append_prefill)
             pk, pv = paged_append_prefill(pool_k, pool_v, new_k, new_v,
-                                          tables, layer,
-                                          page_offset=page_offset)
+                                          tables, layer)
             return pk, pv, None, None
         from simplellminference_tpu.ops.paged_append import (
             paged_append_prefill_quant)
         return paged_append_prefill_quant(pool_k, pool_v, pool_ks, pool_vs,
-                                          new_k, new_v, tables, layer,
-                                          page_offset=page_offset)
-    if page_offset is not None:
-        ps = pool_k.shape[3]
-        npg = -(-new_k.shape[1] // ps)
-        tables = jax.lax.dynamic_slice_in_dim(
-            tables, jnp.asarray(page_offset, jnp.int32), npg, axis=1)
+                                          new_k, new_v, tables, layer)
     _, p, kvn, ps, d = pool_k.shape
     b, s, _, _ = new_k.shape
     npg = s // ps if s % ps == 0 else s // ps + 1

@@ -147,23 +147,32 @@ int32_t pa_free_seq(void* h, int32_t seq) {
   return freed;
 }
 
-// Fork `dst` from `src`, sharing all full pages (refcount++) and copying
-// nothing. The last (partial) page is shared too — callers that mutate it
-// must copy-on-write first (pa_cow_last_page). Returns pages shared.
-int32_t pa_share_prefix(void* h, int32_t src, int32_t dst) {
+// Share the first floor(min(n_tokens, seq_len[src]) / page_size) FULL
+// pages of `src` into the FRESH slot `dst` (refcount++, zero copies).
+// Only whole pages are shared, so neither sequence ever writes a shared
+// page (each writes at positions >= its own prompt >= the shared prefix);
+// partial-page sharing would need pa_cow_last_page. dst's seq_len becomes
+// the shared token count — callers pa_extend() for the remainder.
+// Returns tokens shared (a multiple of page_size; 0 = nothing to share),
+// or -1 on bad args.
+int32_t pa_share_prefix(void* h, int32_t src, int32_t dst,
+                        int32_t n_tokens) {
   auto* a = static_cast<Allocator*>(h);
   std::lock_guard<std::mutex> lock(a->mu);
   if (src < 0 || src >= a->max_seqs || a->seq_len[src] < 0) return -1;
   if (dst < 0 || dst >= a->max_seqs || a->seq_len[dst] != -1) return -1;
-  int32_t have = a->pages_for(a->seq_len[src]);
+  if (n_tokens < 0) return -1;
+  int32_t tok = n_tokens < a->seq_len[src] ? n_tokens : a->seq_len[src];
+  int32_t pages = tok / a->page_size;  // FULL pages only
+  if (pages <= 0) return 0;
   int32_t* rs = a->row(src);
   int32_t* rd = a->row(dst);
-  for (int32_t i = 0; i < have; ++i) {
+  for (int32_t i = 0; i < pages; ++i) {
     rd[i] = rs[i];
     ++a->ref_count[rs[i]];
   }
-  a->seq_len[dst] = a->seq_len[src];
-  return have;
+  a->seq_len[dst] = pages * a->page_size;
+  return pages * a->page_size;
 }
 
 // Copy-on-write the last page of `seq` if shared. Returns the NEW page id

@@ -151,3 +151,48 @@ def test_engine_chunked_prefill_matches_whole(model):
     eng = Engine(cfg, params, ecfg, decode_burst=4)
     chunked = eng.generate(prompts, SamplingParams(max_new_tokens=8))
     assert chunked == whole
+
+
+def test_engine_prefix_cache_matches_uncached(model):
+    """Identical prompt prefixes share pages: a request admitted while a
+    same-prompt request runs prefills only the suffix, and greedy outputs
+    match the uncached run exactly (f32)."""
+    cfg, params = model
+    rng = np.random.default_rng(3)
+    base = rng.integers(1, cfg.vocab_size, 40).tolist()
+    prompts = [base, list(base), base[:24] + [7, 8, 9]]
+
+    # uncached reference: one request at a time (nothing running to share)
+    want = []
+    for p in prompts:
+        eng = make_engine(cfg, params)
+        want.append(eng.generate([p], SamplingParams(max_new_tokens=8))[0])
+
+    eng = make_engine(cfg, params)
+    got = eng.generate(prompts, SamplingParams(max_new_tokens=8))
+    assert got == want
+    m = eng.metrics
+    # req 1 shares base's full-page prefix (40 -> 5 pages of 8 = 40, capped
+    # at 39 -> 32 tokens); req 2 shares 24 tokens
+    assert m.prefix_cache_hits == 2
+    assert m.prompt_tokens_cached == 32 + 24
+
+
+def test_engine_prefix_cache_survives_source_finish(model):
+    """Shared pages stay valid (refcounted) after the source finishes."""
+    cfg, params = model
+    rng = np.random.default_rng(4)
+    base = rng.integers(1, cfg.vocab_size, 32).tolist()
+
+    solo = make_engine(cfg, params).generate(
+        [base], SamplingParams(max_new_tokens=12))[0]
+
+    eng = make_engine(cfg, params, max_batch=2)
+    r1 = eng.add_request(prompt_ids=base,
+                         sampling=SamplingParams(max_new_tokens=2))
+    r2 = eng.add_request(prompt_ids=list(base),
+                         sampling=SamplingParams(max_new_tokens=12))
+    eng.run()
+    assert r1.output_ids == solo[:2]
+    assert r2.output_ids == solo
+    assert eng.metrics.prefix_cache_hits == 1

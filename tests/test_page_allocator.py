@@ -57,24 +57,43 @@ def test_double_alloc_and_bad_slot(pa):
     assert pa.free_seq(99) == -1
 
 
-def test_prefix_sharing_and_cow(pa):
+def test_prefix_sharing(pa):
     assert pa.alloc_seq(0, 33)          # 3 pages (partial last)
-    assert pa.share_prefix(0, 1)
+    # only FULL pages are shared: 33 -> 2 pages = 32 tokens
+    assert pa.share_prefix(0, 1, 33) == 32
     assert pa.num_free == 29            # no new pages
     r0, r1 = pa.row(0), pa.row(1)
-    assert (r0[:3] == r1[:3]).all()
-    # freeing src keeps shared pages alive
-    assert pa.free_seq(0) == 0          # all refcounted by seq 1
+    assert (r0[:2] == r1[:2]).all() and r1[2] == -1
+    assert pa.seq_len(1) == 32
+    # dst grows with its OWN fresh pages beyond the shared prefix
+    assert pa.extend(1, 40)
+    r1 = pa.row(1)
+    assert r1[2] >= 0 and r1[2] != r0[2]
+    # freeing src releases only its exclusive (partial) page
+    assert pa.free_seq(0) == 1
     assert pa.num_free == 29
-    # CoW the (shared? now refcount 1) last page — returns existing page
-    assert pa.cow_last_page(1) == r1[2]
-    # share again and CoW must produce a fresh page
-    assert pa.share_prefix(1, 2)
-    newp = pa.cow_last_page(2)
-    assert newp >= 0 and newp != r1[2]
-    # seq1's last page is exclusive (seq2 CoW'd it); pages 0-1 still shared
-    assert pa.free_seq(1) == 1
-    assert pa.free_seq(2) == 3          # 2 ex-shared + 1 CoW page
+    assert pa.free_seq(1) == 3          # 2 ex-shared + 1 own
+    assert pa.num_free == 32
+    # sub-page prefix: nothing shareable
+    assert pa.alloc_seq(0, 33)
+    assert pa.share_prefix(0, 1, 15) == 0
+    # n_tokens caps the share
+    assert pa.share_prefix(0, 1, 16) == 16
+    assert pa.seq_len(1) == 16
+    pa.free_seq(0), pa.free_seq(1)
+
+
+def test_cow_last_page(pa):
+    assert pa.alloc_seq(0, 32)          # 2 full pages
+    assert pa.share_prefix(0, 1, 32) == 32
+    r0 = pa.row(0)
+    # both of seq 1's pages are shared: CoW must produce a fresh page
+    newp = pa.cow_last_page(1)
+    assert newp >= 0 and newp != r0[1]
+    # seq 0's last page is exclusive again: CoW returns it unchanged
+    assert pa.cow_last_page(0) == r0[1]
+    assert pa.free_seq(0) == 1          # page 0 still shared with seq 1
+    assert pa.free_seq(1) == 2          # ex-shared page 0 + the CoW page
     assert pa.num_free == 32
 
 
