@@ -67,8 +67,16 @@ def main(argv=None):
                          kv_dtype=args.kv_dtype))
     engine = Engine(cfg, params, ecfg, tokenizer=tok,
                     decode_burst=args.decode_burst)
+    chat_template = None
+    model_id = "local"
+    if getattr(args, "model_dir", None):
+        from simplellminference_tpu.tokenizer.chat import load_chat_template
+        chat_template = load_chat_template(args.model_dir)
+        import os
+        model_id = os.path.basename(os.path.normpath(args.model_dir))
     print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
-    serve(engine, host=args.host, port=args.port, tokenizer=tok)
+    serve(engine, host=args.host, port=args.port, tokenizer=tok,
+          model_id=model_id, chat_template=chat_template)
 
 
 if __name__ == "__main__":

@@ -269,12 +269,22 @@ class SamplingParams:
     temperature: float = 0.0       # 0 => greedy
     top_k: int = 0                 # 0 => disabled
     top_p: float = 1.0             # 1.0 => disabled
+    min_p: float = 0.0             # 0 => disabled (keep p >= min_p * pmax)
+    repetition_penalty: float = 1.0   # 1.0 => neutral (HF semantics)
+    frequency_penalty: float = 0.0    # OpenAI semantics (per count)
+    presence_penalty: float = 0.0     # OpenAI semantics (per presence)
     stop_token_ids: tuple = ()
     seed: int = 0
 
     @property
     def greedy(self) -> bool:
         return self.temperature <= 0.0
+
+    @property
+    def penalties_neutral(self) -> bool:
+        return (self.repetition_penalty == 1.0
+                and self.frequency_penalty == 0.0
+                and self.presence_penalty == 0.0)
 
 
 def round_up(x: int, m: int) -> int:

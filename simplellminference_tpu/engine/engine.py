@@ -78,6 +78,13 @@ class Engine:
         self._temp = np.zeros(b, np.float32)
         self._top_k = np.zeros(b, np.int32)
         self._top_p = np.ones(b, np.float32)
+        self._min_p = np.zeros(b, np.float32)
+        self._rep_p = np.ones(b, np.float32)
+        self._freq_p = np.zeros(b, np.float32)
+        self._pres_p = np.zeros(b, np.float32)
+        # per-slot context token counts (penalty state); rebuilt from
+        # prompt+outputs at admit, advanced ON DEVICE during bursts
+        self._counts_host = np.zeros((b, cfg.vocab_size), np.float32)
         self._key = jax.random.PRNGKey(0)
         self._detok: dict[int, StreamingDetokenizer] = {}
 
@@ -86,6 +93,8 @@ class Engine:
         # the unprocessed burst output (synced one burst late).
         self._dev_tok = None
         self._dev_pos = None
+        self._dev_counts = None
+        self._zero_counts = None  # persistent no-op override buffer
         self._override = np.zeros(b, bool)
         self._inflight = None  # (toks_dev, [(slot, req)])
 
@@ -94,7 +103,8 @@ class Engine:
 
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_fn(params, cache, tokens, tables, kv_len,
-                        key, temp, top_k, top_p):
+                        key, temp, top_k, top_p, min_p, counts, rp, fp,
+                        pp):
             s = tokens.shape[1]
             positions = jnp.arange(s, dtype=jnp.int32)[None]
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
@@ -103,12 +113,16 @@ class Engine:
             # first token sampled in-graph: no separate sampling dispatch
             # (~25 ms through the tunnel) per admitted request.
             tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
-                                      top_p)
+                                      top_p, min_p=min_p, counts=counts,
+                                      repetition_penalty=rp,
+                                      frequency_penalty=fp,
+                                      presence_penalty=pp)
             return tok, cache
 
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
-                              chunk_offset, key, temp, top_k, top_p):
+                              chunk_offset, key, temp, top_k, top_p,
+                              min_p, counts, rp, fp, pp):
             # chunk_offset: [B] per-row start position (page-aligned) —
             # batched prefix-cache suffixes start at different offsets
             s = tokens.shape[1]
@@ -119,37 +133,53 @@ class Engine:
                                 last_token_only=True,
                                 chunk_offset=chunk_offset)
             tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
-                                      top_p)
+                                      top_p, min_p=min_p, counts=counts,
+                                      repetition_penalty=rp,
+                                      frequency_penalty=fp,
+                                      presence_penalty=pp)
             return tok, cache
 
-        @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4))
-        def _burst_fn(steps, params, cache, dev_tok, dev_pos, ov_tok,
-                      ov_pos, ov_mask, tables, active, key, temp, top_k,
-                      top_p):
-            # Device-carried decode state: dev_tok/dev_pos come back from
-            # the PREVIOUS burst (still in flight when the host dispatches
-            # this one — the host never waits on them). ov_* override the
-            # slots the host changed since (admits): merged in-graph, so
-            # pipelining costs no extra dispatch.
+        @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4, 5))
+        def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
+                      ov_tok, ov_pos, ov_counts, ov_mask, tables, active,
+                      key, temp, top_k, top_p, min_p, rp, fp, pp):
+            # Device-carried decode state: dev_tok/dev_pos/dev_counts come
+            # back from the PREVIOUS burst (still in flight when the host
+            # dispatches this one — the host never waits on them). ov_*
+            # override the slots the host changed since (admits): merged
+            # in-graph, so pipelining costs no extra dispatch.
             tokens = jnp.where(ov_mask, ov_tok, dev_tok)
             pos = jnp.where(ov_mask, ov_pos, dev_pos)
+            counts0 = jnp.where(ov_mask[:, None], ov_counts, dev_counts)
+            pen_on = ~(jnp.all(rp == 1.0) & jnp.all(fp == 0.0)
+                       & jnp.all(pp == 0.0))
 
             def step(carry, _):
-                cache, tok, pos, key = carry
+                cache, tok, pos, counts, key = carry
                 kv_lens = pos + 1
                 logits, cache = fwd(cfg_, params, tok[:, None],
                                     pos[:, None], cache, tables, kv_lens,
                                     prefill=False)
                 key, sub = jax.random.split(key)
                 nxt = sampling_ops.sample(logits[:, 0], sub, temp, top_k,
-                                          top_p)
+                                          top_p, min_p=min_p,
+                                          counts=counts,
+                                          repetition_penalty=rp,
+                                          frequency_penalty=fp,
+                                          presence_penalty=pp)
                 nxt = jnp.where(active, nxt, 0)
+                counts = jax.lax.cond(
+                    pen_on,
+                    lambda c: c.at[jnp.arange(c.shape[0]), nxt].add(
+                        active.astype(c.dtype)),
+                    lambda c: c, counts)
                 pos = pos + active.astype(jnp.int32)
-                return (cache, nxt, pos, key), nxt
+                return (cache, nxt, pos, counts, key), nxt
 
-            (cache, tok, pos, _), toks = jax.lax.scan(
-                step, (cache, tokens, pos, key), None, length=steps)
-            return toks.T, tok, pos, cache  # [B, steps], [B], [B]
+            (cache, tok, pos, counts, _), toks = jax.lax.scan(
+                step, (cache, tokens, pos, counts0, key), None,
+                length=steps)
+            return toks.T, tok, pos, counts, cache  # [B,steps],[B],[B],...
 
         self._prefill_fn = _prefill_fn
         self._prefill_chunk_fn = _prefill_chunk_fn
@@ -275,6 +305,13 @@ class Engine:
             self._temp[slot] = req.sampling.temperature
             self._top_k[slot] = req.sampling.top_k
             self._top_p[slot] = req.sampling.top_p
+            self._min_p[slot] = req.sampling.min_p
+            self._rep_p[slot] = req.sampling.repetition_penalty
+            self._freq_p[slot] = req.sampling.frequency_penalty
+            self._pres_p[slot] = req.sampling.presence_penalty
+            self._counts_host[slot] = np.bincount(
+                np.asarray(req.prompt_ids + req.output_ids, np.int64),
+                minlength=self.cfg.vocab_size)[:self.cfg.vocab_size]
             admitted.append(req)
             if req.cached_len:
                 self.metrics.prefix_cache_hits += 1
@@ -314,6 +351,7 @@ class Engine:
             for i, req in enumerate(reqs):
                 tok_id = int(toks[i])
                 self._next_tok[req.slot] = tok_id
+                self._counts_host[req.slot, tok_id] += 1
                 self._override[req.slot] = True  # fresh state for pipeline
                 self._emit_tokens(req, [tok_id])
 
@@ -346,8 +384,16 @@ class Engine:
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(tables), jnp.asarray(kv_len), sub,
             jnp.asarray(self._temp[idx]), jnp.asarray(self._top_k[idx]),
-            jnp.asarray(self._top_p[idx]))
+            jnp.asarray(self._top_p[idx]), *self._samp_extras(idx))
         return dev_toks[:n]
+
+    def _samp_extras(self, idx):
+        """(min_p, counts, rep, freq, pres) rows for the given slots."""
+        return (jnp.asarray(self._min_p[idx]),
+                jnp.asarray(self._counts_host[idx]),
+                jnp.asarray(self._rep_p[idx]),
+                jnp.asarray(self._freq_p[idx]),
+                jnp.asarray(self._pres_p[idx]))
 
     def _prefill_suffix_batch(self, reqs: list[Request]) -> jax.Array:
         """ONE dispatch for all prefix-cached admits: each row prefills
@@ -379,7 +425,8 @@ class Engine:
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(tables), jnp.asarray(kv_len), jnp.asarray(offs),
             sub, jnp.asarray(self._temp[idx]),
-            jnp.asarray(self._top_k[idx]), jnp.asarray(self._top_p[idx]))
+            jnp.asarray(self._top_k[idx]), jnp.asarray(self._top_p[idx]),
+            *self._samp_extras(idx))
         return dev_toks[:n]
 
     def _prefill(self, req: Request, start: int = 0) -> jax.Array:
@@ -400,10 +447,12 @@ class Engine:
         todo = ln - start
         tables = jnp.asarray(self.allocator.row(req.slot)[None])
         self._key, sub = jax.random.split(self._key)
+        idx = np.asarray([req.slot])
         samp = (sub,
-                jnp.asarray(self._temp[req.slot:req.slot + 1]),
-                jnp.asarray(self._top_k[req.slot:req.slot + 1]),
-                jnp.asarray(self._top_p[req.slot:req.slot + 1]))
+                jnp.asarray(self._temp[idx]),
+                jnp.asarray(self._top_k[idx]),
+                jnp.asarray(self._top_p[idx]),
+                *self._samp_extras(idx))
         chunk = self.ecfg.prefill_chunk
         use_chunks = chunk and chunk > 0 and todo > chunk \
             and chunk % self.ecfg.kv.page_size == 0
@@ -555,16 +604,27 @@ class Engine:
         if self._dev_tok is None:
             dev_tok = jnp.asarray(self._next_tok)
             dev_pos = jnp.asarray(self._pos)
+            dev_counts = jnp.zeros(self._counts_host.shape, jnp.float32)
             ov_mask = np.ones(len(self.slots), bool)
+            ov_counts = jnp.asarray(self._counts_host)
         else:
             dev_tok, dev_pos = self._dev_tok, self._dev_pos
+            dev_counts = self._dev_counts
             ov_mask = self._override
-        toks, self._dev_tok, self._dev_pos, self.cache = self._burst_fn(
+            # the penalty-state upload (B x V) only happens on admits;
+            # otherwise a persistent zero buffer rides along unused
+            ov_counts = (jnp.asarray(self._counts_host) if ov_mask.any()
+                         else self._get_zero_counts())
+        (toks, self._dev_tok, self._dev_pos, self._dev_counts,
+         self.cache) = self._burst_fn(
             self.burst, self.params, self.cache, dev_tok, dev_pos,
-            jnp.asarray(self._next_tok), jnp.asarray(self._pos),
+            dev_counts, jnp.asarray(self._next_tok),
+            jnp.asarray(self._pos), ov_counts,
             jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
             jnp.asarray(self._temp), jnp.asarray(self._top_k),
-            jnp.asarray(self._top_p))
+            jnp.asarray(self._top_p), jnp.asarray(self._min_p),
+            jnp.asarray(self._rep_p), jnp.asarray(self._freq_p),
+            jnp.asarray(self._pres_p))
         self._override[:] = False
         self.metrics.decode_bursts += 1
         prev = self._inflight
@@ -575,6 +635,12 @@ class Engine:
             busy_slots=int(active.sum()), total_slots=len(self.slots),
             used_pages=self.ecfg.kv.num_pages - self.allocator.num_free,
             total_pages=self.ecfg.kv.num_pages)
+
+    def _get_zero_counts(self):
+        if self._zero_counts is None:
+            self._zero_counts = jnp.zeros(self._counts_host.shape,
+                                          jnp.float32)
+        return self._zero_counts
 
     def _process_inflight(self):
         """Drain the pipeline: sync + bookkeep the in-flight burst."""

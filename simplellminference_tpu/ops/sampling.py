@@ -1,4 +1,5 @@
-"""On-device token sampling: greedy, temperature, top-k, top-p.
+"""On-device token sampling: greedy, temperature, top-k, top-p, min-p,
+repetition / frequency / presence penalties.
 
 Successor of the reference's argmax layer — which is CPU-only and forces a
 per-token logits D2H copy on the GPU path (argmax.cpp:7-17,
@@ -7,6 +8,8 @@ step; only the sampled token ids ever cross to the host.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -17,15 +20,37 @@ def greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def apply_penalties(logits: jax.Array, counts: jax.Array,
+                    repetition_penalty: jax.Array,
+                    frequency_penalty: jax.Array,
+                    presence_penalty: jax.Array) -> jax.Array:
+    """HF/OpenAI-style penalties from per-row token counts.
+
+    logits/counts: [B, V]; penalties: [B]. ``counts[b, t]`` = occurrences
+    of token t in row b's context (prompt + generated so far).
+    Repetition (HF): seen tokens' positive logits divide by rp, negative
+    multiply. Frequency/presence (OpenAI): logits -= fp*count + pp*seen.
+    """
+    lf = logits.astype(jnp.float32)
+    seen = counts > 0
+    rp = repetition_penalty[:, None]
+    penalized = jnp.where(lf > 0, lf / rp, lf * rp)
+    lf = jnp.where(seen, penalized, lf)
+    lf = lf - (frequency_penalty[:, None] * counts.astype(jnp.float32)
+               + presence_penalty[:, None] * seen.astype(jnp.float32))
+    return lf
+
+
 def _sample_sorted(logits: jax.Array, key: jax.Array,
                    temperature: jax.Array, top_k: jax.Array,
-                   top_p: jax.Array) -> jax.Array:
-    """One-sort top-k/top-p sampling in sorted space.
+                   top_p: jax.Array, min_p: jax.Array) -> jax.Array:
+    """One-sort top-k/top-p/min-p sampling in sorted space.
 
     A single key-value sort yields both the descending logits and the
-    permutation; top-k becomes a rank mask, top-p a prefix mask, and the
-    categorical draw happens in sorted space (its result maps back through
-    the permutation) — no second argsort, no [B, V] scatter.
+    permutation; top-k becomes a rank mask, top-p a prefix mask, min-p a
+    threshold against the max prob, and the categorical draw happens in
+    sorted space (its result maps back through the permutation) — no
+    second argsort, no [B, V] scatter.
     """
     b, v = logits.shape
     t = jnp.maximum(temperature, 1e-6)[:, None]
@@ -37,32 +62,61 @@ def _sample_sorted(logits: jax.Array, key: jax.Array,
     si = si[:, ::-1]
 
     rank = jnp.arange(v, dtype=jnp.int32)[None]
-    keep_k = rank < jnp.where(top_k > 0, top_k, v)[:, None]
+    keep = rank < jnp.where(top_k > 0, top_k, v)[:, None]
     probs = jax.nn.softmax(sv, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    keep_p = cum - probs < top_p[:, None]   # always keeps the first
-    masked = jnp.where(keep_k & keep_p, sv, -jnp.inf)
+    keep &= cum - probs < top_p[:, None]   # always keeps the first
+    keep &= probs >= min_p[:, None] * probs[:, :1]
+    masked = jnp.where(keep, sv, -jnp.inf)
 
     pos = jax.random.categorical(key, masked, axis=-1)   # sorted-space idx
     return jnp.take_along_axis(si, pos[:, None], axis=-1)[:, 0]
 
 
 def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
-           top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+           top_k: jax.Array, top_p: jax.Array,
+           min_p: Optional[jax.Array] = None,
+           counts: Optional[jax.Array] = None,
+           repetition_penalty: Optional[jax.Array] = None,
+           frequency_penalty: Optional[jax.Array] = None,
+           presence_penalty: Optional[jax.Array] = None) -> jax.Array:
     """Batched sampling with per-sequence params, jit-safe (static shapes).
 
-    logits: [B, V] fp32; temperature/top_k/top_p: [B] (temperature <= 0
-    means greedy for that row; top_k == 0 disables top-k; top_p >= 1
-    disables top-p). When every row is greedy (the common serving case) a
-    lax.cond skips the vocab sort entirely — this runs inside every decode
-    step, and a [B, 32k] sort per step is pure overhead for greedy
-    requests.
+    logits: [B, V] fp32; temperature/top_k/top_p/min_p: [B] (temperature
+    <= 0 means greedy for that row; top_k == 0, top_p >= 1, min_p <= 0
+    disable their filters). ``counts`` [B, V] + the penalty vectors enable
+    repetition/frequency/presence penalties (applied to the raw logits,
+    greedy rows included — matching HF/vLLM semantics).
+
+    When every row is greedy with neutral penalties (the common serving
+    case) a lax.cond skips the vocab sort entirely — this runs inside
+    every decode step, and a [B, 32k] sort per step is pure overhead for
+    greedy requests.
     """
+    b, v = logits.shape
+    if min_p is None:
+        min_p = jnp.zeros((b,), jnp.float32)
+    neutral = jnp.all(temperature <= 0.0)
+    if counts is not None:
+        rp = repetition_penalty
+        fp = frequency_penalty
+        pp = presence_penalty
+        neutral &= (jnp.all(rp == 1.0) & jnp.all(fp == 0.0)
+                    & jnp.all(pp == 0.0))
+
+        def with_pen(_):
+            lf = apply_penalties(logits, counts, rp, fp, pp)
+            gr = greedy(lf)
+            s = _sample_sorted(lf, key, temperature, top_k, top_p, min_p)
+            return jnp.where(temperature <= 0.0, gr, s.astype(jnp.int32))
+
+        return jax.lax.cond(neutral, lambda _: greedy(logits), with_pen,
+                            operand=None)
+
     gr = greedy(logits)
 
     def stochastic(_):
-        s = _sample_sorted(logits, key, temperature, top_k, top_p)
+        s = _sample_sorted(logits, key, temperature, top_k, top_p, min_p)
         return jnp.where(temperature <= 0.0, gr, s.astype(jnp.int32))
 
-    return jax.lax.cond(jnp.all(temperature <= 0.0),
-                        lambda _: gr, stochastic, operand=None)
+    return jax.lax.cond(neutral, lambda _: gr, stochastic, operand=None)

@@ -1,10 +1,14 @@
-"""aiohttp server exposing the engine: /v1/completions (+SSE streaming),
-/health, /metrics.
+"""aiohttp server exposing the engine: /v1/completions and
+/v1/chat/completions (+SSE streaming), /v1/models, /health, /metrics.
 
 Capability the reference has no analog for (it is a library with a
 gitignored demo binary, SURVEY.md §2.11). The engine runs on a dedicated
 thread (JAX dispatch is blocking); request handlers talk to it through
 thread-safe queues and receive tokens via per-request asyncio queues.
+
+``n > 1`` fans a request out into n engine requests — the prefix cache
+shares the prompt's KV pages between them, so parallel sampling costs one
+prompt prefill plus n suffix samples.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ from typing import Optional
 from simplellminference_tpu.core.config import SamplingParams
 from simplellminference_tpu.engine import Engine
 from simplellminference_tpu.tokenizer.base import StreamingDetokenizer
+from simplellminference_tpu.tokenizer.chat import render_chat
 
 
 class EngineWorker:
@@ -56,7 +61,25 @@ class EngineWorker:
         self._thread.join(timeout=5)
 
 
-def build_app(engine: Engine, tokenizer=None):
+def _sampling_from(body: dict, tokenizer) -> SamplingParams:
+    return SamplingParams(
+        max_new_tokens=int(body.get("max_tokens", 128)),
+        temperature=float(body.get("temperature", 0.0)),
+        top_k=int(body.get("top_k", 0)),
+        top_p=float(body.get("top_p", 1.0)),
+        min_p=float(body.get("min_p", 0.0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        seed=int(body.get("seed", 0)),
+        stop_token_ids=tuple(body.get("stop_token_ids", ())) or
+        ((tokenizer.eos_id,) if tokenizer and tokenizer.eos_id >= 0
+         else ()),
+    )
+
+
+def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
+              chat_template: Optional[str] = None):
     from aiohttp import web
 
     worker = EngineWorker(engine)
@@ -68,36 +91,16 @@ def build_app(engine: Engine, tokenizer=None):
     async def metrics(_request):
         return web.json_response(engine.metrics.summary())
 
-    async def completions(request):
-        try:
-            body = await request.json()
-        except Exception:
-            return web.json_response({"error": "invalid JSON body"},
-                                     status=400)
-        prompt = body.get("prompt")
-        if prompt is None:
-            return web.json_response({"error": "missing 'prompt'"},
-                                     status=400)
-        if isinstance(prompt, list):
-            prompt_ids = prompt
-        else:
-            if tokenizer is None:
-                return web.json_response(
-                    {"error": "server has no tokenizer; send token ids"},
-                    status=400)
-            prompt_ids = tokenizer.encode(prompt)
-        sampling = SamplingParams(
-            max_new_tokens=int(body.get("max_tokens", 128)),
-            temperature=float(body.get("temperature", 0.0)),
-            top_k=int(body.get("top_k", 0)),
-            top_p=float(body.get("top_p", 1.0)),
-            seed=int(body.get("seed", 0)),
-            stop_token_ids=tuple(body.get("stop_token_ids", ())) or
-            ((tokenizer.eos_id,) if tokenizer and tokenizer.eos_id >= 0
-             else ()),
-        )
-        stream = bool(body.get("stream", False))
+    async def models(_request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": model_id, "object": "model",
+                      "owned_by": "simplellminference_tpu"}],
+        })
 
+    async def _run_one(prompt_ids, sampling, request, stream, req_id_prefix,
+                       chat: bool):
+        """Single-sequence path shared by both endpoints."""
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
 
@@ -117,8 +120,17 @@ def build_app(engine: Engine, tokenizer=None):
                 text = "".join(detok.push(t) for t in ids) if detok else ""
                 if finished and detok:
                     text += detok.flush()
-                payload = {"token_ids": ids, "text": text,
-                           "finished": finished}
+                if chat:
+                    payload = {"id": f"{req_id_prefix}-{req.req_id}",
+                               "object": "chat.completion.chunk",
+                               "choices": [{"index": 0, "delta":
+                                            {"content": text},
+                                            "finish_reason":
+                                            ("stop" if finished else None)}],
+                               "token_ids": ids}
+                else:
+                    payload = {"token_ids": ids, "text": text,
+                               "finished": finished}
                 if finished and req.error:
                     payload["error"] = req.error
                 await resp.write(
@@ -133,26 +145,136 @@ def build_app(engine: Engine, tokenizer=None):
             _ids, finished = await q.get()
             if finished:
                 break
-        if req.error:
-            return web.json_response({"error": req.error}, status=400)
-        text = tokenizer.decode(req.output_ids) if tokenizer else None
+        return req
+
+    def _finish_reason(req, sampling):
+        return ("stop" if req.num_generated < sampling.max_new_tokens
+                else "length")
+
+    async def _fanout(prompt_ids, sampling, n):
+        """n parallel samples of one prompt (prefix-cache shares pages)."""
+        loop = asyncio.get_running_loop()
+        done: asyncio.Queue = asyncio.Queue()
+        reqs = []
+        for _ in range(n):
+            def on_tokens(req, ids, finished):
+                if finished:
+                    loop.call_soon_threadsafe(done.put_nowait, req)
+            reqs.append(worker.submit(list(prompt_ids), sampling,
+                                      on_tokens))
+        for _ in range(n):
+            await done.get()
+        return reqs
+
+    async def completions(request):
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"},
+                                     status=400)
+        prompt = body.get("prompt")
+        if prompt is None:
+            return web.json_response({"error": "missing 'prompt'"},
+                                     status=400)
+        if isinstance(prompt, list):
+            prompt_ids = prompt
+        else:
+            if tokenizer is None:
+                return web.json_response(
+                    {"error": "server has no tokenizer; send token ids"},
+                    status=400)
+            prompt_ids = tokenizer.encode(prompt)
+        sampling = _sampling_from(body, tokenizer)
+        stream = bool(body.get("stream", False))
+        n = max(int(body.get("n", 1)), 1)
+        if stream and n > 1:
+            return web.json_response(
+                {"error": "stream=true requires n == 1"}, status=400)
+
+        if stream:
+            return await _run_one(prompt_ids, sampling, request, True,
+                                  "cmpl", chat=False)
+        if n == 1:
+            reqs = [await _run_one(prompt_ids, sampling, request, False,
+                                   "cmpl", chat=False)]
+        else:
+            reqs = await _fanout(prompt_ids, sampling, n)
+        errs = [r.error for r in reqs if r.error]
+        if errs:
+            return web.json_response({"error": errs[0]}, status=400)
         return web.json_response({
-            "id": f"cmpl-{req.req_id}",
+            "id": f"cmpl-{reqs[0].req_id}",
             "object": "text_completion",
             "created": int(time.time()),
-            "choices": [{"text": text, "token_ids": req.output_ids,
-                         "finish_reason": "stop"
-                         if req.num_generated < sampling.max_new_tokens
-                         else "length"}],
-            "usage": {"prompt_tokens": len(req.prompt_ids),
-                      "completion_tokens": req.num_generated},
-            "ttft_ms": round((req.ttft or 0) * 1e3, 1),
+            "model": model_id,
+            "choices": [{
+                "index": i,
+                "text": (tokenizer.decode(r.output_ids)
+                         if tokenizer else None),
+                "token_ids": r.output_ids,
+                "finish_reason": _finish_reason(r, sampling),
+            } for i, r in enumerate(reqs)],
+            "usage": {"prompt_tokens": len(reqs[0].prompt_ids),
+                      "completion_tokens":
+                      sum(r.num_generated for r in reqs)},
+            "ttft_ms": round((reqs[0].ttft or 0) * 1e3, 1),
+        })
+
+    async def chat_completions(request):
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"},
+                                     status=400)
+        messages = body.get("messages")
+        if not isinstance(messages, list) or not messages:
+            return web.json_response({"error": "missing 'messages'"},
+                                     status=400)
+        if tokenizer is None:
+            return web.json_response(
+                {"error": "server has no tokenizer"}, status=400)
+        prompt = render_chat(messages, chat_template)
+        prompt_ids = tokenizer.encode(prompt)
+        sampling = _sampling_from(body, tokenizer)
+        stream = bool(body.get("stream", False))
+        n = max(int(body.get("n", 1)), 1)
+        if stream and n > 1:
+            return web.json_response(
+                {"error": "stream=true requires n == 1"}, status=400)
+
+        if stream:
+            return await _run_one(prompt_ids, sampling, request, True,
+                                  "chatcmpl", chat=True)
+        if n == 1:
+            reqs = [await _run_one(prompt_ids, sampling, request, False,
+                                   "chatcmpl", chat=True)]
+        else:
+            reqs = await _fanout(prompt_ids, sampling, n)
+        errs = [r.error for r in reqs if r.error]
+        if errs:
+            return web.json_response({"error": errs[0]}, status=400)
+        return web.json_response({
+            "id": f"chatcmpl-{reqs[0].req_id}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": model_id,
+            "choices": [{
+                "index": i,
+                "message": {"role": "assistant",
+                            "content": tokenizer.decode(r.output_ids)},
+                "finish_reason": _finish_reason(r, sampling),
+            } for i, r in enumerate(reqs)],
+            "usage": {"prompt_tokens": len(reqs[0].prompt_ids),
+                      "completion_tokens":
+                      sum(r.num_generated for r in reqs)},
         })
 
     app = web.Application()
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics)
+    app.router.add_get("/v1/models", models)
     app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
     app["worker"] = worker
 
     async def on_cleanup(app):
@@ -163,8 +285,10 @@ def build_app(engine: Engine, tokenizer=None):
 
 
 def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8000,
-          tokenizer=None):
+          tokenizer=None, model_id: str = "local",
+          chat_template: Optional[str] = None):
     from aiohttp import web
 
-    app = build_app(engine, tokenizer)
+    app = build_app(engine, tokenizer, model_id=model_id,
+                    chat_template=chat_template)
     web.run_app(app, host=host, port=port)

@@ -196,3 +196,25 @@ def test_engine_prefix_cache_survives_source_finish(model):
     assert r1.output_ids == solo[:2]
     assert r2.output_ids == solo
     assert eng.metrics.prefix_cache_hits == 1
+
+
+def test_engine_repetition_penalty_consistent_across_bursts(model):
+    """Penalty state (token counts) carries correctly through the burst
+    pipeline and admit overrides: different burst sizes must produce
+    IDENTICAL greedy-with-penalty outputs, and the penalty must change
+    the output vs the neutral run."""
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, cfg.vocab_size, n).tolist()
+               for n in (9, 21, 5)]
+    sp = SamplingParams(max_new_tokens=12, repetition_penalty=1.8,
+                        frequency_penalty=0.2)
+    outs = {}
+    for burst in (1, 4, 7):
+        eng = make_engine(cfg, params, burst=burst)
+        outs[burst] = eng.generate(prompts, sp)
+    assert outs[1] == outs[4] == outs[7]
+
+    neutral = make_engine(cfg, params).generate(
+        prompts, SamplingParams(max_new_tokens=12))
+    assert outs[4] != neutral

@@ -121,3 +121,40 @@ def test_sampling_greedy_and_topk(rng):
     # top-k row must sample within its top-5 set
     top5 = np.argsort(np.asarray(logits)[1])[::-1][:5]
     assert out[1] in top5
+
+
+def test_sampling_penalties_and_min_p(rng):
+    from simplellminference_tpu.ops import sampling as S
+
+    b, v = 4, 64
+    logits = jnp.asarray(rng.standard_normal((b, v)) * 3, jnp.float32)
+    counts = jnp.asarray(rng.integers(0, 3, (b, v)), jnp.float32)
+    rp = jnp.asarray([1.0, 1.5, 2.0, 1.2], jnp.float32)
+    fp = jnp.asarray([0.0, 0.3, 0.0, 0.1], jnp.float32)
+    pp = jnp.asarray([0.0, 0.0, 0.7, 0.2], jnp.float32)
+
+    got = np.asarray(S.apply_penalties(logits, counts, rp, fp, pp))
+    lf = np.asarray(logits, np.float64)
+    c = np.asarray(counts, np.float64)
+    seen = c > 0
+    pen = np.where(lf > 0, lf / np.asarray(rp)[:, None],
+                   lf * np.asarray(rp)[:, None])
+    want = np.where(seen, pen, lf)
+    want = want - (np.asarray(fp)[:, None] * c
+                   + np.asarray(pp)[:, None] * seen)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # greedy + penalties picks argmax of the PENALIZED logits
+    tok = S.sample(logits, jax.random.PRNGKey(0),
+                   jnp.zeros((b,)), jnp.zeros((b,), jnp.int32),
+                   jnp.ones((b,)), counts=counts, repetition_penalty=rp,
+                   frequency_penalty=fp, presence_penalty=pp)
+    np.testing.assert_array_equal(np.asarray(tok), want.argmax(1))
+
+    # min_p masks tokens below min_p * pmax: with min_p ~ 1.0 sampling
+    # must return the argmax even at high temperature
+    tok2 = S.sample(logits, jax.random.PRNGKey(1),
+                    jnp.full((b,), 5.0), jnp.zeros((b,), jnp.int32),
+                    jnp.ones((b,)), min_p=jnp.full((b,), 0.999))
+    np.testing.assert_array_equal(np.asarray(tok2),
+                                  np.asarray(logits).argmax(1))

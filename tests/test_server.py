@@ -26,7 +26,7 @@ def make_app():
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
     ecfg = EngineConfig(max_batch_size=2,
                         kv=KVCacheConfig(page_size=8, num_pages=64,
-                                         max_pages_per_seq=8,
+                                         max_pages_per_seq=24,
                                          kv_dtype="f32"))
     eng = Engine(cfg, params, ecfg, tokenizer=ByteTokenizer(),
                  decode_burst=4)
@@ -108,3 +108,52 @@ def test_concurrent_requests():
         results = await asyncio.gather(*[one(f"req {i}") for i in range(5)])
         assert all(len(b["choices"][0]["token_ids"]) == 5 for b in results)
     run_with_client(go)
+
+
+def test_models_and_chat_completions():
+    async def go(client):
+        r = await client.get("/v1/models")
+        assert r.status == 200
+        assert (await r.json())["data"][0]["object"] == "model"
+
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "system", "content": "hi"},
+                         {"role": "user", "content": "abc"}],
+            "max_tokens": 6,
+        })
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "chat.completion"
+        assert data["choices"][0]["message"]["role"] == "assistant"
+        assert isinstance(data["choices"][0]["message"]["content"], str)
+    run_with_client(go)
+
+
+def test_completions_parallel_n():
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "xy", "max_tokens": 5, "n": 3, "temperature": 0.9,
+            "top_k": 50,
+        })
+        assert r.status == 200
+        data = await r.json()
+        assert len(data["choices"]) == 3
+        assert {c["index"] for c in data["choices"]} == {0, 1, 2}
+        # stochastic parallel samples should not all collapse together
+        texts = [tuple(c["token_ids"]) for c in data["choices"]]
+        assert len(set(texts)) >= 2
+    run_with_client(go)
+
+
+def test_render_chat_fallback_and_jinja():
+    from simplellminference_tpu.tokenizer.chat import render_chat
+
+    msgs = [{"role": "user", "content": "hello"}]
+    out = render_chat(msgs, None)
+    assert "hello" in out and out.endswith("assistant\n")
+
+    tpl = ("{% for m in messages %}[{{ m.role }}]: {{ m.content }}\n"
+           "{% endfor %}{% if add_generation_prompt %}[assistant]:"
+           "{% endif %}")
+    out = render_chat(msgs, tpl)
+    assert out == "[user]: hello\n[assistant]:"
