@@ -40,6 +40,12 @@ def main():
                     choices=["bf16", "fp8", "int8", "f32"])
     ap.add_argument("--burst", type=int, default=4)
     ap.add_argument("--stagger", type=int, default=0)
+    ap.add_argument("--spec", type=int, default=0,
+                    help="speculative decoding: prompt-lookup draft "
+                         "tokens per verify step (0 = off)")
+    ap.add_argument("--repetitive", action="store_true",
+                    help="repeating-pattern prompts (speculation-friendly "
+                         "workload)")
     ap.add_argument("--shared-prefix", type=int, default=0,
                     help="first N prompt tokens identical across requests "
                          "(system-prompt workload; exercises the prefix "
@@ -68,7 +74,8 @@ def main():
                          max_pages_per_seq=max(
                              (args.prompt_len + args.max_new)
                              // args.page_size + 2, 16),
-                         kv_dtype=args.kv_dtype))
+                         kv_dtype=args.kv_dtype),
+        spec_tokens=args.spec)
     eng = Engine(cfg, params, ecfg, decode_burst=args.burst)
 
     rng = np.random.default_rng(0)
@@ -79,7 +86,11 @@ def main():
 
     def make_req():
         n = max(args.prompt_len - len(shared), 0)
-        ids = shared + rng.integers(1, cfg.vocab_size, n).tolist()
+        if args.repetitive:
+            pat = rng.integers(1, cfg.vocab_size, 8).tolist()
+            ids = shared + (pat * (n // 8 + 1))[:n]
+        else:
+            ids = shared + rng.integers(1, cfg.vocab_size, n).tolist()
         return eng.add_request(prompt_ids=ids, sampling=sampling)
 
     # Warm-up: compile prefill + burst graphs on throwaway requests —
@@ -108,7 +119,7 @@ def main():
     m = eng.metrics
     detail = m.summary()
     detail.update(platform=jax.devices()[0].platform, wall_s=round(wall, 3),
-                  kv_dtype=args.kv_dtype, burst=args.burst)
+                  kv_dtype=args.kv_dtype, burst=args.burst, spec=args.spec)
     print(json.dumps({"detail": detail}), file=sys.stderr)
     print(json.dumps({
         "metric": f"serve_tokens_per_sec_{args.model}_int8_kv-"

@@ -250,6 +250,14 @@ class EngineConfig:
     # (fastest for prompts that fit — the default).
     prefill_chunk: int = 0
     max_queue: int = 256
+    # Speculative decoding (prompt-lookup self-drafting): propose
+    # spec_tokens greedy continuations from the last spec_ngram-gram's
+    # previous occurrence in the context and verify them in ONE forward —
+    # decode is weight-bound, so verifying G+1 tokens costs nearly the
+    # same HBM traffic as 1. 0 = off. Greedy rows only (stochastic rows
+    # fall back to one token per step inside the same batch).
+    spec_tokens: int = 0
+    spec_ngram: int = 2
     kv: KVCacheConfig = dataclasses.field(default_factory=KVCacheConfig)
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
     # Mesh geometry: axis name -> size. Absent axes = 1.

@@ -96,7 +96,19 @@ class Engine:
         self._dev_counts = None
         self._zero_counts = None  # persistent no-op override buffer
         self._override = np.zeros(b, bool)
-        self._inflight = None  # (toks_dev, [(slot, req)])
+        self._inflight = None  # (toks_dev, [(slot, req)]) (+n_em for spec)
+
+        # speculative decoding: device-carried token history for the
+        # prompt-lookup draft + its host override rows
+        self.spec = engine_cfg.spec_tokens
+        if self.spec:
+            assert 1 <= self.spec <= 7, \
+                "spec_tokens in [1, 7] (span kernel writes <= 8 rows)"
+            cap = kv.max_pages_per_seq * kv.page_size
+            self._hist_cap = cap + self.spec + 8  # + trash tail
+            self._hist_host = np.zeros((b, self._hist_cap), np.int32)
+            self._dev_hist = None
+            self._zero_hist = None
 
         cfg_ = cfg
         fwd = self._fwd
@@ -181,9 +193,109 @@ class Engine:
                 length=steps)
             return toks.T, tok, pos, counts, cache  # [B,steps],[B],[B],...
 
+        spec_g = engine_cfg.spec_tokens
+        ngram = engine_cfg.spec_ngram
+
+        @partial(jax.jit, static_argnums=(0,),
+                 donate_argnums=(2, 3, 4, 5, 6))
+        def _spec_burst_fn(steps, params, cache, dev_tok, dev_pos,
+                           dev_counts, dev_hist, ov_tok, ov_pos, ov_counts,
+                           ov_hist, ov_mask, tables, active, key, temp,
+                           top_k, top_p, min_p, rp, fp, pp):
+            """Speculative burst: each step drafts ``spec_g`` tokens by
+            prompt lookup (latest earlier occurrence of the context's
+            last n-gram), verifies draft+1 positions in ONE forward
+            (weight traffic ~= one decode step), and emits the accepted
+            prefix plus the model's own next token. Greedy rows only;
+            stochastic rows sample one token from the window's first
+            logits. Invariant: hist[0..pos] holds the context (hist[pos]
+            == the pending input token)."""
+            bsz = dev_tok.shape[0]
+            hl = dev_hist.shape[1]
+            tok0 = jnp.where(ov_mask, ov_tok, dev_tok)
+            pos0 = jnp.where(ov_mask, ov_pos, dev_pos)
+            counts0 = jnp.where(ov_mask[:, None], ov_counts, dev_counts)
+            hist0 = jnp.where(ov_mask[:, None], ov_hist, dev_hist)
+            pen_on = ~(jnp.all(rp == 1.0) & jnp.all(fp == 0.0)
+                       & jnp.all(pp == 0.0))
+            g1 = spec_g + 1
+            kidx = jnp.arange(g1, dtype=jnp.int32)[None]
+            idxs = jnp.arange(hl, dtype=jnp.int32)[None]
+
+            def find_draft(hist, pos):
+                # match windows ENDING at e < pos against the context's
+                # last n-gram (which ends at pos); continuation follows e
+                m = (idxs < pos[:, None]) & (idxs >= ngram - 1)
+                for j in range(ngram):
+                    tj = jnp.take_along_axis(
+                        hist, jnp.clip(pos - j, 0, hl - 1)[:, None], 1)
+                    hj = hist if j == 0 else jnp.concatenate(
+                        [jnp.full((bsz, j), -1, hist.dtype),
+                         hist[:, :hl - j]], 1)
+                    m &= hj == tj
+                e = jnp.max(jnp.where(m, idxs, -1), axis=1)
+                found = (e >= 0) & (pos >= ngram)
+                gat = e[:, None] + 1 + jnp.arange(spec_g,
+                                                  dtype=jnp.int32)[None]
+                draft = jnp.take_along_axis(hist,
+                                            jnp.clip(gat, 0, hl - 1), 1)
+                ok = found[:, None] & (gat <= pos[:, None])
+                return jnp.where(ok, draft, 0)
+
+            def step(carry, _):
+                cache, tok, pos, counts, hist, key = carry
+                draft = find_draft(hist, pos)                 # [B, G]
+                toks_in = jnp.concatenate([tok[:, None], draft], 1)
+                positions = pos[:, None] + kidx               # [B, G+1]
+                kv_lens = pos + g1
+                logits, cache = fwd(cfg_, params, toks_in, positions,
+                                    cache, tables, kv_lens, prefill=False)
+                pred = jnp.argmax(logits, -1).astype(jnp.int32)
+                key, sub = jax.random.split(key)
+                first = sampling_ops.sample(
+                    logits[:, 0], sub, temp, top_k, top_p, min_p=min_p,
+                    counts=counts, repetition_penalty=rp,
+                    frequency_penalty=fp, presence_penalty=pp)
+                greedy_row = temp <= 0.0
+                eq = (draft == pred[:, :spec_g]) & greedy_row[:, None]
+                n_acc = jnp.cumprod(eq.astype(jnp.int32), 1).sum(1)
+                n_acc = jnp.where(greedy_row, n_acc, 0)
+                bonus = jnp.take_along_axis(pred, n_acc[:, None], 1)[:, 0]
+                bonus = jnp.where(greedy_row, bonus, first)
+                draft_p = jnp.concatenate(
+                    [draft, jnp.zeros((bsz, 1), jnp.int32)], 1)
+                emitted = jnp.where(
+                    kidx < n_acc[:, None], draft_p,
+                    jnp.where(kidx == n_acc[:, None], bonus[:, None], -1))
+                emitted = jnp.where(active[:, None], emitted, -1)
+                n_em = jnp.where(active, n_acc + 1, 0)
+                # append emitted tokens at text positions pos+1+k
+                cols = jnp.where(kidx < n_em[:, None],
+                                 pos[:, None] + 1 + kidx, hl - 1)
+                hist = hist.at[jnp.arange(bsz)[:, None], cols].set(
+                    jnp.maximum(emitted, 0))
+                counts = jax.lax.cond(
+                    pen_on,
+                    lambda c: c.at[jnp.arange(bsz)[:, None],
+                                   jnp.maximum(emitted, 0)].add(
+                        (kidx < n_em[:, None]).astype(c.dtype)),
+                    lambda c: c, counts)
+                tok = jnp.where(active, bonus, tok)
+                pos = pos + n_em
+                return (cache, tok, pos, counts, hist, key), (emitted,
+                                                              n_em)
+
+            (cache, tok, pos, counts, hist, _), (ems, nems) = jax.lax.scan(
+                step, (cache, tok0, pos0, counts0, hist0, key), None,
+                length=steps)
+            # [B, steps, G+1], [B, steps]
+            return (ems.transpose(1, 0, 2), nems.T, tok, pos, counts,
+                    hist, cache)
+
         self._prefill_fn = _prefill_fn
         self._prefill_chunk_fn = _prefill_chunk_fn
         self._burst_fn = _burst_fn
+        self._spec_burst_fn = _spec_burst_fn if spec_g else None
 
     # ------------- public API -------------
 
@@ -203,7 +315,8 @@ class Engine:
         req = Request(req_id=next(self._req_ids),
                       prompt_ids=list(prompt_ids), sampling=sampling,
                       on_tokens=on_tokens)
-        max_len = self.ecfg.kv.max_pages_per_seq * self.ecfg.kv.page_size
+        max_len = (self.ecfg.kv.max_pages_per_seq * self.ecfg.kv.page_size
+                   - (self.spec if self.spec else 0))
         if len(req.prompt_ids) + sampling.max_new_tokens > max_len:
             req.state = RequestState.FAILED
             req.error = (f"prompt+max_new ({len(req.prompt_ids)}+"
@@ -312,6 +425,10 @@ class Engine:
             self._counts_host[slot] = np.bincount(
                 np.asarray(req.prompt_ids + req.output_ids, np.int64),
                 minlength=self.cfg.vocab_size)[:self.cfg.vocab_size]
+            if self.spec:
+                ids = req.prompt_ids + req.output_ids
+                self._hist_host[slot] = 0
+                self._hist_host[slot, :len(ids)] = ids
             admitted.append(req)
             if req.cached_len:
                 self.metrics.prefix_cache_hits += 1
@@ -352,6 +469,10 @@ class Engine:
                 tok_id = int(toks[i])
                 self._next_tok[req.slot] = tok_id
                 self._counts_host[req.slot, tok_id] += 1
+                if self.spec:
+                    # hist invariant: hist[0..pos] filled, hist[pos] ==
+                    # the pending input token
+                    self._hist_host[req.slot, self._pos[req.slot]] = tok_id
                 self._override[req.slot] = True  # fresh state for pipeline
                 self._emit_tokens(req, [tok_id])
 
@@ -364,7 +485,10 @@ class Engine:
         n = len(reqs)
         lens = [r.total_len for r in reqs]
         bucket = next_power_of_2(max(max(lens), 16))
-        nb = next_power_of_2(n)
+        # row count quantized to {1, max_batch}: a mid-run admit of an
+        # unseen group size would otherwise compile a fresh prefill graph
+        # (~30 s through the tunnel) in the serving path
+        nb = 1 if n == 1 else len(self.slots)
         tokens = np.zeros((nb, bucket), np.int32)
         mp = self.allocator.table().shape[1]
         tables = np.full((nb, mp), -1, np.int32)
@@ -403,7 +527,7 @@ class Engine:
         n = len(reqs)
         sufs = [r.total_len - r.cached_len for r in reqs]
         bucket = next_power_of_2(max(max(sufs), 16))
-        nb = next_power_of_2(n)
+        nb = 1 if n == 1 else len(self.slots)
         tokens = np.zeros((nb, bucket), np.int32)
         mp = self.allocator.table().shape[1]
         tables = np.full((nb, mp), -1, np.int32)
@@ -532,12 +656,14 @@ class Engine:
         """Extend every running slot's pages to cover the pipeline depth:
         host ``_pos`` lags the device position by up to one unprocessed
         burst, and the burst about to dispatch advances one more."""
+        per_step = (self.spec + 1) if self.spec else 1
         while True:
             ok = True
             for req in list(self.slots):
                 if req is None:
                     continue
-                target = int(self._pos[req.slot]) + 2 * self.burst + 1
+                target = (int(self._pos[req.slot])
+                          + 2 * self.burst * per_step + 1)
                 if self.allocator.seq_len(req.slot) < target:
                     if not self.allocator.extend(req.slot, target):
                         ok = False
@@ -615,20 +741,40 @@ class Engine:
             # otherwise a persistent zero buffer rides along unused
             ov_counts = (jnp.asarray(self._counts_host) if ov_mask.any()
                          else self._get_zero_counts())
-        (toks, self._dev_tok, self._dev_pos, self._dev_counts,
-         self.cache) = self._burst_fn(
-            self.burst, self.params, self.cache, dev_tok, dev_pos,
-            dev_counts, jnp.asarray(self._next_tok),
-            jnp.asarray(self._pos), ov_counts,
-            jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
+        sampler_args = (
             jnp.asarray(self._temp), jnp.asarray(self._top_k),
             jnp.asarray(self._top_p), jnp.asarray(self._min_p),
             jnp.asarray(self._rep_p), jnp.asarray(self._freq_p),
             jnp.asarray(self._pres_p))
+        if self.spec:
+            if self._dev_hist is None:
+                dev_hist = jnp.zeros(self._hist_host.shape, jnp.int32)
+                ov_hist = jnp.asarray(self._hist_host)
+            else:
+                dev_hist = self._dev_hist
+                ov_hist = (jnp.asarray(self._hist_host) if ov_mask.any()
+                           else self._get_zero_hist())
+            (ems, nems, self._dev_tok, self._dev_pos, self._dev_counts,
+             self._dev_hist, self.cache) = self._spec_burst_fn(
+                self.burst, self.params, self.cache, dev_tok, dev_pos,
+                dev_counts, dev_hist, jnp.asarray(self._next_tok),
+                jnp.asarray(self._pos), ov_counts, ov_hist,
+                jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
+                *sampler_args)
+            payload = ("spec", ems, nems)
+        else:
+            (toks, self._dev_tok, self._dev_pos, self._dev_counts,
+             self.cache) = self._burst_fn(
+                self.burst, self.params, self.cache, dev_tok, dev_pos,
+                dev_counts, jnp.asarray(self._next_tok),
+                jnp.asarray(self._pos), ov_counts,
+                jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
+                *sampler_args)
+            payload = ("std", toks, None)
         self._override[:] = False
         self.metrics.decode_bursts += 1
         prev = self._inflight
-        self._inflight = (toks, [(r.slot, r) for r in running])
+        self._inflight = (payload, [(r.slot, r) for r in running])
         if prev is not None:
             self._bookkeep(*prev)
         self.metrics.observe_step(
@@ -642,16 +788,40 @@ class Engine:
                                           jnp.float32)
         return self._zero_counts
 
+    def _get_zero_hist(self):
+        if self._zero_hist is None:
+            self._zero_hist = jnp.zeros(self._hist_host.shape, jnp.int32)
+        return self._zero_hist
+
     def _process_inflight(self):
         """Drain the pipeline: sync + bookkeep the in-flight burst."""
         if self._inflight is None:
             return
-        toks_dev, snapshot = self._inflight
+        payload, snapshot = self._inflight
         self._inflight = None
-        self._bookkeep(toks_dev, snapshot)
+        self._bookkeep(payload, snapshot)
 
-    def _bookkeep(self, toks_dev, snapshot):
-        toks = np.asarray(toks_dev)  # [B, burst] — the one sync point
+    def _bookkeep(self, payload, snapshot):
+        kind, a, b_ = payload
+        if kind == "spec":
+            ems = np.asarray(a)    # [B, steps, G+1] — the one sync point
+            nems = np.asarray(b_)  # [B, steps]
+            for slot, req in snapshot:
+                if self.slots[slot] is not req \
+                        or req.state != RequestState.RUNNING:
+                    continue
+                seq: list[int] = []
+                for s_ in range(ems.shape[1]):
+                    seq.extend(ems[slot, s_, :nems[slot, s_]].tolist())
+                steps_active = int((nems[slot] > 0).sum())
+                self.metrics.spec_steps += steps_active
+                self.metrics.spec_accepted += len(seq) - steps_active
+                self._emit_tokens(req, seq)
+                if req.state == RequestState.RUNNING and seq:
+                    self._pos[slot] += len(seq)
+                    self._next_tok[slot] = seq[-1]
+            return
+        toks = np.asarray(a)  # [B, burst] — the one sync point
         for slot, req in snapshot:
             # skip slots whose request was replaced/finished since dispatch
             if self.slots[slot] is not req \

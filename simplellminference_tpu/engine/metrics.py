@@ -30,6 +30,8 @@ class EngineMetrics:
     prefills: int = 0
     prefix_cache_hits: int = 0
     prompt_tokens_cached: int = 0  # prompt tokens served by shared pages
+    spec_steps: int = 0            # speculative verify steps (active rows)
+    spec_accepted: int = 0         # draft tokens accepted
     # time integrals for occupancy/utilization averages
     busy_slot_steps: int = 0
     total_slot_steps: int = 0
@@ -81,6 +83,11 @@ class EngineMetrics:
             "prefills": self.prefills,
             "prefix_cache_hits": self.prefix_cache_hits,
             "prompt_tokens_cached": self.prompt_tokens_cached,
+            "spec_steps": self.spec_steps,
+            "spec_accepted": self.spec_accepted,
+            "spec_acceptance_rate": round(
+                self.spec_accepted / self.spec_steps, 3)
+            if self.spec_steps else 0.0,
             "tokens_per_sec": round(self.tokens_per_sec, 2),
             "batch_occupancy": round(self.batch_occupancy, 4),
             "page_utilization": round(self.page_utilization, 4),

@@ -291,6 +291,42 @@ def write_decode_stacked(pool_k: jax.Array, pool_v: jax.Array,
     return pool_k, pool_v, None, None
 
 
+def write_span_stacked(pool_k: jax.Array, pool_v: jax.Array,
+                       new_k: jax.Array, new_v: jax.Array,
+                       tables: jax.Array, positions: jax.Array,
+                       layer: jax.Array,
+                       pool_ks: jax.Array | None = None,
+                       pool_vs: jax.Array | None = None):
+    """Write T consecutive tokens per sequence at ``positions`` (the
+    speculative-decoding verify step). new_k/v: [B, T, kvN, D]; T <= 8."""
+    if pool_ks is None and _use_pallas_writes():
+        from simplellminference_tpu.ops.paged_append import (
+            paged_append_span)
+        pk, pv = paged_append_span(pool_k, pool_v, new_k, new_v, tables,
+                                   positions, layer)
+        return pk, pv, None, None
+    b, t_len, kvn, d = new_k.shape
+    ps = pool_k.shape[3]
+    pos = positions[:, None] + jnp.arange(t_len, dtype=jnp.int32)[None]
+    page_idx = jnp.take_along_axis(tables, pos // ps, axis=1)  # [B, T]
+    slot = pos % ps
+    if pool_ks is not None:
+        qk, sk = quantize_kv(new_k)   # [B, T, kvN, D], [B, T, kvN]
+        qv, sv = quantize_kv(new_v)
+        pool_k = pool_k.at[layer, page_idx, :, slot, :].set(qk,
+                                                            mode="drop")
+        pool_v = pool_v.at[layer, page_idx, :, slot, :].set(qv,
+                                                            mode="drop")
+        pool_ks = pool_ks.at[layer, page_idx, :, slot].set(sk, mode="drop")
+        pool_vs = pool_vs.at[layer, page_idx, :, slot].set(sv, mode="drop")
+        return pool_k, pool_v, pool_ks, pool_vs
+    pool_k = pool_k.at[layer, page_idx, :, slot, :].set(
+        new_k.astype(pool_k.dtype), mode="drop")
+    pool_v = pool_v.at[layer, page_idx, :, slot, :].set(
+        new_v.astype(pool_v.dtype), mode="drop")
+    return pool_k, pool_v, None, None
+
+
 def gather_dense(pool_k: jax.Array, pool_v: jax.Array, tables: jax.Array,
                  pool_ks: jax.Array | None = None,
                  pool_vs: jax.Array | None = None

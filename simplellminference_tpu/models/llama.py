@@ -289,7 +289,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     sin, cos = ref_ops.rope_tables_for(cfg, positions)
 
     chunked = prefill and chunk_offset is not None
-    if chunked:
+    spec = (not prefill) and s > 1  # speculative-decoding verify window
+    if chunked or spec:
         mask = None  # built against the gathered cache inside the layer
     elif prefill:
         mask = ref_ops.causal_mask(s, s)[None, None]
@@ -314,13 +315,22 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         k = ref_ops.apply_rope(k, sin, cos)
 
         scale_args = (pks, pvs) if quant_kv else (None, None)
-        if chunked:
+        if spec:
+            # speculative verify: write the T-token span at each row's
+            # position, attend via the multi-window paged flash kernel
+            # (same page traffic as one decode step)
+            pk, pv, nks, nvs = pkv.write_span_stacked(
+                pk, pv, k, v, tables, positions[:, 0], li, *scale_args)
+            attn = dispatch.attention_paged(
+                cfg, q, pk, pv, tables, kv_lens,
+                *((nks, nvs) if quant_kv else (None, None)), layer=li)
+        elif chunked:
             ps = pk.shape[3]
             pk, pv, nks, nvs = pkv.write_prefill_stacked(
                 pk, pv, k, v, tables, li, *scale_args,
                 page_offset=chunk_offset // ps)
-            # Attend chunk queries against everything cached so far
-            # (including the just-written chunk) through a dense gather.
+            # Attend the window's queries against everything cached so
+            # far (including the just-written chunk) via a dense gather.
             ck, cv = pkv.gather_dense(
                 jax.lax.dynamic_index_in_dim(pk, li, 0, False),
                 jax.lax.dynamic_index_in_dim(pv, li, 0, False),

@@ -92,17 +92,25 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
     import jax.numpy as jnp
 
     b, s, n, d = q.shape
-    assert s == 1, "paged attention path is decode-only (S == 1)"
     stacked = pool_k.ndim == 5
     ps = pool_k.shape[3] if stacked else pool_k.shape[2]
     if _use_flash() and d in (64, 128, 256) and ps % 8 == 0:
+        if s == 1:
+            from simplellminference_tpu.ops.attention.paged_decode import (
+                paged_flash_decode)
+            return paged_flash_decode(q[:, 0], pool_k, pool_v, tables,
+                                      kv_lens,
+                                      layer=layer if stacked else None,
+                                      k_scale=pool_ks,
+                                      v_scale=pool_vs)[:, None]
+        # speculative verify window: rows s of each sequence sit at
+        # positions kv_len - s .. kv_len - 1 (in-window causal masking
+        # happens in-kernel; KV page traffic == one decode step)
         from simplellminference_tpu.ops.attention.paged_decode import (
-            paged_flash_decode)
-        return paged_flash_decode(q[:, 0], pool_k, pool_v, tables,
-                                  kv_lens,
+            paged_flash_verify)
+        return paged_flash_verify(q, pool_k, pool_v, tables, kv_lens,
                                   layer=layer if stacked else None,
-                                  k_scale=pool_ks,
-                                  v_scale=pool_vs)[:, None]
+                                  k_scale=pool_ks, v_scale=pool_vs)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
         pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
@@ -112,8 +120,15 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
     from simplellminference_tpu.memory.paged_kv import gather_dense
     ck, cv = gather_dense(pool_k, pool_v, tables, pool_ks, pool_vs)
     smax = ck.shape[2]
-    mask = (jnp.arange(smax)[None, None, None, :]
-            < kv_lens[:, None, None, None])
+    key_pos = jnp.arange(smax)
+    if s == 1:
+        mask = (key_pos[None, None, None, :]
+                < kv_lens[:, None, None, None])
+    else:
+        q_pos = (kv_lens[:, None] - s
+                 + jnp.arange(s, dtype=jnp.int32)[None])      # [B, S]
+        mask = (key_pos[None, None, None, :]
+                <= q_pos[:, None, :, None])
     k = ck.transpose(0, 2, 1, 3)
     v = cv.transpose(0, 2, 1, 3)
     return ref_ops.attention(q, k, v, mask)

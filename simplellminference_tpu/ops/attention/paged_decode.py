@@ -23,7 +23,7 @@ NEG_INF = -1e30
 
 def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
                   *refs, scale: float, ps: int, group: int, hb: int,
-                  quant_kv: bool):
+                  quant_kv: bool, wins: int = 1):
     if quant_kv:
         # INT8 KV: per-token-per-head scale pages ride along; dequant on
         # the VPU right after the page DMA.
@@ -35,7 +35,7 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
     pi = pl.program_id(2)
     np_ = pl.num_programs(2)
     kv_len = lens_ref[bi]
-    rows = hb * group
+    rows = hb * group * wins
 
     @pl.when(pi == 0)
     def _():
@@ -45,16 +45,20 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
 
     @pl.when(pi * ps < kv_len)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)          # [HB, G, D]
+        q = q_ref[0, 0].astype(jnp.float32)          # [HB, G*W, D]
         k = kp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
         if quant_kv:
             k = k * ks_ref[0, 0, 0][..., None]       # [HB, ps, 1]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale   # [HB, G, ps]
+            preferred_element_type=jnp.float32) * scale  # [HB, G*W, ps]
         s = s.reshape(rows, ps)
         k_pos = pi * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos < kv_len, s, NEG_INF)
+        # multi-row verify windows (speculative decoding): query row with
+        # window index w sits at position kv_len - wins + w, so it may
+        # attend keys k_pos <= that position. wins == 1 => k_pos < kv_len.
+        w = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % wins
+        s = jnp.where(k_pos < kv_len - wins + 1 + w, s, NEG_INF)
 
         m_prev = m_ref[:rows, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -65,26 +69,50 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
         v = vp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
         if quant_kv:
             v = v * vs_ref[0, 0, 0][..., None]
+        gw = group * wins
         pv = jax.lax.dot_general(
-            p.reshape(hb, group, ps), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [HB, G, D]
-        acc_ref[:] = acc_ref[:] * alpha.reshape(hb, group, 1) + pv
+            p.reshape(hb, gw, ps), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [HB, G*W, D]
+        acc_ref[:] = acc_ref[:] * alpha.reshape(hb, gw, 1) + pv
         m_ref[:rows, :1] = m_new
 
     @pl.when(pi == np_ - 1)
     def _():
         l = jnp.maximum(l_ref[:rows, :1], 1e-30)
-        o_ref[0, 0] = (acc_ref[:]
-                       / l.reshape(hb, group, 1)).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / l.reshape(
+            hb, group * wins, 1)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+def paged_flash_verify(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        tables: jax.Array, kv_lens: jax.Array,
                        interpret: bool = False,
                        layer: jax.Array | None = None,
                        k_scale: jax.Array | None = None,
                        v_scale: jax.Array | None = None) -> jax.Array:
+    """Multi-row decode windows (speculative verify): q [B, S, N, D]
+    where row s sits at position kv_len - S + s (in-window causal).
+    Same page-table flash kernel as :func:`paged_flash_decode` with the
+    window rows packed into the query tile — KV page traffic is identical
+    to a single-token decode step. Returns [B, S, N, D]."""
+    b, s, n, d = q.shape
+    # pack (group, window) into the tile's row dim: row = g * S + s
+    qp = q.transpose(0, 2, 1, 3).reshape(b, n * s, d)
+    out = paged_flash_decode(qp, k_pool, v_pool, tables, kv_lens,
+                             interpret=interpret, layer=layer,
+                             k_scale=k_scale, v_scale=v_scale,
+                             wins=s)
+    return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "wins"))
+def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                       tables: jax.Array, kv_lens: jax.Array,
+                       interpret: bool = False,
+                       layer: jax.Array | None = None,
+                       k_scale: jax.Array | None = None,
+                       v_scale: jax.Array | None = None,
+                       wins: int = 1) -> jax.Array:
     """q: [B, N, D]; k/v_pool: [P, kvN, ps, D] — or the stacked pools
     [L, P, kvN, ps, D] with a traced ``layer`` index (scalar-prefetched,
     zero-copy reads from inside a scan over layers); tables: [B, MP] int32
@@ -92,7 +120,11 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
     INT8 KV: pass per-token-per-head scale pools k/v_scale
     ([L, P, kvN, ps]); scale pages are DMA'd with their data pages and
-    dequantized on the VPU in-kernel."""
+    dequantized on the VPU in-kernel.
+
+    ``wins`` > 1 (via :func:`paged_flash_verify`): q carries
+    ``wins``-token verify windows packed into its row dim; per-row causal
+    limits apply in-kernel."""
     if k_pool.ndim == 4:
         k_pool = k_pool[None]
         v_pool = v_pool[None]
@@ -112,8 +144,12 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
     # Pack kv heads per grid step (a page holds all heads): fills the VPU
     # sublanes at group=1 and turns 4 KB page DMAs into 32 KB ones.
+    # Verify windows (wins > 1) multiply the row count but NOT the KV
+    # blocks — keep the same head packing as single-token decode, else
+    # the grid explodes into tiny DMAs.
     hb = 1
-    while (hb * group < 16 and hb * 2 <= kvn and kvn % (hb * 2) == 0):
+    while (hb * group < 16 * wins and hb * 2 <= kvn
+           and kvn % (hb * 2) == 0):
         hb *= 2
     qg = q.reshape(b, kvn // hb, hb, group, d)
 
@@ -162,9 +198,11 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
     # The page gather IS the BlockSpec index map: tables are prefetched and
     # each grid step's DMA source is the mapped page block.
+    assert group % wins == 0, (group, wins)
     out = pl.pallas_call(
-        functools.partial(_paged_kernel, scale=scale, ps=ps, group=group,
-                          hb=hb, quant_kv=quant_kv),
+        functools.partial(_paged_kernel, scale=scale, ps=ps,
+                          group=group // wins, hb=hb, quant_kv=quant_kv,
+                          wins=wins),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),

@@ -348,3 +348,104 @@ def paged_append_prefill_quant(pool_k, pool_v, pool_ks, pool_vs,
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
     )(layer, pages, chunks(qk), chunks(qv), schunks(sk), schunks(sv),
       pool_k, pool_v, pool_ks, pool_vs)
+
+
+def _span_kernel(layer_ref, pages_ref, blks_ref, rels_ref, newk_ref,
+                 newv_ref, pk_in, pv_in, pk_out, pv_out, *, t_len: int):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    kvn = pk_in.shape[2]
+    rel = rels_ref[b, s]  # window row of the span's first token (may be <0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kvn, _ROWS, 1), 1)
+    k = pk_in[0, 0]
+    v = pv_in[0, 0]
+    for t in range(t_len):  # static unroll: T is small (<= _ROWS)
+        m = rows == rel + t
+        k = jnp.where(m, newk_ref[0, :, t:t + 1, :].astype(k.dtype), k)
+        v = jnp.where(m, newv_ref[0, :, t:t + 1, :].astype(v.dtype), v)
+    pk_out[0, 0] = k
+    pv_out[0, 0] = v
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_append_span(pool_k: jax.Array, pool_v: jax.Array,
+                      new_k: jax.Array, new_v: jax.Array,
+                      tables: jax.Array, positions: jax.Array,
+                      layer: jax.Array,
+                      interpret: bool = False
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Write T consecutive tokens per sequence starting at ``positions``
+    (speculative-decoding verify step: T = draft + 1 <= 8).
+
+    pool_k/v: [L, P, kvN, ps, D] (aliased; last page = trash);
+    new_k/v: [B, T, kvN, D]; tables: [B, MP]; positions: [B].
+
+    A span of T <= 8 tokens touches at most TWO 8-row-aligned windows
+    (page_size % 8 == 0, so global 8-alignment survives the page split);
+    grid (B, 2) RMWs both — when the span fits one window the second
+    grid step revisits the same block (no DMA, idempotent re-write).
+    """
+    l_, p, kvn, ps, d = pool_k.shape
+    b, t_len, _, _ = new_k.shape
+    assert t_len <= _ROWS, t_len
+    mp = tables.shape[1]
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def seg(gstart):
+        pg_col = gstart // ps
+        valid = pg_col < mp
+        page = jnp.take_along_axis(
+            tables, jnp.minimum(pg_col, mp - 1)[:, None], axis=1)[:, 0]
+        page = jnp.where(valid & (page >= 0), page, p - 1)
+        blk = (gstart % ps) // _ROWS
+        rel = positions - gstart
+        return page.astype(jnp.int32), blk.astype(jnp.int32), \
+            rel.astype(jnp.int32)
+
+    g0 = (positions // _ROWS) * _ROWS
+    g1 = ((positions + t_len - 1) // _ROWS) * _ROWS
+    p0, b0, r0 = seg(g0)
+    p1, b1, r1 = seg(g1)
+    pages = jnp.stack([p0, p1], axis=1)    # [B, 2]
+    blks = jnp.stack([b0, b1], axis=1)
+    rels = jnp.stack([r0, r1], axis=1)
+
+    nk = new_k.transpose(0, 2, 1, 3).astype(pool_k.dtype)  # [B, kvN, T, D]
+    nv = new_v.transpose(0, 2, 1, 3).astype(pool_v.dtype)
+    if t_len < _ROWS:
+        padt = ((0, 0), (0, 0), (0, _ROWS - t_len), (0, 0))
+        nk = jnp.pad(nk, padt)
+        nv = jnp.pad(nv, padt)
+
+    def new_index(i_b, i_s, li, pg, bl, rl):
+        return (i_b, 0, 0, 0)
+
+    def pool_index(i_b, i_s, li, pg, bl, rl):
+        return (li[0], pg[i_b, i_s], 0, bl[i_b, i_s], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, 2),
+        in_specs=[
+            pl.BlockSpec((1, kvn, _ROWS, d), new_index),
+            pl.BlockSpec((1, kvn, _ROWS, d), new_index),
+            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
+            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
+        ],
+    )
+    # Flat operands: layer(0), pages(1), blks(2), rels(3), new_k(4),
+    # new_v(5), pool_k(6), pool_v(7).
+    return pl.pallas_call(
+        functools.partial(_span_kernel, t_len=t_len),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+    )(layer, pages, blks, rels, nk, nv, pool_k, pool_v)

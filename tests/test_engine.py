@@ -218,3 +218,53 @@ def test_engine_repetition_penalty_consistent_across_bursts(model):
     neutral = make_engine(cfg, params).generate(
         prompts, SamplingParams(max_new_tokens=12))
     assert outs[4] != neutral
+
+
+def test_engine_speculative_matches_greedy(model):
+    """Prompt-lookup speculative decoding: greedy outputs EQUAL the
+    non-speculative engine exactly (f32), and drafts get accepted on
+    repetitive prompts."""
+    cfg, params = model
+    rng = np.random.default_rng(5)
+    prompts = [([5, 6, 7, 8] * 6)[:20],
+               rng.integers(1, cfg.vocab_size, 13).tolist(),
+               [9, 1, 2, 3, 9, 1, 2, 3, 9, 1, 2, 3]]
+
+    def mk(spec):
+        ecfg = EngineConfig(
+            max_batch_size=4, spec_tokens=spec,
+            kv=KVCacheConfig(page_size=8, num_pages=64,
+                             max_pages_per_seq=24, kv_dtype="f32"))
+        return Engine(cfg, params, ecfg, decode_burst=3)
+
+    base = mk(0).generate(prompts, SamplingParams(max_new_tokens=24))
+    eng = mk(3)
+    got = eng.generate(prompts, SamplingParams(max_new_tokens=24))
+    assert got == base
+    m = eng.metrics
+    assert m.spec_steps > 0 and m.spec_accepted > 0
+
+
+def test_engine_speculative_with_sampling_and_stops(model):
+    """Stochastic rows inside a speculative batch fall back to one token
+    per verify step; stop tokens truncate mid-span."""
+    cfg, params = model
+    prompts = [[5, 6, 7, 8] * 5, [1, 2, 3]]
+
+    def mk(spec):
+        ecfg = EngineConfig(
+            max_batch_size=4, spec_tokens=spec,
+            kv=KVCacheConfig(page_size=8, num_pages=64,
+                             max_pages_per_seq=24, kv_dtype="f32"))
+        return Engine(cfg, params, ecfg, decode_burst=3)
+
+    base = mk(0).generate([prompts[0]], SamplingParams(max_new_tokens=16))
+    stop = base[0][7]
+    eng = mk(3)
+    r1 = eng.add_request(prompt_ids=prompts[0], sampling=SamplingParams(
+        max_new_tokens=16, stop_token_ids=(stop,)))
+    r2 = eng.add_request(prompt_ids=prompts[1], sampling=SamplingParams(
+        max_new_tokens=10, temperature=0.9, top_k=20))
+    eng.run()
+    assert r1.output_ids == base[0][:7]
+    assert len(r2.output_ids) == 10

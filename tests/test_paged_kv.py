@@ -213,3 +213,39 @@ def test_quantized_kv_generation_close_to_bf16(tiny_model, kv_dtype):
     quant = run(kv_dtype)
     assert len(quant) == 8
     assert quant[:2] == base[:2]
+
+
+def test_paged_append_span_matches_scatter(rng):
+    """Span write (speculative verify): Pallas kernel (interpret) vs the
+    jnp scatter reference, spans crossing 8-row windows and pages."""
+    from simplellminference_tpu.memory import paged_kv as pkv
+    from simplellminference_tpu.ops.paged_append import paged_append_span
+
+    L, p, kvn, ps, d = 2, 8, 2, 16, 128
+    b, t = 3, 4
+    pool_k = jnp.asarray(rng.standard_normal((L, p, kvn, ps, d)),
+                         jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((L, p, kvn, ps, d)),
+                         jnp.float32)
+    tables = jnp.asarray([[0, 1, -1, -1], [2, 3, 4, -1], [5, 6, -1, -1]],
+                         jnp.int32)
+    # positions: within-window, crossing an 8-row boundary, crossing a page
+    positions = jnp.asarray([2, 6, 14], jnp.int32)
+    new_k = jnp.asarray(rng.standard_normal((b, t, kvn, d)), jnp.float32)
+    new_v = jnp.asarray(rng.standard_normal((b, t, kvn, d)), jnp.float32)
+    li = jnp.int32(1)
+
+    del pkv
+    got_k, got_v = paged_append_span(pool_k, pool_v, new_k, new_v, tables,
+                                     positions, li, interpret=True)
+    # scatter reference (the CPU fallback path's math)
+    ps_ = ps
+    pos = positions[:, None] + jnp.arange(t)[None]
+    page_idx = jnp.take_along_axis(tables, pos // ps_, axis=1)
+    slot = pos % ps_
+    want_k = pool_k.at[li, page_idx, :, slot, :].set(new_k, mode="drop")
+    want_v = pool_v.at[li, page_idx, :, slot, :].set(new_v, mode="drop")
+    np.testing.assert_array_equal(np.asarray(got_k[:, :-1]),
+                                  np.asarray(want_k[:, :-1]))
+    np.testing.assert_array_equal(np.asarray(got_v[:, :-1]),
+                                  np.asarray(want_v[:, :-1]))
