@@ -28,7 +28,12 @@ def main(argv=None):
     ap.add_argument("--num-pages", type=int, default=2048)
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--max-pages-per-seq", type=int, default=64)
-    ap.add_argument("--decode-burst", type=int, default=8)
+    ap.add_argument("--decode-burst", type=int, default=4)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree (shards params + KV "
+                         "pools over the model mesh axis)")
+    ap.add_argument("--spec-tokens", type=int, default=0,
+                    help="speculative decoding draft length (0 = off)")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,6 +66,8 @@ def main(argv=None):
 
     ecfg = EngineConfig(
         max_batch_size=args.max_batch,
+        mesh_shape={"model": args.tp} if args.tp > 1 else None,
+        spec_tokens=args.spec_tokens,
         kv=KVCacheConfig(page_size=args.page_size,
                          num_pages=args.num_pages,
                          max_pages_per_seq=args.max_pages_per_seq,

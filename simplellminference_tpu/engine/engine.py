@@ -66,6 +66,41 @@ class Engine:
             cfg.num_layers, kv.num_pages, cfg.num_kv_heads, kv.page_size,
             cfg.head_dim, kv_dtype)
 
+        # tensor-parallel serving: shard params + KV page pools over the
+        # model axis and run the per-shard Pallas kernels inside a
+        # shard_map forward (models/llama_tp.py). Host scheduling (block
+        # tables, admits, bursts) is device-count agnostic.
+        self.mesh = None
+        ms = engine_cfg.mesh_shape
+        n_mesh = 1
+        if ms:
+            for v_ in ms.values():
+                n_mesh *= int(v_)
+        if forward_paged is None and n_mesh > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from simplellminference_tpu.models import llama_tp
+            from simplellminference_tpu.parallel import sharding as shd
+            from simplellminference_tpu.parallel.mesh import (MODEL_AXIS,
+                                                              MeshConfig,
+                                                              build_mesh)
+            mc = MeshConfig(data=int(ms.get("data", 1)),
+                            model=int(ms.get("model", 1)))
+            self.mesh = build_mesh(mc, devices=jax.devices()[:n_mesh])
+            tp_params, self._fwd = llama_tp.make_tp_forward_paged(
+                cfg, self.mesh, params)
+            self.params = shd.shard_params(cfg, tp_params, self.mesh)
+            pool_sh = NamedSharding(self.mesh,
+                                    P(None, None, MODEL_AXIS, None, None))
+            scale_sh = NamedSharding(self.mesh,
+                                     P(None, None, MODEL_AXIS, None))
+            self.cache = PagedKVCache(
+                k=jax.device_put(self.cache.k, pool_sh),
+                v=jax.device_put(self.cache.v, pool_sh),
+                k_scale=(jax.device_put(self.cache.k_scale, scale_sh)
+                         if self.cache.k_scale is not None else None),
+                v_scale=(jax.device_put(self.cache.v_scale, scale_sh)
+                         if self.cache.v_scale is not None else None))
+
         b = engine_cfg.max_batch_size
         self.slots: list[Optional[Request]] = [None] * b
         self.waiting: deque[Request] = deque()

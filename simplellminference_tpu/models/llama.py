@@ -262,6 +262,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                   kv_lens: jax.Array, prefill: bool,
                   last_token_only: bool = False,
                   chunk_offset: Optional[jax.Array] = None,
+                  tp_axis: Optional[str] = None,
+                  vocab_shard: Optional[int] = None,
                   ) -> tuple[jax.Array, Any]:
     """Forward pass over the paged KV cache (engine path).
 
@@ -285,7 +287,20 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     b, s = tokens.shape
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     dtype = jnp.dtype(cfg.dtype)
-    x = params["embed"][tokens].astype(dtype)
+    if tp_axis is not None:
+        # per-shard body under shard_map (models/llama_tp.py): local
+        # heads/intermediate, vocab-parallel embedding, psum after the
+        # row-sharded wo / w_down matmuls
+        tp = jax.lax.axis_size(tp_axis)
+        n, kvn = n // tp, kvn // tp
+        me = jax.lax.axis_index(tp_axis)
+        v0 = me * vocab_shard
+        local_ids = jnp.clip(tokens - v0, 0, vocab_shard - 1)
+        hit = (tokens >= v0) & (tokens < v0 + vocab_shard)
+        x = jnp.where(hit[..., None], params["embed"][local_ids], 0)
+        x = jax.lax.psum(x.astype(jnp.float32), tp_axis).astype(dtype)
+    else:
+        x = params["embed"][tokens].astype(dtype)
     sin, cos = ref_ops.rope_tables_for(cfg, positions)
 
     chunked = prefill and chunk_offset is not None
@@ -358,9 +373,12 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         if quant_kv:
             pks, pvs = nks, nvs
         attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li)
+        if tp_axis is not None:
+            attn = jax.lax.psum(attn, tp_axis)
         x = x + attn
 
-        if (jax.default_backend() == "tpu" and jax.device_count() == 1):
+        if (tp_axis is None and jax.default_backend() == "tpu"
+                and jax.device_count() == 1):
             from simplellminference_tpu.ops import ffn_fused
             if ffn_fused.fused_ffn_available(lw, cfg.hidden_size,
                                              cfg.intermediate_size, b * s):
@@ -373,10 +391,14 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                         pvs), None
         ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
                                  cfg.rms_norm_eps)
-        i = cfg.intermediate_size
+        i = cfg.intermediate_size if tp_axis is None else (
+            cfg.intermediate_size // jax.lax.axis_size(tp_axis))
         gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
-        x = x + linear(ref_ops.swiglu(gate_up[..., :i], gate_up[..., i:]),
-                       lw["w_down"], layer=li)
+        down = linear(ref_ops.swiglu(gate_up[..., :i], gate_up[..., i:]),
+                      lw["w_down"], layer=li)
+        if tp_axis is not None:
+            down = jax.lax.psum(down, tp_axis)
+        x = x + down
         return (x, pk, pv, pks, pvs), None
 
     carry0 = (x, cache.k, cache.v,

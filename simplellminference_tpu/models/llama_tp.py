@@ -219,3 +219,89 @@ def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params,
         return logits, new_cache
 
     return tp_params, forward_fn
+
+def make_tp_forward_paged(cfg: ModelConfig, mesh: Mesh, params: Params):
+    """TP forward over the PAGED cache (the serving-engine path).
+
+    Returns (tp_params, forward_fn) where forward_fn matches
+    :func:`llama.forward_paged`'s signature (with a leading ``cfg`` the
+    Engine passes positionally). KV page pools shard on the kv-head dim
+    (``P(None, None, model, None, None)``); block tables and per-request
+    state stay replicated, so the engine's host scheduler is unchanged.
+    Inside the shard_map body every Pallas kernel (paged append/span,
+    flash decode/verify, dequant+matmul) runs on its local shard.
+    """
+    from simplellminference_tpu.memory.paged_kv import PagedKVCache
+
+    tp = mesh.shape[MODEL_AXIS]
+    assert cfg.vocab_size % tp == 0, (cfg.vocab_size, tp)
+    assert cfg.num_kv_heads % tp == 0, (cfg.num_kv_heads, tp)
+    vocab_shard = cfg.vocab_size // tp
+    tp_params = permute_params_for_tp(cfg, params, tp)
+    pspecs = sharding.spec_tree(cfg, tp_params)
+    pool_spec = P(None, None, MODEL_AXIS, None, None)
+    scale_spec = P(None, None, MODEL_AXIS, None)
+    rep2 = P(None, None)
+    rep1 = P(None)
+
+    def forward_fn(cfg_, params, tokens, positions, cache, tables,
+                   kv_lens, prefill, last_token_only=False,
+                   chunk_offset=None):
+        del cfg_  # closure cfg is authoritative (engine passes it through)
+        quant_kv = cache.k_scale is not None
+
+        def body(params, tokens, positions, pk, pv, pks, pvs, tables,
+                 kv_lens, co):
+            old = dispatch.SHARD_MAP_LOCAL
+            dispatch.SHARD_MAP_LOCAL = True
+            try:
+                c = PagedKVCache(k=pk, v=pv, k_scale=pks, v_scale=pvs)
+                logits, c2 = llama.forward_paged(
+                    cfg, params, tokens, positions, c, tables, kv_lens,
+                    prefill=prefill, last_token_only=last_token_only,
+                    chunk_offset=co, tp_axis=MODEL_AXIS,
+                    vocab_shard=vocab_shard)
+            finally:
+                dispatch.SHARD_MAP_LOCAL = old
+            return (logits, c2.k, c2.v, c2.k_scale, c2.v_scale)
+
+        co = chunk_offset
+        # chunk_offset None is a STATIC branch: wrap so the shard_map
+        # signature stays fixed
+        if co is None:
+            def body2(params, tokens, positions, pk, pv, pks, pvs,
+                      tables, kv_lens):
+                return body(params, tokens, positions, pk, pv, pks, pvs,
+                            tables, kv_lens, None)
+            extra_args, extra_specs = (), ()
+        else:
+            body2 = body
+            extra_args = (jnp.asarray(co, jnp.int32),)
+            extra_specs = (rep1 if jnp.ndim(co) else P(),)
+        if not quant_kv:
+            def bodyq(params, tokens, positions, pk, pv, tables, kv_lens,
+                      *rest):
+                out = body2(params, tokens, positions, pk, pv, None, None,
+                            tables, kv_lens, *rest)
+                return out[:3]
+            in_specs = (pspecs, rep2, rep2, pool_spec, pool_spec, rep2,
+                        rep1, *extra_specs)
+            out_specs = (P(None, None, MODEL_AXIS), pool_spec, pool_spec)
+            f = shard_map(bodyq, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+            logits, nk, nv = f(params, tokens, positions, cache.k,
+                               cache.v, tables, kv_lens, *extra_args)
+            return logits, PagedKVCache(k=nk, v=nv)
+        in_specs = (pspecs, rep2, rep2, pool_spec, pool_spec, scale_spec,
+                    scale_spec, rep2, rep1, *extra_specs)
+        out_specs = (P(None, None, MODEL_AXIS), pool_spec, pool_spec,
+                     scale_spec, scale_spec)
+        f = shard_map(body2, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+        logits, nk, nv, nks, nvs = f(params, tokens, positions, cache.k,
+                                     cache.v, cache.k_scale,
+                                     cache.v_scale, tables, kv_lens,
+                                     *extra_args)
+        return logits, PagedKVCache(k=nk, v=nv, k_scale=nks, v_scale=nvs)
+
+    return tp_params, forward_fn

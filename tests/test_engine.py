@@ -268,3 +268,35 @@ def test_engine_speculative_with_sampling_and_stops(model):
     eng.run()
     assert r1.output_ids == base[0][:7]
     assert len(r2.output_ids) == 10
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
+def test_engine_tensor_parallel_matches_single(model):
+    """TP-sharded paged engine (shard_map, pools sharded on kv heads)
+    produces the same greedy tokens as the single-device engine."""
+    cfg, params = model
+    # model fixture heads must divide the mesh; build a TP-friendly cfg
+    tcfg = ModelConfig(vocab_size=cfg.vocab_size, hidden_size=64,
+                       intermediate_size=128, num_layers=2, num_heads=8,
+                       num_kv_heads=4, head_dim=8, max_seq_len=256,
+                       dtype="float32")
+    tparams = llama.init_params(tcfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, tcfg.vocab_size, n).tolist()
+               for n in (5, 23, 40)]
+
+    def mk(mesh_shape, spec=0):
+        ecfg = EngineConfig(
+            max_batch_size=4, mesh_shape=mesh_shape, spec_tokens=spec,
+            kv=KVCacheConfig(page_size=8, num_pages=64,
+                             max_pages_per_seq=16, kv_dtype="f32"))
+        return Engine(tcfg, tparams, ecfg, decode_burst=3)
+
+    base = mk(None).generate(prompts, SamplingParams(max_new_tokens=12))
+    tp = mk({"model": 4}).generate(prompts, SamplingParams(max_new_tokens=12))
+    assert tp == base
+    # TP + speculative decoding compose
+    tps = mk({"model": 4}, spec=3)
+    got = tps.generate(prompts, SamplingParams(max_new_tokens=12))
+    assert got == base
+    assert tps.metrics.spec_steps > 0
