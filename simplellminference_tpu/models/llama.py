@@ -91,6 +91,25 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
             w, li, 0, keepdims=False)
 
     # --- attention block (reference: model.cpp:52-90) ---
+    if (tp_axis is None and li is not None and s == 1
+            and cache_k is not None
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        from simplellminference_tpu.ops import qkv_fused
+        if qkv_fused.fused_qkv_available(lw, cfg, b, s, cache_k):
+            # decode hot path: rmsnorm + qkv dequant-matmul + RoPE +
+            # in-place KV append as ONE pallas call (ops/qkv_fused.py)
+            w = lw["wqkv"]
+            q2, cache_k, cache_v = qkv_fused.fused_qkv_append(
+                x[:, 0], lw["input_norm"], w.q, w.scales,
+                sin[:, 0], cos[:, 0], cache_k, cache_v, li, offsets,
+                n_heads=n, kv_heads=kvn, eps=cfg.rms_norm_eps)
+            attn = dispatch.attention_cached(
+                cfg, q2[:, None], cache_k, cache_v, mask, kv_lens,
+                prefill_from_zero, layer=li)
+            return _post_attention(cfg, lw, li, x, attn, b, s, h, n, d,
+                                   tp_axis, ring_collectives,
+                                   cache_k, cache_v)
     attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]), cfg.rms_norm_eps)
     qkv = linear(attn_in, lw["wqkv"], layer=li)
     if "wqkv_bias" in lw:  # Qwen2-style QKV bias
@@ -120,6 +139,18 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                                              layer=li)
     else:
         attn = dispatch.attention(cfg, q, k, v, mask)
+    return _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
+                           ring_collectives, cache_k, cache_v)
+
+
+def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
+                    ring_collectives, cache_k, cache_v):
+    """wo projection + residual + FFN (shared by the fused-qkv and
+    reference attention paths of :func:`decoder_layer`)."""
+    def norm_w(w):
+        return w if li is None else jax.lax.dynamic_index_in_dim(
+            w, li, 0, keepdims=False)
+
     attn_in_rows = attn.reshape(b, s, n * d)
     if tp_axis is not None and ring_collectives and _is_quant(lw["wo"]):
         # Ring-fused dequant+matmul+all-reduce: each ring step computes one

@@ -1,0 +1,266 @@
+"""Fused attention-input megakernel: rmsnorm -> qkv dequant+matmul ->
+RoPE -> in-place KV append, in ONE pallas_call (dense-arena decode path).
+
+Companion of ops/ffn_fused.py for the attention side: the qkv weight
+stream (the decode step's second-largest transfer) runs with the rmsnorm,
+rotation, and cache append folded in — no standalone elementwise ops, no
+separate append kernel launch, no XLA fusion boundaries between them.
+
+  phase A (steps 0..n1*k1): rmsnorm(x) once into K-sliced slabs, then
+      the qkv matmul accumulates per (n1 block, k1 step); per-channel
+      scales apply as each block completes.
+  boundary (last phase-A step): assemble q/k/v from the block scratch,
+      apply half-split RoPE to q and k (f32, same math as
+      ref_ops.apply_rope), emit q as the kernel output and stage k/v.
+  phase B (one step per batch row): 8-row read-modify-write of the
+      sequence's cache window (same windows as ops/kv_append.py) writing
+      the new K/V row in place through the aliased arena.
+
+Reference scope: rmsnorm + wq/wk/wv GEMVs + rope + cache-slice writes
+(model.cpp:52-67) as one device program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from simplellminference_tpu.ops.matmul import _best_tile, _largest_divisor
+
+_ROWS = 8
+
+
+def _kernel(layer_ref, wblk_ref, rel_ref, x_ref, nw_ref, wq_ref, ws_ref,
+            sin_ref, cos_ref, ck_in, cv_in, q_out, ck_out, cv_out,
+            xn_ref, acc_ref, qkv_ref, krot_ref, vloc_ref, *, eps: float,
+            k1: int, n1: int, bk1: int, bn1: int, n_heads: int,
+            kv_heads: int, d: int, m_rows: int, b_rows: int, out_dtype):
+    i = pl.program_id(0)
+    t1 = n1 * k1
+    half = d // 2
+
+    @pl.when(i == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True) + eps)
+        xn = (x * inv * nw_ref[0, 0][None].astype(jnp.float32)
+              ).astype(jnp.bfloat16)
+        for kk in range(k1):
+            xn_ref[kk] = xn[:, kk * bk1:(kk + 1) * bk1]
+
+    @pl.when(i < t1)
+    def _():
+        j1 = i // k1
+        kk1 = i % k1
+
+        @pl.when(kk1 == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jnp.dot(xn_ref[kk1], wq_ref[0].astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(kk1 == k1 - 1)
+        def _():
+            qkv_ref[j1] = (acc_ref[:]
+                           * ws_ref[0, 0][None].astype(jnp.float32))
+
+    @pl.when(i == t1 - 1)
+    def _():
+        sin = sin_ref[:].astype(jnp.float32)          # [m, half]
+        cos = cos_ref[:].astype(jnp.float32)
+
+        def head_cols(c0):
+            blk = c0 // bn1
+            off = c0 % bn1
+            h1 = qkv_ref[blk][:, off:off + half]
+            h2 = qkv_ref[blk][:, off + half:off + d]
+            return h1, h2
+
+        def rot(c0):
+            x1, x2 = head_cols(c0)
+            return x1 * cos - x2 * sin, x2 * cos + x1 * sin
+
+        q_parts = []
+        for h in range(n_heads):
+            r1, r2 = rot(h * d)
+            q_parts += [r1, r2]
+        q_out[:] = jnp.concatenate(q_parts, axis=1).astype(out_dtype)
+
+        # Stage K/V as per-row 8-slot window slabs (the new token row at
+        # its window slot, zeros elsewhere): static (row, head) unrolled
+        # stores — no lane->sublane reshapes (Mosaic rejects them for
+        # d < 128), and phase B reads a whole [kvN, 8, D] block by one
+        # dynamic LEADING index.
+        slot8 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+        for h in range(kv_heads):
+            r1, r2 = rot((n_heads + h) * d)
+            v1, v2 = head_cols((n_heads + kv_heads + h) * d)
+            kr = jnp.concatenate([r1, r2], axis=1)    # [m, d]
+            vr = jnp.concatenate([v1, v2], axis=1)
+            for bi in range(b_rows):
+                sel = slot8 == rel_ref[bi]
+                krot_ref[bi, h] = jnp.where(
+                    sel, kr[bi:bi + 1], 0.0).astype(krot_ref.dtype)
+                vloc_ref[bi, h] = jnp.where(
+                    sel, vr[bi:bi + 1], 0.0).astype(vloc_ref.dtype)
+
+    @pl.when(i >= t1)
+    def _():
+        bi = i - t1
+        rel = rel_ref[bi]
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (ck_in.shape[2], _ROWS, 1), 1)
+        mask = rows == rel
+        ck_out[0, 0] = jnp.where(mask, krot_ref[bi], ck_in[0, 0])
+        cv_out[0, 0] = jnp.where(mask, vloc_ref[bi], cv_in[0, 0])
+
+
+def qkv_tiles(h: int, nq: int, d: int, m_pad: int) -> tuple[int, int] | None:
+    """(bk1, bn1): bn1 divides nq AND is a multiple of the head_dim (each
+    head's columns stay within one block for the RoPE assembly)."""
+    if d % 2 or d > 512:
+        return None
+    bk1 = _largest_divisor(h, 512, 128)
+
+    def fits(bn: int) -> bool:
+        vmem = (2 * bk1 * bn              # weight double buffer (int8)
+                + m_pad * bn * 4          # acc
+                + n1_bytes(bn))
+        return vmem <= 11 * 2 ** 20
+
+    def n1_bytes(bn: int) -> int:
+        return (nq // bn) * m_pad * bn * 4  # qkv scratch = nq*m f32
+
+    bn1 = _best_tile(nq, 2048, max(d, 128), hard_cap=8192, fits=fits)
+    if nq % bn1 or bn1 % d:
+        return None
+    return bk1, bn1
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret",
+                                             "n_heads", "kv_heads"))
+def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
+                     ws: jax.Array, sin: jax.Array, cos: jax.Array,
+                     cache_k: jax.Array, cache_v: jax.Array,
+                     layer: jax.Array, offsets: jax.Array,
+                     n_heads: int | None = None,
+                     kv_heads: int | None = None,
+                     eps: float = 1e-5, interpret: bool = False):
+    """x: [B, H]; wq: [L, H, (N+2kvN)*D] int8 + per-channel ws [L, 1, Nq];
+    sin/cos: [B, D/2]; cache_k/v: [L, B, kvN, Smax, D] (aliased in/out);
+    offsets: [B] target slot per sequence (decode: one token each).
+
+    Returns (q [B, N, D] rotated, cache_k', cache_v') — k/v are already
+    appended in place.
+    """
+    b, h = x.shape
+    l_, _, nq = wq.shape
+    l2, cb, kvn, smax, d = cache_k.shape
+    n = n_heads if n_heads is not None else (nq // d - 2 * kvn)
+    kvh = kv_heads if kv_heads is not None else kvn
+    assert n * d + 2 * kvh * d == nq, (n, kvh, d, nq)
+
+    m_pad = max(16, -(-b // 8) * 8)
+    x2 = x.astype(jnp.bfloat16)
+    sc = sin.astype(jnp.float32)
+    cc = cos.astype(jnp.float32)
+    if m_pad != b:
+        pad = ((0, m_pad - b), (0, 0))
+        x2 = jnp.pad(x2, pad)
+        sc = jnp.pad(sc, pad)
+        cc = jnp.pad(cc, pad)
+
+    tiles = qkv_tiles(h, nq, d, m_pad)
+    assert tiles is not None, (h, nq, d)
+    bk1, bn1 = tiles
+    k1 = h // bk1
+    n1 = nq // bn1
+    t1 = n1 * k1
+    # phase B: one window per REAL row only — a padding step would
+    # revisit the last real row's window block and overwrite it with the
+    # pre-write bytes still sitting in the (un-re-DMA'd) input buffer
+    grid = (t1 + b,)
+
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    offsets = jnp.asarray(offsets, jnp.int32)
+    wblk = offsets // _ROWS
+    rel = offsets % _ROWS
+    nw3 = norm_w.reshape(l_, 1, h)
+    ws3 = ws.reshape(l_, 1, nq)
+
+    def w_index(i, li, wb, rl):
+        ic = jnp.minimum(i, t1 - 1)
+        return (li[0], ic % k1, ic // k1)
+
+    def s_index(i, li, wb, rl):
+        return (li[0], 0, jnp.minimum(i, t1 - 1) // k1)
+
+    def win_index(i, li, wb, rl):
+        bi = jnp.clip(i - t1, 0, b - 1)
+        return (li[0], bi, 0, wb[bi], 0)
+
+    const2 = lambda i, li, wb, rl: (0, 0)
+    const3 = lambda i, li, wb, rl: (li[0], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, h), const2),                  # x
+            pl.BlockSpec((1, 1, h), const3),                   # norm w
+            pl.BlockSpec((1, bk1, bn1), w_index),              # wqkv int8
+            pl.BlockSpec((1, 1, bn1), s_index),                # scales
+            pl.BlockSpec((m_pad, d // 2), const2),             # sin
+            pl.BlockSpec((m_pad, d // 2), const2),             # cos
+            pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),    # cache k in
+            pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),    # cache v in
+        ],
+        out_specs=[
+            pl.BlockSpec((m_pad, n * d), const2),              # q
+            pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),
+            pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k1, m_pad, bk1), jnp.bfloat16),   # xn slabs
+            pltpu.VMEM((m_pad, bn1), jnp.float32),        # acc
+            pltpu.VMEM((n1, m_pad, bn1), jnp.float32),    # qkv blocks
+            pltpu.VMEM((b, kvn, _ROWS, d), cache_k.dtype),  # k window slabs
+            pltpu.VMEM((b, kvn, _ROWS, d), cache_v.dtype),  # v window slabs
+        ],
+    )
+
+    q, ck, cv = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, k1=k1, n1=n1, bk1=bk1,
+                          bn1=bn1, n_heads=n, kv_heads=kvh, d=d,
+                          m_rows=m_pad, b_rows=b, out_dtype=x.dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, n * d), x.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        input_output_aliases={9: 1, 10: 2},
+        interpret=interpret,
+    )(layer, wblk, rel, x2, nw3, wq, ws3, sc, cc, cache_k, cache_v)
+    return q[:b].reshape(b, n, d), ck, cv
+
+
+def fused_qkv_available(lw, cfg, b: int, s: int, cache_k) -> bool:
+    from simplellminference_tpu.ops.linear import QuantizedWeight
+
+    w = lw.get("wqkv")
+    if "wqkv_bias" in lw or s != 1 or b > 64:
+        return False
+    if not (isinstance(w, QuantizedWeight) and w.q.ndim == 3
+            and w.scales.shape[-2] == 1):
+        return False
+    if cache_k is None or cache_k.ndim != 5:
+        return False
+    nq = w.q.shape[-1]
+    return qkv_tiles(cfg.hidden_size, nq, cfg.head_dim,
+                     max(16, -(-b // 8) * 8)) is not None
