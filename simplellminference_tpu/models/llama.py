@@ -349,8 +349,29 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     def norm_w(w, li):
         return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
 
+    use_fqkv = False
+    if (not prefill and s == 1 and not quant_kv and tp_axis is None
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        from simplellminference_tpu.ops import qkv_fused
+        use_fqkv = qkv_fused.fused_qkv_available(lw, cfg, b, s, cache.k)
+
     def body(carry, li):
         x, pk, pv, pks, pvs = carry
+        if use_fqkv:
+            # decode hot path: rmsnorm + qkv dequant-matmul + RoPE +
+            # paged KV append as ONE pallas call (ops/qkv_fused.py)
+            from simplellminference_tpu.ops import qkv_fused
+            w = lw["wqkv"]
+            q2, pk, pv = qkv_fused.fused_qkv_append(
+                x[:, 0], lw["input_norm"], w.q, w.scales,
+                sin[:, 0], cos[:, 0], pk, pv, li, positions[:, 0],
+                n_heads=n, kv_heads=kvn, eps=cfg.rms_norm_eps,
+                tables=tables)
+            attn = dispatch.attention_paged(
+                cfg, q2[:, None], pk, pv, tables, kv_lens, None, None,
+                layer=li)
+            return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
         attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
                                   cfg.rms_norm_eps)
         qkv = linear(attn_in, lw["wqkv"], layer=li)
@@ -403,6 +424,9 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 *((nks, nvs) if quant_kv else (None, None)), layer=li)
         if quant_kv:
             pks, pvs = nks, nvs
+        return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
+
+    def _paged_post_attn(x, attn, pk, pv, pks, pvs, li):
         attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li)
         if tp_axis is not None:
             attn = jax.lax.psum(attn, tp_axis)

@@ -34,7 +34,8 @@ from simplellminference_tpu.ops.matmul import _best_tile, _largest_divisor
 _ROWS = 8
 
 
-def _kernel(layer_ref, wblk_ref, rel_ref, x_ref, nw_ref, wq_ref, ws_ref,
+def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, x_ref, nw_ref, wq_ref,
+            ws_ref,
             sin_ref, cos_ref, ck_in, cv_in, q_out, ck_out, cv_out,
             xn_ref, acc_ref, qkv_ref, krot_ref, vloc_ref, *, eps: float,
             k1: int, n1: int, bk1: int, bn1: int, n_heads: int,
@@ -150,9 +151,12 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
                      layer: jax.Array, offsets: jax.Array,
                      n_heads: int | None = None,
                      kv_heads: int | None = None,
-                     eps: float = 1e-5, interpret: bool = False):
+                     eps: float = 1e-5, interpret: bool = False,
+                     tables: jax.Array | None = None):
     """x: [B, H]; wq: [L, H, (N+2kvN)*D] int8 + per-channel ws [L, 1, Nq];
-    sin/cos: [B, D/2]; cache_k/v: [L, B, kvN, Smax, D] (aliased in/out);
+    sin/cos: [B, D/2]; cache_k/v: [L, B, kvN, Smax, D] (aliased in/out) —
+    or, with ``tables`` [B, MP], the PAGED pools [L, P, kvN, ps, D]
+    (unmapped positions redirect to the trash page);
     offsets: [B] target slot per sequence (decode: one token each).
 
     Returns (q [B, N, D] rotated, cache_k', cache_v') — k/v are already
@@ -188,27 +192,35 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
 
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     offsets = jnp.asarray(offsets, jnp.int32)
-    wblk = offsets // _ROWS
+    if tables is None:
+        page = jnp.arange(b, dtype=jnp.int32)   # dense: row b = "page" b
+        wblk = offsets // _ROWS
+    else:
+        ps = smax  # pool layout: [L, P, kvN, page_size, D]
+        pid = jnp.take_along_axis(tables, (offsets // ps)[:, None],
+                                  axis=1)[:, 0]
+        page = jnp.where(pid < 0, cb - 1, pid).astype(jnp.int32)  # trash
+        wblk = (offsets % ps) // _ROWS
     rel = offsets % _ROWS
     nw3 = norm_w.reshape(l_, 1, h)
     ws3 = ws.reshape(l_, 1, nq)
 
-    def w_index(i, li, wb, rl):
+    def w_index(i, li, pg, wb, rl):
         ic = jnp.minimum(i, t1 - 1)
         return (li[0], ic % k1, ic // k1)
 
-    def s_index(i, li, wb, rl):
+    def s_index(i, li, pg, wb, rl):
         return (li[0], 0, jnp.minimum(i, t1 - 1) // k1)
 
-    def win_index(i, li, wb, rl):
+    def win_index(i, li, pg, wb, rl):
         bi = jnp.clip(i - t1, 0, b - 1)
-        return (li[0], bi, 0, wb[bi], 0)
+        return (li[0], pg[bi], 0, wb[bi], 0)
 
-    const2 = lambda i, li, wb, rl: (0, 0)
-    const3 = lambda i, li, wb, rl: (li[0], 0, 0)
+    const2 = lambda i, li, pg, wb, rl: (0, 0)
+    const3 = lambda i, li, pg, wb, rl: (li[0], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
             pl.BlockSpec((m_pad, h), const2),                  # x
@@ -244,9 +256,9 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
             jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
         ],
-        input_output_aliases={9: 1, 10: 2},
+        input_output_aliases={10: 1, 11: 2},
         interpret=interpret,
-    )(layer, wblk, rel, x2, nw3, wq, ws3, sc, cc, cache_k, cache_v)
+    )(layer, page, wblk, rel, x2, nw3, wq, ws3, sc, cc, cache_k, cache_v)
     return q[:b].reshape(b, n, d), ck, cv
 
 
