@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--min-p", type=float, default=0.0)
+    ap.add_argument("--repetition-penalty", type=float, default=1.0)
+    ap.add_argument("--frequency-penalty", type=float, default=0.0)
+    ap.add_argument("--presence-penalty", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quant", default="none", choices=["none", "int8"])
     ap.add_argument("--group-size", type=int, default=128)
@@ -98,7 +102,11 @@ def main(argv=None):
     prompt_ids = tok.encode(args.prompt)
     sp = SamplingParams(max_new_tokens=args.max_new_tokens,
                         temperature=args.temperature, top_k=args.top_k,
-                        top_p=args.top_p, seed=args.seed,
+                        top_p=args.top_p, min_p=args.min_p,
+                        repetition_penalty=args.repetition_penalty,
+                        frequency_penalty=args.frequency_penalty,
+                        presence_penalty=args.presence_penalty,
+                        seed=args.seed,
                         stop_token_ids=(tok.eos_id,) if tok.eos_id >= 0 else ())
 
     print(args.prompt, end="", flush=True)

@@ -119,10 +119,37 @@ class Generator:
         done = np.zeros(b, bool)
         stop = set(params.stop_token_ids)
 
+        min_p = jnp.full((b,), params.min_p, jnp.float32)
+        use_pen = not params.penalties_neutral
+        counts = None
+        if use_pen:
+            counts = jnp.asarray(np.stack([
+                np.bincount(np.asarray(p, np.int64),
+                            minlength=self.cfg.vocab_size)[
+                    :self.cfg.vocab_size]
+                for p in prompts]).astype(np.float32))
+            rp = jnp.full((b,), params.repetition_penalty, jnp.float32)
+            fp = jnp.full((b,), params.frequency_penalty, jnp.float32)
+            pp = jnp.full((b,), params.presence_penalty, jnp.float32)
+
+            @jax.jit
+            def _pick_pen(logits, key, counts):
+                tok = sampling_ops.sample(
+                    logits, key, temp, top_k, top_p, min_p=min_p,
+                    counts=counts, repetition_penalty=rp,
+                    frequency_penalty=fp, presence_penalty=pp)
+                counts = counts.at[jnp.arange(b), tok].add(1.0)
+                return tok, counts
+
         def pick(logits, key):
+            nonlocal counts
+            if use_pen:
+                tok, counts = _pick_pen(logits, key, counts)
+                return tok
             if params.greedy:
                 return sampling_ops.greedy(logits)
-            return sampling_ops.sample(logits, key, temp, top_k, top_p)
+            return sampling_ops.sample(logits, key, temp, top_k, top_p,
+                                       min_p=min_p)
 
         key, sub = jax.random.split(key)
         next_tok = pick(last_logits, sub)

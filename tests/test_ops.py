@@ -158,3 +158,30 @@ def test_sampling_penalties_and_min_p(rng):
                     jnp.ones((b,)), min_p=jnp.full((b,), 0.999))
     np.testing.assert_array_equal(np.asarray(tok2),
                                   np.asarray(logits).argmax(1))
+
+
+def test_generator_penalties_match_engine(rng):
+    """Generator.generate and the Engine apply identical penalty math."""
+    import jax
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    ModelConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine.engine import Engine
+    from simplellminference_tpu.models import llama
+    from simplellminference_tpu.runtime.generator import Generator
+
+    cfg = ModelConfig.tiny_test()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [rng.integers(1, cfg.vocab_size, 9).tolist(),
+               rng.integers(1, cfg.vocab_size, 15).tolist()]
+    sp = SamplingParams(max_new_tokens=10, repetition_penalty=1.7,
+                        presence_penalty=0.3)
+    gen = Generator(cfg, params, max_batch=2, max_seq=128)
+    g = gen.generate(prompts, sp).token_ids
+    eng = Engine(cfg, params, EngineConfig(
+        max_batch_size=2, kv=KVCacheConfig(page_size=8, num_pages=64,
+                                           max_pages_per_seq=16,
+                                           kv_dtype="f32")))
+    e = eng.generate(prompts, sp)
+    assert g == e
