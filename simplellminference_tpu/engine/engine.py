@@ -350,6 +350,14 @@ class Engine:
         req = Request(req_id=next(self._req_ids),
                       prompt_ids=list(prompt_ids), sampling=sampling,
                       on_tokens=on_tokens)
+        if len(self.waiting) >= self.ecfg.max_queue:
+            # backpressure: reject instead of growing without bound (the
+            # server maps this to HTTP 429)
+            req.state = RequestState.FAILED
+            req.error = "queue full"
+            self.metrics.requests_failed += 1
+            req.emit([], finished=True)
+            return req
         max_len = (self.ecfg.kv.max_pages_per_seq * self.ecfg.kv.page_size
                    - (self.spec if self.spec else 0))
         if len(req.prompt_ids) + sampling.max_new_tokens > max_len:
@@ -364,6 +372,36 @@ class Engine:
         metrics_lib.log_event("request_added", req_id=req.req_id,
                               prompt_len=len(req.prompt_ids))
         return req
+
+    def cancel(self, req: Request) -> bool:
+        """Client abort: reclaim the request's resources immediately.
+
+        WAITING requests leave the queue; RUNNING requests free their
+        pages and slot (any in-flight burst's tokens for the slot are
+        discarded by the snapshot identity check in bookkeeping).
+        Returns True if the request was live.
+        """
+        if req.state == RequestState.WAITING:
+            try:
+                self.waiting.remove(req)
+            except ValueError:
+                return False
+        elif req.state == RequestState.RUNNING:
+            self.allocator.free_seq(req.slot)
+            self.slots[req.slot] = None
+            req.slot = -1
+        elif req.state == RequestState.PREEMPTED:
+            try:
+                self.waiting.remove(req)
+            except ValueError:
+                return False
+        else:
+            return False
+        req.state = RequestState.CANCELLED
+        self.metrics.requests_cancelled += 1
+        metrics_lib.log_event("request_cancelled", req_id=req.req_id)
+        req.emit([], finished=True)
+        return True
 
     @property
     def has_work(self) -> bool:

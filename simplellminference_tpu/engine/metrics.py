@@ -24,6 +24,7 @@ class EngineMetrics:
     prompt_tokens: int = 0
     requests_finished: int = 0
     requests_failed: int = 0
+    requests_cancelled: int = 0
     preemptions: int = 0
     engine_steps: int = 0
     decode_bursts: int = 0
@@ -77,6 +78,7 @@ class EngineMetrics:
             "prompt_tokens": self.prompt_tokens,
             "requests_finished": self.requests_finished,
             "requests_failed": self.requests_failed,
+            "requests_cancelled": self.requests_cancelled,
             "preemptions": self.preemptions,
             "engine_steps": self.engine_steps,
             "decode_bursts": self.decode_bursts,

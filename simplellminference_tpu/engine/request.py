@@ -15,6 +15,7 @@ class RequestState(enum.Enum):
     RUNNING = "running"       # slot + pages assigned, decoding
     PREEMPTED = "preempted"   # pages reclaimed, back to queue
     FINISHED = "finished"
+    CANCELLED = "cancelled"   # client abort; pages reclaimed immediately
     FAILED = "failed"         # request-scoped error (never process-fatal —
                               # unlike the reference's exit() LOG, base.h:6-10)
 

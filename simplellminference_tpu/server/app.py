@@ -55,6 +55,10 @@ class EngineWorker:
         self._wake.set()
         return req
 
+    def cancel(self, req):
+        with self._lock:
+            return self.engine.cancel(req)
+
     def shutdown(self):
         self._stop = True
         self._wake.set()
@@ -115,36 +119,47 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 headers={"Content-Type": "text/event-stream",
                          "Cache-Control": "no-cache"})
             await resp.prepare(request)
-            while True:
-                ids, finished = await q.get()
-                text = "".join(detok.push(t) for t in ids) if detok else ""
-                if finished and detok:
-                    text += detok.flush()
-                if chat:
-                    payload = {"id": f"{req_id_prefix}-{req.req_id}",
-                               "object": "chat.completion.chunk",
-                               "choices": [{"index": 0, "delta":
-                                            {"content": text},
-                                            "finish_reason":
-                                            ("stop" if finished else None)}],
-                               "token_ids": ids}
-                else:
-                    payload = {"token_ids": ids, "text": text,
-                               "finished": finished}
-                if finished and req.error:
-                    payload["error"] = req.error
-                await resp.write(
-                    f"data: {json.dumps(payload)}\n\n".encode())
-                if finished:
-                    break
+            try:
+                while True:
+                    ids, finished = await q.get()
+                    text = ("".join(detok.push(t) for t in ids)
+                            if detok else "")
+                    if finished and detok:
+                        text += detok.flush()
+                    if chat:
+                        payload = {"id": f"{req_id_prefix}-{req.req_id}",
+                                   "object": "chat.completion.chunk",
+                                   "choices": [{"index": 0, "delta":
+                                                {"content": text},
+                                                "finish_reason":
+                                                ("stop" if finished
+                                                 else None)}],
+                                   "token_ids": ids}
+                    else:
+                        payload = {"token_ids": ids, "text": text,
+                                   "finished": finished}
+                    if finished and req.error:
+                        payload["error"] = req.error
+                    await resp.write(
+                        f"data: {json.dumps(payload)}\n\n".encode())
+                    if finished:
+                        break
+            except (asyncio.CancelledError, ConnectionResetError):
+                # client went away: reclaim the slot/pages immediately
+                worker.cancel(req)
+                raise
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
 
-        while True:
-            _ids, finished = await q.get()
-            if finished:
-                break
+        try:
+            while True:
+                _ids, finished = await q.get()
+                if finished:
+                    break
+        except asyncio.CancelledError:
+            worker.cancel(req)
+            raise
         return req
 
     def _finish_reason(req, sampling):
@@ -201,7 +216,8 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             reqs = await _fanout(prompt_ids, sampling, n)
         errs = [r.error for r in reqs if r.error]
         if errs:
-            return web.json_response({"error": errs[0]}, status=400)
+            status = 429 if "queue full" in errs[0] else 400
+            return web.json_response({"error": errs[0]}, status=status)
         return web.json_response({
             "id": f"cmpl-{reqs[0].req_id}",
             "object": "text_completion",
@@ -252,7 +268,8 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             reqs = await _fanout(prompt_ids, sampling, n)
         errs = [r.error for r in reqs if r.error]
         if errs:
-            return web.json_response({"error": errs[0]}, status=400)
+            status = 429 if "queue full" in errs[0] else 400
+            return web.json_response({"error": errs[0]}, status=status)
         return web.json_response({
             "id": f"chatcmpl-{reqs[0].req_id}",
             "object": "chat.completion",

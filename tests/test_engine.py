@@ -300,3 +300,46 @@ def test_engine_tensor_parallel_matches_single(model):
     got = tps.generate(prompts, SamplingParams(max_new_tokens=12))
     assert got == base
     assert tps.metrics.spec_steps > 0
+
+
+def test_engine_cancel_and_backpressure(model):
+    cfg, params = model
+    eng = make_engine(cfg, params, max_batch=2)
+    rng = np.random.default_rng(2)
+    p = lambda n: rng.integers(1, cfg.vocab_size, n).tolist()
+
+    # cancel a WAITING request (queue position beyond the slots)
+    reqs = [eng.add_request(prompt_ids=p(10),
+                            sampling=SamplingParams(max_new_tokens=30))
+            for _ in range(4)]
+    eng.step()  # admits 2, leaves 2 waiting
+    waiting = [r for r in reqs if r.state == RequestState.WAITING]
+    running = [r for r in reqs if r.state == RequestState.RUNNING]
+    assert waiting and running
+    assert eng.cancel(waiting[0])
+    assert waiting[0].state == RequestState.CANCELLED
+
+    # cancel a RUNNING request: slot + pages free immediately
+    free_before = eng.allocator.num_free
+    assert eng.cancel(running[0])
+    assert running[0].state == RequestState.CANCELLED
+    assert eng.allocator.num_free > free_before
+    eng.run()
+    done = [r for r in reqs if r.state == RequestState.FINISHED]
+    assert len(done) == 2 and all(len(r.output_ids) == 30 for r in done)
+    assert eng.metrics.requests_cancelled == 2
+
+    # backpressure: queue rejections beyond max_queue
+    ecfg2 = EngineConfig(
+        max_batch_size=4, max_queue=3,
+        kv=KVCacheConfig(page_size=8, num_pages=64, max_pages_per_seq=16,
+                         kv_dtype="f32"))
+    eng2 = Engine(cfg, params, ecfg2, decode_burst=4)
+    outcomes = [eng2.add_request(prompt_ids=p(5),
+                                 sampling=SamplingParams(max_new_tokens=2))
+                for _ in range(6)]
+    rejected = [r for r in outcomes if r.error == "queue full"]
+    assert len(rejected) == 3
+    eng2.run()
+    ok = [r for r in outcomes if r.state == RequestState.FINISHED]
+    assert len(ok) == 3
