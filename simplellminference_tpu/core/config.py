@@ -44,6 +44,10 @@ class ModelConfig:
     # QKV projection bias (Qwen2-style; Llama has none).
     attention_bias: bool = False
     model_type: str = "llama"
+    # FFN gate activation ("silu" | "gelu_pytorch_tanh" | "gelu") and
+    # input-embedding multiplier (Gemma scales by sqrt(hidden_size))
+    hidden_act: str = "silu"
+    embed_scale: float = 1.0
 
     @property
     def q_size(self) -> int:
@@ -106,6 +110,11 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias", d.get("model_type") == "qwen2"),
             model_type=d.get("model_type", "llama"),
+            hidden_act=d.get("hidden_act") or d.get("hidden_activation")
+            or ("gelu_pytorch_tanh" if d.get("model_type") == "gemma"
+                else "silu"),
+            embed_scale=(float(d["hidden_size"]) ** 0.5
+                         if d.get("model_type") == "gemma" else 1.0),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -166,6 +175,15 @@ class ModelConfig:
             num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
             rope_theta=10000.0, max_seq_len=8192,
             model_type="mistral"), ov)
+
+    @classmethod
+    def gemma_2b(cls, **ov) -> "ModelConfig":
+        return cls._preset(dict(
+            vocab_size=256000, hidden_size=2048, intermediate_size=16384,
+            num_layers=18, num_heads=8, num_kv_heads=1, head_dim=256,
+            rope_theta=10000.0, max_seq_len=8192, tie_word_embeddings=True,
+            model_type="gemma", hidden_act="gelu_pytorch_tanh",
+            embed_scale=2048.0 ** 0.5), ov)
 
     @classmethod
     def qwen2_7b(cls, **ov) -> "ModelConfig":

@@ -172,8 +172,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
             and jax.default_backend() == "tpu"
             and jax.device_count() == 1):
         from simplellminference_tpu.ops import ffn_fused
-        if ffn_fused.fused_ffn_available(lw, h, cfg.intermediate_size,
-                                         b * s):
+        if cfg.hidden_act == "silu" and ffn_fused.fused_ffn_available(
+                lw, h, cfg.intermediate_size, b * s):
             # decode hot path: rmsnorm+gate_up+SwiGLU+down+residual as ONE
             # pallas call — no inter-matmul DMA ramp/drain, no XLA fusion
             # boundaries (ops/ffn_fused.py).
@@ -187,7 +187,7 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         cfg.intermediate_size // jax.lax.axis_size(tp_axis))
     gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
     gate, up = gate_up[..., :i], gate_up[..., i:]
-    swi = ref_ops.swiglu(gate, up)
+    swi = ref_ops.glu_act(gate, up, cfg.hidden_act)
     if tp_axis is not None and ring_collectives and _is_quant(lw["w_down"]):
         from simplellminference_tpu.parallel.collective import (
             matmul_allreduce_ring_quant)
@@ -229,6 +229,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     b, s = tokens.shape
     dtype = jnp.dtype(cfg.dtype)
     x = params["embed"][tokens].astype(dtype)  # [B, S, H] row gather
+    if cfg.embed_scale != 1.0:  # Gemma: sqrt(hidden_size) multiplier
+        x = x * jnp.asarray(cfg.embed_scale, dtype)
     sin, cos = ref_ops.rope_tables_for(cfg, positions)
     lw = params["layers"]
 
@@ -332,6 +334,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         x = jax.lax.psum(x.astype(jnp.float32), tp_axis).astype(dtype)
     else:
         x = params["embed"][tokens].astype(dtype)
+    if cfg.embed_scale != 1.0:  # Gemma: sqrt(hidden_size) multiplier
+        x = x * jnp.asarray(cfg.embed_scale, dtype)
     sin, cos = ref_ops.rope_tables_for(cfg, positions)
 
     chunked = prefill and chunk_offset is not None
@@ -435,8 +439,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         if (tp_axis is None and jax.default_backend() == "tpu"
                 and jax.device_count() == 1):
             from simplellminference_tpu.ops import ffn_fused
-            if ffn_fused.fused_ffn_available(lw, cfg.hidden_size,
-                                             cfg.intermediate_size, b * s):
+            if cfg.hidden_act == "silu" and ffn_fused.fused_ffn_available(
+                    lw, cfg.hidden_size, cfg.intermediate_size, b * s):
                 gu, dn = lw["w_gate_up"], lw["w_down"]
                 xo = ffn_fused.fused_ffn(
                     x.reshape(b * s, cfg.hidden_size), lw["post_norm"],

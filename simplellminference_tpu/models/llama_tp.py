@@ -109,6 +109,8 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
     hit = (tokens >= v0) & (tokens < v0 + vocab_shard)
     x = jnp.where(hit[..., None], params["embed"][local_ids], 0)
     x = jax.lax.psum(x.astype(jnp.float32), MODEL_AXIS).astype(dtype)
+    if cfg.embed_scale != 1.0:  # Gemma: sqrt(hidden_size) multiplier
+        x = x * jnp.asarray(cfg.embed_scale, dtype)
 
     sin, cos = ref_ops.rope_tables_for(cfg, positions)
     lw = params["layers"]

@@ -49,7 +49,7 @@ def _register_builtin():
         ),
         # HF model_types sharing the Llama graph shape (qwen2 adds the
         # QKV bias, handled by cfg.attention_bias).
-        aliases=("mistral", "tinyllama", "qwen2"),
+        aliases=("mistral", "tinyllama", "qwen2", "gemma"),
     )
 
 

@@ -40,6 +40,27 @@ def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
     return jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
 
 
+
+def glu_act(gate, up, act: str = "silu"):
+    """Gated linear unit with a configurable activation.
+
+    "silu" is SwiGLU (Llama family; the correct math the reference's Q1
+    bug misses); "gelu_pytorch_tanh"/"gelu" are Gemma's GeGLU variants.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    g = gate.astype(jnp.float32)
+    if act == "silu":
+        a = g * jax.nn.sigmoid(g)
+    elif act in ("gelu_pytorch_tanh", "gelu_tanh"):
+        a = jax.nn.gelu(g, approximate=True)
+    elif act == "gelu":
+        a = jax.nn.gelu(g, approximate=False)
+    else:
+        raise ValueError(f"unknown activation {act!r}")
+    return (a * up.astype(jnp.float32)).astype(gate.dtype)
+
 def rope_tables(positions: jax.Array, head_dim: int, theta: float,
                 dtype=jnp.float32,
                 rope_scaling: dict | tuple | None = None

@@ -107,6 +107,10 @@ def params_from_fetcher(cfg: ModelConfig,
         t = jnp.asarray(fetch(name))
         if path in _TRANSPOSED:
             t = t.T
+        if cfg.model_type == "gemma" and path.endswith("norm"):
+            # Gemma RMSNorm multiplies by (1 + w); fold the +1 into the
+            # stored weight so the standard rmsnorm applies unchanged.
+            t = t.astype(jnp.float32) + 1.0
         return t.astype(dtype)
 
     for path, hf_names in pmap.items():

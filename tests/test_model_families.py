@@ -88,3 +88,23 @@ def test_rope_scaling_config_hashable():
     cfg = ModelConfig.llama3_2_3b(num_layers=2)
     hash(cfg)  # jit static arg requirement
     assert dict(cfg.rope_scaling)["factor"] == 32.0
+
+
+def test_gemma_matches_hf():
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=True,
+        hidden_activation="gelu_pytorch_tanh")
+    torch.manual_seed(3)
+    hf = transformers.GemmaForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "gemma"
+    assert cfg.hidden_act == "gelu_pytorch_tanh"
+    assert abs(cfg.embed_scale - 128.0 ** 0.5) < 1e-9
+    assert get_model_family("gemma").name == "llama"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[2, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
