@@ -3,21 +3,33 @@
 Scheduling model (the capability the reference lacks entirely — its
 predict() serves one request start-to-finish, model.cpp:142-187):
 
-  * ``max_batch_size`` decode slots over one paged KV pool.
+  * ``max_batch_size`` decode slots over one paged KV pool (optionally
+    TP-sharded over a mesh — models/llama_tp.make_tp_forward_paged).
   * admit: WAITING requests take a free slot when the pool has pages for
-    their prompt + one decode burst; prompt runs as ONE batched prefill
-    (B=1, bucketed length — the reference prefills one token per forward,
-    model.cpp:159-165).
-  * decode: all running slots step together in multi-step bursts inside a
-    single jit (dispatch latency through the axon tunnel is ~25 ms, so
-    per-token host loops are throughput poison).
-  * finish: stop token / max_new_tokens checked host-side after each burst;
-    pages freed immediately.
-  * OOM: if the pool can't cover the next burst, the youngest running
-    request is preempted (pages reclaimed, request requeued) — the
-    continuous-batching analog of the reference allocator's
-    flush-and-retry (alloc.cpp:118-131). Request-scoped failures never
-    kill the process (unlike LOG(), base.h:6-10).
+    their prompt + the pipeline's decode headroom. The prefix cache
+    shares complete prompt-prefix pages with running requests
+    (refcounted); whole prompts of a cycle prefill as ONE batched
+    dispatch and the cached suffixes as another (the reference prefills
+    one token per forward, model.cpp:159-165).
+  * decode: multi-step bursts inside a single jit, PIPELINED — (token,
+    position, penalty-count, spec-history) state carries on-device, the
+    next burst dispatches before the previous one's tokens sync, and
+    host-side admits merge in-graph through per-slot override masks.
+    With ``spec_tokens`` set, each burst step drafts by prompt lookup
+    and verifies draft+1 positions in one forward (decode is
+    weight-bound, so the extra rows are nearly free).
+  * finish: stop token / max_new_tokens checked host-side per burst;
+    pages freed immediately. cancel() reclaims aborted requests.
+  * OOM: if the pool can't cover the pipeline headroom, the youngest
+    running request is preempted (pages reclaimed, request requeued) —
+    the continuous-batching analog of the reference allocator's
+    flush-and-retry (alloc.cpp:118-131); the queue applies max_queue
+    backpressure. Request-scoped failures never kill the process
+    (unlike LOG(), base.h:6-10).
+
+Shape discipline: every jit graph's dynamic knobs are quantized to tiny
+static sets (prompt-length power-of-2 buckets; admit row counts in
+{1, max_batch}) — an unseen shape mid-serve costs a ~30 s remote compile.
 """
 
 from __future__ import annotations
