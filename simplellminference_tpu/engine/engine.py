@@ -176,7 +176,10 @@ class Engine:
                                       repetition_penalty=rp,
                                       frequency_penalty=fp,
                                       presence_penalty=pp)
-            return tok, cache
+            lp = sampling_ops.token_logprob(logits[:, -1], tok)
+            # ONE host sync object: a second np.asarray would cost another
+            # ~25 ms relay round trip per admit/burst
+            return jnp.stack([tok.astype(jnp.float32), lp], -1), cache
 
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
@@ -196,7 +199,8 @@ class Engine:
                                       repetition_penalty=rp,
                                       frequency_penalty=fp,
                                       presence_penalty=pp)
-            return tok, cache
+            lp = sampling_ops.token_logprob(logits[:, -1], tok)
+            return jnp.stack([tok.astype(jnp.float32), lp], -1), cache
 
         @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4, 5))
         def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
@@ -227,18 +231,21 @@ class Engine:
                                           frequency_penalty=fp,
                                           presence_penalty=pp)
                 nxt = jnp.where(active, nxt, 0)
+                lp = sampling_ops.token_logprob(logits[:, 0], nxt)
                 counts = jax.lax.cond(
                     pen_on,
                     lambda c: c.at[jnp.arange(c.shape[0]), nxt].add(
                         active.astype(c.dtype)),
                     lambda c: c, counts)
                 pos = pos + active.astype(jnp.int32)
-                return (cache, nxt, pos, counts, key), nxt
+                return (cache, nxt, pos, counts, key), (nxt, lp)
 
-            (cache, tok, pos, counts, _), toks = jax.lax.scan(
+            (cache, tok, pos, counts, _), (toks, lps) = jax.lax.scan(
                 step, (cache, tokens, pos, counts0, key), None,
                 length=steps)
-            return toks.T, tok, pos, counts, cache  # [B,steps],[B],[B],...
+            # pack (token, logprob) into ONE sync object [B, steps, 2]
+            packed = jnp.stack([toks.T.astype(jnp.float32), lps.T], -1)
+            return packed, tok, pos, counts, cache
 
         spec_g = engine_cfg.spec_tokens
         ngram = engine_cfg.spec_ngram
@@ -327,17 +334,26 @@ class Engine:
                                    jnp.maximum(emitted, 0)].add(
                         (kidx < n_em[:, None]).astype(c.dtype)),
                     lambda c: c, counts)
+                lsm = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                lps = jnp.take_along_axis(
+                    lsm, jnp.maximum(emitted, 0)[..., None],
+                    axis=-1)[..., 0]                       # [B, G+1]
                 tok = jnp.where(active, bonus, tok)
                 pos = pos + n_em
                 return (cache, tok, pos, counts, hist, key), (emitted,
-                                                              n_em)
+                                                              lps, n_em)
 
-            (cache, tok, pos, counts, hist, _), (ems, nems) = jax.lax.scan(
-                step, (cache, tok0, pos0, counts0, hist0, key), None,
-                length=steps)
-            # [B, steps, G+1], [B, steps]
-            return (ems.transpose(1, 0, 2), nems.T, tok, pos, counts,
-                    hist, cache)
+            (cache, tok, pos, counts, hist, _), (ems, elps, nems) = \
+                jax.lax.scan(
+                    step, (cache, tok0, pos0, counts0, hist0, key), None,
+                    length=steps)
+            # pack (emitted, logprobs, n_emitted) into ONE sync object
+            # [B, steps, 2(G+1)+1]
+            packed = jnp.concatenate(
+                [ems.transpose(1, 0, 2).astype(jnp.float32),
+                 elps.transpose(1, 0, 2),
+                 nems.T[..., None].astype(jnp.float32)], axis=-1)
+            return packed, tok, pos, counts, hist, cache
 
         self._prefill_fn = _prefill_fn
         self._prefill_chunk_fn = _prefill_chunk_fn
@@ -548,10 +564,10 @@ class Engine:
             pending.append((cached, self._prefill_suffix_batch(cached)))
         # one host sync for ALL admitted prefills (not one per request):
         # prefill dispatches queue back-to-back on the device.
-        for reqs, dev_toks in pending:
-            toks = np.asarray(dev_toks)
+        for reqs, packed in pending:
+            arr = np.asarray(packed)       # [n, 2]: (token, logprob)
             for i, req in enumerate(reqs):
-                tok_id = int(toks[i])
+                tok_id = int(arr[i, 0])
                 self._next_tok[req.slot] = tok_id
                 self._counts_host[req.slot, tok_id] += 1
                 if self.spec:
@@ -559,7 +575,7 @@ class Engine:
                     # the pending input token
                     self._hist_host[req.slot, self._pos[req.slot]] = tok_id
                 self._override[req.slot] = True  # fresh state for pipeline
-                self._emit_tokens(req, [tok_id])
+                self._emit_tokens(req, [tok_id], [float(arr[i, 1])])
 
     def _prefill_batch(self, reqs: list[Request]) -> jax.Array:
         """ONE batched prefill dispatch for all admitted short prompts
@@ -589,12 +605,12 @@ class Engine:
             self.metrics.prompt_tokens += lens[i]
         self._key, sub = jax.random.split(self._key)
         idx = np.asarray(slots + [0] * (nb - n))
-        dev_toks, self.cache = self._prefill_fn(
+        packed, self.cache = self._prefill_fn(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(tables), jnp.asarray(kv_len), sub,
             jnp.asarray(self._temp[idx]), jnp.asarray(self._top_k[idx]),
             jnp.asarray(self._top_p[idx]), *self._samp_extras(idx))
-        return dev_toks[:n]
+        return packed[:n]
 
     def _samp_extras(self, idx):
         """(min_p, counts, rep, freq, pres) rows for the given slots."""
@@ -630,13 +646,13 @@ class Engine:
             self.metrics.prompt_tokens += r.total_len
         self._key, sub = jax.random.split(self._key)
         idx = np.asarray(slots + [0] * (nb - n))
-        dev_toks, self.cache = self._prefill_chunk_fn(
+        packed, self.cache = self._prefill_chunk_fn(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(tables), jnp.asarray(kv_len), jnp.asarray(offs),
             sub, jnp.asarray(self._temp[idx]),
             jnp.asarray(self._top_k[idx]), jnp.asarray(self._top_p[idx]),
             *self._samp_extras(idx))
-        return dev_toks[:n]
+        return packed[:n]
 
     def _prefill(self, req: Request, start: int = 0) -> jax.Array:
         """B=1 prefill of tokens [start, total) — ``start`` > 0 means the
@@ -676,7 +692,7 @@ class Engine:
                 off = start + j * step
                 tok = jnp.asarray(padded[None, j * step:(j + 1) * step])
                 kv_after = min(ln, off + step)
-                dev_tok, self.cache = self._prefill_chunk_fn(
+                packed, self.cache = self._prefill_chunk_fn(
                     self.params, self.cache, tok, tables,
                     jnp.asarray([kv_after], np.int32),
                     jnp.asarray([off], np.int32), *samp)
@@ -684,23 +700,26 @@ class Engine:
             bucket = next_power_of_2(max(ln, 16))
             tokens = np.zeros((1, bucket), np.int32)
             tokens[0, :ln] = ids
-            dev_tok, self.cache = self._prefill_fn(
+            packed, self.cache = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(tokens), tables,
                 jnp.asarray([ln], np.int32), *samp)
         self.metrics.prefills += 1
         self.metrics.prompt_tokens += ln
         self._pos[req.slot] = ln
-        return dev_tok
+        return packed
 
-    def _emit_tokens(self, req: Request, toks: list[int]):
+    def _emit_tokens(self, req: Request, toks: list[int],
+                     lps: Optional[list[float]] = None):
         """Append sampled tokens, applying stop conditions. May finish."""
         accepted = []
         finished = False
-        for t in toks:
+        for i, t in enumerate(toks):
             if t in req.sampling.stop_token_ids:
                 finished = True
                 break
             req.output_ids.append(t)
+            if lps is not None:
+                req.output_logprobs.append(float(lps[i]))
             accepted.append(t)
             if req.num_generated >= req.sampling.max_new_tokens:
                 finished = True
@@ -839,23 +858,24 @@ class Engine:
                 dev_hist = self._dev_hist
                 ov_hist = (jnp.asarray(self._hist_host) if ov_mask.any()
                            else self._get_zero_hist())
-            (ems, nems, self._dev_tok, self._dev_pos, self._dev_counts,
-             self._dev_hist, self.cache) = self._spec_burst_fn(
+            (packed, self._dev_tok, self._dev_pos,
+             self._dev_counts, self._dev_hist,
+             self.cache) = self._spec_burst_fn(
                 self.burst, self.params, self.cache, dev_tok, dev_pos,
                 dev_counts, dev_hist, jnp.asarray(self._next_tok),
                 jnp.asarray(self._pos), ov_counts, ov_hist,
                 jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
                 *sampler_args)
-            payload = ("spec", ems, nems)
+            payload = ("spec", packed, None)
         else:
-            (toks, self._dev_tok, self._dev_pos, self._dev_counts,
+            (packed, self._dev_tok, self._dev_pos, self._dev_counts,
              self.cache) = self._burst_fn(
                 self.burst, self.params, self.cache, dev_tok, dev_pos,
                 dev_counts, jnp.asarray(self._next_tok),
                 jnp.asarray(self._pos), ov_counts,
                 jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
                 *sampler_args)
-            payload = ("std", toks, None)
+            payload = ("std", packed, None)
         self._override[:] = False
         self.metrics.decode_bursts += 1
         prev = self._inflight
@@ -888,25 +908,34 @@ class Engine:
 
     def _bookkeep(self, payload, snapshot):
         kind, a, b_ = payload
+        del b_
         if kind == "spec":
-            ems = np.asarray(a)    # [B, steps, G+1] — the one sync point
-            nems = np.asarray(b_)  # [B, steps]
+            arr = np.asarray(a)      # [B, steps, 2(G+1)+1] — ONE sync
+            g1 = (arr.shape[-1] - 1) // 2
+            ems = arr[..., :g1].astype(np.int64)
+            elps = arr[..., g1:2 * g1]
+            nems = arr[..., -1].astype(np.int64)
             for slot, req in snapshot:
                 if self.slots[slot] is not req \
                         or req.state != RequestState.RUNNING:
                     continue
                 seq: list[int] = []
+                seq_lp: list[float] = []
                 for s_ in range(ems.shape[1]):
-                    seq.extend(ems[slot, s_, :nems[slot, s_]].tolist())
+                    n_ = nems[slot, s_]
+                    seq.extend(ems[slot, s_, :n_].tolist())
+                    seq_lp.extend(elps[slot, s_, :n_].tolist())
                 steps_active = int((nems[slot] > 0).sum())
                 self.metrics.spec_steps += steps_active
                 self.metrics.spec_accepted += len(seq) - steps_active
-                self._emit_tokens(req, seq)
+                self._emit_tokens(req, seq, seq_lp)
                 if req.state == RequestState.RUNNING and seq:
                     self._pos[slot] += len(seq)
                     self._next_tok[slot] = seq[-1]
             return
-        toks = np.asarray(a)  # [B, burst] — the one sync point
+        arr = np.asarray(a)      # [B, burst, 2] — the one sync point
+        toks = arr[..., 0].astype(np.int64)
+        blps = arr[..., 1]
         for slot, req in snapshot:
             # skip slots whose request was replaced/finished since dispatch
             if self.slots[slot] is not req \
@@ -916,7 +945,7 @@ class Engine:
             # prefill/burst) and produced `burst` new tokens; the last one
             # doubles as the next burst's input.
             burst_toks = toks[slot].tolist()
-            self._emit_tokens(req, burst_toks)
+            self._emit_tokens(req, burst_toks, blps[slot].tolist())
             if req.state == RequestState.RUNNING:
                 self._pos[slot] += self.burst
                 self._next_tok[slot] = burst_toks[-1]

@@ -28,6 +28,9 @@ class Request:
     state: RequestState = RequestState.WAITING
     slot: int = -1
     output_ids: list[int] = dataclasses.field(default_factory=list)
+    # log P(token) under the model's raw distribution, aligned with
+    # output_ids
+    output_logprobs: list[float] = dataclasses.field(default_factory=list)
     # streaming callback: (req, new_token_ids, finished) -> None
     on_tokens: Optional[Callable] = None
     error: Optional[str] = None

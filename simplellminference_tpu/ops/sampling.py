@@ -120,3 +120,17 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
         return jnp.where(temperature <= 0.0, gr, s.astype(jnp.int32))
 
     return jax.lax.cond(neutral, lambda _: gr, stochastic, operand=None)
+
+
+def token_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
+    """log P(tok) under the model's raw distribution.
+
+    logits: [B, V]; tok: [B] -> [B] float32. Computed on the RAW logits
+    (before temperature/penalty shaping): the model's own distribution is
+    what evals and the OpenAI `logprobs` field want.
+    """
+    lf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lf, axis=-1)
+    picked = jnp.take_along_axis(lf, tok[:, None].astype(jnp.int32),
+                                 axis=-1)[:, 0]
+    return picked - lse

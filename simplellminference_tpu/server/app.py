@@ -218,6 +218,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
         if errs:
             status = 429 if "queue full" in errs[0] else 400
             return web.json_response({"error": errs[0]}, status=status)
+        want_lp = bool(body.get("logprobs"))
         return web.json_response({
             "id": f"cmpl-{reqs[0].req_id}",
             "object": "text_completion",
@@ -228,6 +229,9 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 "text": (tokenizer.decode(r.output_ids)
                          if tokenizer else None),
                 "token_ids": r.output_ids,
+                **({"logprobs":
+                    {"token_logprobs": r.output_logprobs}}
+                   if want_lp else {}),
                 "finish_reason": _finish_reason(r, sampling),
             } for i, r in enumerate(reqs)],
             "usage": {"prompt_tokens": len(reqs[0].prompt_ids),
@@ -279,6 +283,10 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 "index": i,
                 "message": {"role": "assistant",
                             "content": tokenizer.decode(r.output_ids)},
+                **({"logprobs": {"content": [
+                    {"token_id": t, "logprob": lp}
+                    for t, lp in zip(r.output_ids, r.output_logprobs)]}}
+                   if body.get("logprobs") else {}),
                 "finish_reason": _finish_reason(r, sampling),
             } for i, r in enumerate(reqs)],
             "usage": {"prompt_tokens": len(reqs[0].prompt_ids),

@@ -343,3 +343,27 @@ def test_engine_cancel_and_backpressure(model):
     eng2.run()
     ok = [r for r in outcomes if r.state == RequestState.FINISHED]
     assert len(ok) == 3
+
+
+def test_engine_logprobs(model):
+    """Every emitted token carries log P(token); greedy tokens carry the
+    distribution's max logprob (cross-checked against a dense forward)."""
+    cfg, params = model
+    rng = np.random.default_rng(8)
+    p = rng.integers(1, cfg.vocab_size, 11).tolist()
+    eng = make_engine(cfg, params)
+    r = eng.add_request(prompt_ids=p,
+                        sampling=SamplingParams(max_new_tokens=9))
+    eng.run()
+    assert len(r.output_logprobs) == len(r.output_ids) == 9
+    assert all(lp <= 0.0 and np.isfinite(lp) for lp in r.output_logprobs)
+
+    # cross-check the first token's logprob against a dense forward
+    tokens = np.asarray([p], np.int32)
+    positions = np.broadcast_to(
+        np.arange(len(p), dtype=np.int32)[None], tokens.shape)
+    logits, _ = llama.forward(cfg, params, jnp.asarray(tokens),
+                              jnp.asarray(positions))
+    lsm = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+    want = float(lsm[r.output_ids[0]])
+    assert abs(r.output_logprobs[0] - want) < 1e-4
