@@ -561,7 +561,8 @@ class Engine:
             pending.append(([req], self._prefill(req,
                                                  start=req.cached_len)))
         if cached:
-            pending.append((cached, self._prefill_suffix_batch(cached)))
+            pending.append((cached,
+                            self._prefill_batch(cached, suffixes=True)))
         # one host sync for ALL admitted prefills (not one per request):
         # prefill dispatches queue back-to-back on the device.
         for reqs, packed in pending:
@@ -577,57 +578,24 @@ class Engine:
                 self._override[req.slot] = True  # fresh state for pipeline
                 self._emit_tokens(req, [tok_id], [float(arr[i, 1])])
 
-    def _prefill_batch(self, reqs: list[Request]) -> jax.Array:
-        """ONE batched prefill dispatch for all admitted short prompts
-        (row-padded to the longest bucket; rows are independent — each
-        writes its own block-table pages). Returns [len(reqs)] device
-        tokens. Row count is bucketed to a power of two to bound compile
-        variants; padding rows carry -1 tables (trash page) and len 1."""
-        n = len(reqs)
-        lens = [r.total_len for r in reqs]
-        bucket = next_power_of_2(max(max(lens), 16))
-        # row count quantized to {1, max_batch}: a mid-run admit of an
-        # unseen group size would otherwise compile a fresh prefill graph
-        # (~30 s through the tunnel) in the serving path
-        nb = 1 if n == 1 else len(self.slots)
-        tokens = np.zeros((nb, bucket), np.int32)
-        mp = self.allocator.table().shape[1]
-        tables = np.full((nb, mp), -1, np.int32)
-        kv_len = np.ones(nb, np.int32)
-        slots = [r.slot for r in reqs]
-        for i, r in enumerate(reqs):
-            ids = r.prompt_ids + r.output_ids
-            tokens[i, :lens[i]] = ids
-            tables[i] = self.allocator.row(r.slot)
-            kv_len[i] = lens[i]
-            self._pos[r.slot] = lens[i]
-            self.metrics.prefills += 1
-            self.metrics.prompt_tokens += lens[i]
-        self._key, sub = jax.random.split(self._key)
-        idx = np.asarray(slots + [0] * (nb - n))
-        packed, self.cache = self._prefill_fn(
-            self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(tables), jnp.asarray(kv_len), sub,
-            jnp.asarray(self._temp[idx]), jnp.asarray(self._top_k[idx]),
-            jnp.asarray(self._top_p[idx]), *self._samp_extras(idx))
-        return packed[:n]
+    def _prefill_batch(self, reqs: list[Request],
+                       suffixes: bool = False) -> jax.Array:
+        """ONE batched prefill dispatch for a cycle's admits.
 
-    def _samp_extras(self, idx):
-        """(min_p, counts, rep, freq, pres) rows for the given slots."""
-        return (jnp.asarray(self._min_p[idx]),
-                jnp.asarray(self._counts_host[idx]),
-                jnp.asarray(self._rep_p[idx]),
-                jnp.asarray(self._freq_p[idx]),
-                jnp.asarray(self._pres_p[idx]))
-
-    def _prefill_suffix_batch(self, reqs: list[Request]) -> jax.Array:
-        """ONE dispatch for all prefix-cached admits: each row prefills
-        only its uncached suffix at its own page-aligned offset (the
-        chunk graph takes per-row chunk offsets). Returns [len(reqs)]
-        device tokens."""
+        ``suffixes=False``: whole prompts (row-padded to the longest
+        power-of-2 bucket; each row writes its own block-table pages from
+        position 0). ``suffixes=True``: prefix-cached admits — each row
+        prefills only its uncached suffix at its own page-aligned offset
+        (the chunk graph takes per-row chunk offsets). Row count is
+        quantized to {1, max_batch}: a mid-run admit of an unseen group
+        size would otherwise compile a fresh prefill graph (~30 s through
+        the tunnel). Padding rows carry -1 tables (trash page) and len 1.
+        Returns the packed (token, logprob) device array [len(reqs), 2].
+        """
         n = len(reqs)
-        sufs = [r.total_len - r.cached_len for r in reqs]
-        bucket = next_power_of_2(max(max(sufs), 16))
+        starts = [r.cached_len if suffixes else 0 for r in reqs]
+        todo = [r.total_len - s for r, s in zip(reqs, starts)]
+        bucket = next_power_of_2(max(max(todo), 16))
         nb = 1 if n == 1 else len(self.slots)
         tokens = np.zeros((nb, bucket), np.int32)
         mp = self.allocator.table().shape[1]
@@ -637,22 +605,36 @@ class Engine:
         slots = [r.slot for r in reqs]
         for i, r in enumerate(reqs):
             ids = r.prompt_ids + r.output_ids
-            tokens[i, :sufs[i]] = ids[r.cached_len:]
+            tokens[i, :todo[i]] = ids[starts[i]:]
             tables[i] = self.allocator.row(r.slot)
             kv_len[i] = r.total_len
-            offs[i] = r.cached_len
+            offs[i] = starts[i]
             self._pos[r.slot] = r.total_len
             self.metrics.prefills += 1
             self.metrics.prompt_tokens += r.total_len
         self._key, sub = jax.random.split(self._key)
         idx = np.asarray(slots + [0] * (nb - n))
-        packed, self.cache = self._prefill_chunk_fn(
-            self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(tables), jnp.asarray(kv_len), jnp.asarray(offs),
-            sub, jnp.asarray(self._temp[idx]),
-            jnp.asarray(self._top_k[idx]), jnp.asarray(self._top_p[idx]),
-            *self._samp_extras(idx))
+        samp = (sub, jnp.asarray(self._temp[idx]),
+                jnp.asarray(self._top_k[idx]),
+                jnp.asarray(self._top_p[idx]), *self._samp_extras(idx))
+        if suffixes:
+            packed, self.cache = self._prefill_chunk_fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(tables), jnp.asarray(kv_len),
+                jnp.asarray(offs), *samp)
+        else:
+            packed, self.cache = self._prefill_fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(tables), jnp.asarray(kv_len), *samp)
         return packed[:n]
+
+    def _samp_extras(self, idx):
+        """(min_p, counts, rep, freq, pres) rows for the given slots."""
+        return (jnp.asarray(self._min_p[idx]),
+                jnp.asarray(self._counts_host[idx]),
+                jnp.asarray(self._rep_p[idx]),
+                jnp.asarray(self._freq_p[idx]),
+                jnp.asarray(self._pres_p[idx]))
 
     def _prefill(self, req: Request, start: int = 0) -> jax.Array:
         """B=1 prefill of tokens [start, total) — ``start`` > 0 means the
@@ -766,8 +748,13 @@ class Engine:
             for req in list(self.slots):
                 if req is None:
                     continue
-                target = (int(self._pos[req.slot])
-                          + 2 * self.burst * per_step + 1)
+                # clamp to the request's lifetime maximum — otherwise a
+                # request admitted near the per-seq capacity would fail
+                # on pipeline headroom it can never use
+                lim = (len(req.prompt_ids) + req.sampling.max_new_tokens
+                       + (self.spec or 0))
+                target = min(int(self._pos[req.slot])
+                             + 2 * self.burst * per_step + 1, lim)
                 if self.allocator.seq_len(req.slot) < target:
                     if not self.allocator.extend(req.slot, target):
                         ok = False
@@ -828,6 +815,13 @@ class Engine:
                 victim.emit([], finished=True)
                 return
 
+        # _ensure_burst_pages may have PREEMPTED members of `running`
+        # (slot reset to -1, which would alias slots[-1] in bookkeeping);
+        # rebuild the dispatch snapshot from the live slot table.
+        running = [r for r in self.slots if r is not None]
+        if not running:
+            self._process_inflight()
+            return
         active = np.asarray([s is not None for s in self.slots], bool)
         tables = jnp.asarray(self.allocator.table())
         self._key, sub = jax.random.split(self._key)

@@ -107,6 +107,8 @@ def ffn_tiles(h: int, inter: int, m_pad: int) -> tuple[int, int, int] | None:
     live at once, so target ~10 MB total.
     """
     bk1 = _largest_divisor(h, 512, 128)
+    if h % bk1:  # the fallback (128) need not divide h: silent K-column
+        return None  # truncation otherwise
     # VMEM residents independent of bn1: gate_up scratch (2I·m f32),
     # x/out/acc2/xn/h buffers, the down-weight double buffer (<= 2·256·h).
     fixed = (2 * inter * m_pad * 4 + m_pad * h * 12 + m_pad * h * 2
@@ -322,8 +324,10 @@ def fused_wo_ffn(attn: jax.Array, x: jax.Array, wo_q: jax.Array,
     tiles = ffn_tiles(h, inter, m_pad)
     assert tiles is not None, (h, inter)
     bk1, bn1, bk2 = tiles
-    # bk0 = 512 matches the standalone qmm's K split, so the f32
-    # accumulation order (and thus the rounded bf16 result) is identical.
+    # NOTE: bk0=256 does NOT match the standalone qmm's K split (512),
+    # so the f32 accumulation order — and occasionally the bf16-rounded
+    # result — differs from the unfused path. Acceptable here: this
+    # kernel is not dispatched from the model (see docstring).
     bk0 = _largest_divisor(nd, 256, 128)
     k0 = nd // bk0
     k1 = h // bk1

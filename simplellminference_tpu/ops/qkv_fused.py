@@ -127,6 +127,8 @@ def qkv_tiles(h: int, nq: int, d: int, m_pad: int) -> tuple[int, int] | None:
     if d % 2 or d > 512:
         return None
     bk1 = _largest_divisor(h, 512, 128)
+    if h % bk1:  # the fallback (128) need not divide h: silent K-column
+        return None  # truncation otherwise
 
     def fits(bn: int) -> bool:
         vmem = (2 * bk1 * bn              # weight double buffer (int8)
