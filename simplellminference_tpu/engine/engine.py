@@ -310,7 +310,13 @@ class Engine:
                     logits[:, 0], sub, temp, top_k, top_p, min_p=min_p,
                     counts=counts, repetition_penalty=rp,
                     frequency_penalty=fp, presence_penalty=pp)
-                greedy_row = temp <= 0.0
+                # speculative acceptance compares against the RAW
+                # greedy prediction — rows with active penalties must
+                # fall back to one sampled token per step (the `first`
+                # sample applies penalty state exactly like the
+                # non-speculative burst)
+                greedy_row = ((temp <= 0.0) & (rp == 1.0)
+                              & (fp == 0.0) & (pp == 0.0))
                 eq = (draft == pred[:, :spec_g]) & greedy_row[:, None]
                 n_acc = jnp.cumprod(eq.astype(jnp.int32), 1).sum(1)
                 n_acc = jnp.where(greedy_row, n_acc, 0)

@@ -367,3 +367,23 @@ def test_engine_logprobs(model):
     lsm = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
     want = float(lsm[r.output_ids[0]])
     assert abs(r.output_logprobs[0] - want) < 1e-4
+
+
+def test_engine_speculative_respects_penalties(model):
+    """Rows with active penalties inside a speculative batch produce the
+    SAME tokens as the non-speculative engine (they fall back to one
+    penalized sample per verify step)."""
+    cfg, params = model
+    prompts = [[5, 6, 7, 8] * 5, [1, 2, 3, 1, 2, 3]]
+    sp = SamplingParams(max_new_tokens=14, repetition_penalty=1.6)
+
+    def mk(spec):
+        ecfg = EngineConfig(
+            max_batch_size=4, spec_tokens=spec,
+            kv=KVCacheConfig(page_size=8, num_pages=64,
+                             max_pages_per_seq=24, kv_dtype="f32"))
+        return Engine(cfg, params, ecfg, decode_burst=3)
+
+    base = mk(0).generate(prompts, sp)
+    got = mk(3).generate(prompts, sp)
+    assert got == base
