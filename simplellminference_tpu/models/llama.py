@@ -379,6 +379,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
                                   cfg.rms_norm_eps)
         qkv = linear(attn_in, lw["wqkv"], layer=li)
+        if "wqkv_bias" in lw:  # Qwen2-style QKV bias
+            qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
         q = qkv[..., :n * d].reshape(b, s, n, d)
         k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
         v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
@@ -453,7 +455,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         i = cfg.intermediate_size if tp_axis is None else (
             cfg.intermediate_size // jax.lax.axis_size(tp_axis))
         gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
-        down = linear(ref_ops.swiglu(gate_up[..., :i], gate_up[..., i:]),
+        down = linear(ref_ops.glu_act(gate_up[..., :i], gate_up[..., i:],
+                                      cfg.hidden_act),
                       lw["w_down"], layer=li)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)

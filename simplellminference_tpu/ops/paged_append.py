@@ -110,14 +110,14 @@ def _prefill_kernel(layer_ref, pages_ref, newk_ref, newv_ref,
 @jax.jit
 def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array,
                          new_k: jax.Array, new_v: jax.Array,
-                         tables: jax.Array, layer: jax.Array,
-                         page_offset: jax.Array | None = None
+                         tables: jax.Array, layer: jax.Array
                          ) -> tuple[jax.Array, jax.Array]:
     """Write a right-padded prompt (or prompt chunk) into pages in place.
 
-    new_k/v: [B, S, kvN, D] from absolute position ``page_offset * ps``
-    (0 by default — whole-prompt prefill); pages for the padded tail map
-    to -1 in ``tables`` and land in the trash page.
+    new_k/v: [B, S, kvN, D]; ``tables[:, :ceil(S/ps)]`` names the target
+    pages (the caller pre-gathers offset columns for chunked/suffix
+    prefill — memory/paged_kv.write_prefill_stacked); -1 entries land in
+    the trash page.
     """
     l_, p, kvn, ps, d = pool_k.shape
     b, s, _, _ = new_k.shape
@@ -130,11 +130,7 @@ def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array,
         return (x.reshape(b, npg, ps, kvn, d)
                 .transpose(0, 1, 3, 2, 4).astype(dtype))  # [B, npg, kvN, ps, D]
 
-    if page_offset is None:
-        tbl = tables[:, :npg]
-    else:
-        tbl = jax.lax.dynamic_slice_in_dim(
-            tables, jnp.asarray(page_offset, jnp.int32), npg, axis=1)
+    tbl = tables[:, :npg]
     pages = jnp.where(tbl < 0, p - 1, tbl).astype(jnp.int32)
 
     def new_index(i_b, i_p, li, pg):
@@ -273,8 +269,7 @@ def _prefill_quant_kernel(layer_ref, pages_ref, newk_ref, newv_ref,
 
 @jax.jit
 def paged_append_prefill_quant(pool_k, pool_v, pool_ks, pool_vs,
-                               new_k, new_v, tables, layer,
-                               page_offset=None):
+                               new_k, new_v, tables, layer):
     """INT8-KV prefill write: whole pages of int8 data + scale pages."""
     from simplellminference_tpu.memory.paged_kv import quantize_kv
 
@@ -297,11 +292,7 @@ def paged_append_prefill_quant(pool_k, pool_v, pool_ks, pool_vs,
         return (x.reshape(b, npg, ps, kvn)
                 .transpose(0, 1, 3, 2).astype(jnp.float32))  # [B,npg,kvN,ps]
 
-    if page_offset is None:
-        tbl = tables[:, :npg]
-    else:
-        tbl = jax.lax.dynamic_slice_in_dim(
-            tables, jnp.asarray(page_offset, jnp.int32), npg, axis=1)
+    tbl = tables[:, :npg]
     pages = jnp.where(tbl < 0, p - 1, tbl).astype(jnp.int32)
 
     def new_index(i_b, i_p, li, pg):

@@ -108,3 +108,58 @@ def test_gemma_matches_hf():
                                           dtype="float32")
     tokens = np.array([[2, 5, 9, 200, 17, 3, 77, 120]], np.int32)
     _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def _engine_generate(cfg, params, prompts, max_new):
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine import Engine
+
+    ecfg = EngineConfig(max_batch_size=4,
+                        kv=KVCacheConfig(page_size=8, num_pages=64,
+                                         max_pages_per_seq=16,
+                                         kv_dtype="f32"))
+    eng = Engine(cfg, params, ecfg, decode_burst=3)
+    return eng.generate(prompts, SamplingParams(max_new_tokens=max_new))
+
+
+def _generator_generate(cfg, params, prompts, max_new):
+    from simplellminference_tpu.core.config import SamplingParams
+    from simplellminference_tpu.runtime.generator import Generator
+
+    gen = Generator(cfg, params, max_batch=4, max_seq=128)
+    return gen.generate(prompts,
+                        SamplingParams(max_new_tokens=max_new)).token_ids
+
+
+@pytest.mark.parametrize("family", ["qwen2", "gemma"])
+def test_family_paged_engine_matches_dense(family):
+    """The paged serving forward must apply family-specific pieces (QKV
+    bias, GeGLU, embed scaling) identically to the dense forward —
+    regression for the paged path silently dropping them."""
+    if family == "qwen2":
+        hf_cfg = transformers.Qwen2Config(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            rms_norm_eps=1e-5, rope_theta=10000.0)
+        torch.manual_seed(4)
+        hf = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    else:
+        hf_cfg = transformers.GemmaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=32,
+            max_position_embeddings=256, rms_norm_eps=1e-6,
+            tie_word_embeddings=True,
+            hidden_activation="gelu_pytorch_tanh")
+        torch.manual_seed(5)
+        hf = transformers.GemmaForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    prompts = [[2, 5, 9, 200, 17], [7, 7, 7]]
+    dense = _generator_generate(cfg, params, prompts, 10)
+    paged = _engine_generate(cfg, params, prompts, 10)
+    assert paged == dense
