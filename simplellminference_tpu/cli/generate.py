@@ -120,7 +120,7 @@ def main(argv=None):
     import numpy as np
 
     from simplellminference_tpu.ops import sampling as sampling_ops
-    key = jax.random.PRNGKey(sp.seed)
+    key = jax.random.PRNGKey(sp.seed or 0)
     pos = jnp.asarray(lens, jnp.int32)
     temp = jnp.full((1,), sp.temperature, jnp.float32)
     top_k = jnp.full((1,), sp.top_k, jnp.int32)

@@ -300,7 +300,9 @@ class SamplingParams:
     frequency_penalty: float = 0.0    # OpenAI semantics (per count)
     presence_penalty: float = 0.0     # OpenAI semantics (per presence)
     stop_token_ids: tuple = ()
-    seed: int = 0
+    # None = nondeterministic (the engine derives a unique per-request
+    # seed); set for reproducible sampling independent of batching.
+    seed: Optional[int] = None
 
     @property
     def greedy(self) -> bool:

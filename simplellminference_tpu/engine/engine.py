@@ -129,6 +129,7 @@ class Engine:
         self._rep_p = np.ones(b, np.float32)
         self._freq_p = np.zeros(b, np.float32)
         self._pres_p = np.zeros(b, np.float32)
+        self._seed = np.zeros(b, np.uint32)
         # per-slot context token counts (penalty state); rebuilt from
         # prompt+outputs at admit, advanced ON DEVICE during bursts
         self._counts_host = np.zeros((b, cfg.vocab_size), np.float32)
@@ -163,7 +164,7 @@ class Engine:
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_fn(params, cache, tokens, tables, kv_len,
                         key, temp, top_k, top_p, min_p, counts, rp, fp,
-                        pp):
+                        pp, seeds):
             s = tokens.shape[1]
             positions = jnp.arange(s, dtype=jnp.int32)[None]
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
@@ -175,7 +176,8 @@ class Engine:
                                       top_p, min_p=min_p, counts=counts,
                                       repetition_penalty=rp,
                                       frequency_penalty=fp,
-                                      presence_penalty=pp)
+                                      presence_penalty=pp, seeds=seeds,
+                                      seed_pos=kv_len)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             # ONE host sync object: a second np.asarray would cost another
             # ~25 ms relay round trip per admit/burst
@@ -184,7 +186,7 @@ class Engine:
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
                               chunk_offset, key, temp, top_k, top_p,
-                              min_p, counts, rp, fp, pp):
+                              min_p, counts, rp, fp, pp, seeds):
             # chunk_offset: [B] per-row start position (page-aligned) —
             # batched prefix-cache suffixes start at different offsets
             s = tokens.shape[1]
@@ -198,14 +200,15 @@ class Engine:
                                       top_p, min_p=min_p, counts=counts,
                                       repetition_penalty=rp,
                                       frequency_penalty=fp,
-                                      presence_penalty=pp)
+                                      presence_penalty=pp, seeds=seeds,
+                                      seed_pos=kv_len)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             return jnp.stack([tok.astype(jnp.float32), lp], -1), cache
 
         @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4, 5))
         def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
                       ov_tok, ov_pos, ov_counts, ov_mask, tables, active,
-                      key, temp, top_k, top_p, min_p, rp, fp, pp):
+                      key, temp, top_k, top_p, min_p, rp, fp, pp, seeds):
             # Device-carried decode state: dev_tok/dev_pos/dev_counts come
             # back from the PREVIOUS burst (still in flight when the host
             # dispatches this one — the host never waits on them). ov_*
@@ -229,7 +232,8 @@ class Engine:
                                           counts=counts,
                                           repetition_penalty=rp,
                                           frequency_penalty=fp,
-                                          presence_penalty=pp)
+                                          presence_penalty=pp,
+                                          seeds=seeds, seed_pos=pos)
                 nxt = jnp.where(active, nxt, 0)
                 lp = sampling_ops.token_logprob(logits[:, 0], nxt)
                 counts = jax.lax.cond(
@@ -255,7 +259,7 @@ class Engine:
         def _spec_burst_fn(steps, params, cache, dev_tok, dev_pos,
                            dev_counts, dev_hist, ov_tok, ov_pos, ov_counts,
                            ov_hist, ov_mask, tables, active, key, temp,
-                           top_k, top_p, min_p, rp, fp, pp):
+                           top_k, top_p, min_p, rp, fp, pp, seeds):
             """Speculative burst: each step drafts ``spec_g`` tokens by
             prompt lookup (latest earlier occurrence of the context's
             last n-gram), verifies draft+1 positions in ONE forward
@@ -309,7 +313,8 @@ class Engine:
                 first = sampling_ops.sample(
                     logits[:, 0], sub, temp, top_k, top_p, min_p=min_p,
                     counts=counts, repetition_penalty=rp,
-                    frequency_penalty=fp, presence_penalty=pp)
+                    frequency_penalty=fp, presence_penalty=pp,
+                    seeds=seeds, seed_pos=pos)
                 # speculative acceptance compares against the RAW
                 # greedy prediction — rows with active penalties must
                 # fall back to one sampled token per step (the `first`
@@ -449,11 +454,15 @@ class Engine:
         return self.metrics
 
     def generate(self, prompts: Sequence[Sequence[int]],
-                 sampling: SamplingParams = SamplingParams()
-                 ) -> list[list[int]]:
-        """Batch-convenience: submit all, run to completion, return ids."""
-        reqs = [self.add_request(prompt_ids=p, sampling=sampling)
-                for p in prompts]
+                 sampling=SamplingParams()) -> list[list[int]]:
+        """Batch-convenience: submit all, run to completion, return ids.
+
+        ``sampling``: one SamplingParams for all prompts, or a list with
+        one per prompt."""
+        samp = (sampling if isinstance(sampling, (list, tuple))
+                else [sampling] * len(prompts))
+        reqs = [self.add_request(prompt_ids=p, sampling=s)
+                for p, s in zip(prompts, samp)]
         self.run()
         return [r.output_ids for r in reqs]
 
@@ -529,6 +538,9 @@ class Engine:
             self._rep_p[slot] = req.sampling.repetition_penalty
             self._freq_p[slot] = req.sampling.frequency_penalty
             self._pres_p[slot] = req.sampling.presence_penalty
+            self._seed[slot] = np.uint32(
+                req.sampling.seed if req.sampling.seed is not None
+                else (0x9E3779B9 ^ req.req_id))
             self._counts_host[slot] = np.bincount(
                 np.asarray(req.prompt_ids + req.output_ids, np.int64),
                 minlength=self.cfg.vocab_size)[:self.cfg.vocab_size]
@@ -635,12 +647,13 @@ class Engine:
         return packed[:n]
 
     def _samp_extras(self, idx):
-        """(min_p, counts, rep, freq, pres) rows for the given slots."""
+        """(min_p, counts, rep, freq, pres, seeds) rows for the slots."""
         return (jnp.asarray(self._min_p[idx]),
                 jnp.asarray(self._counts_host[idx]),
                 jnp.asarray(self._rep_p[idx]),
                 jnp.asarray(self._freq_p[idx]),
-                jnp.asarray(self._pres_p[idx]))
+                jnp.asarray(self._pres_p[idx]),
+                jnp.asarray(self._seed[idx]))
 
     def _prefill(self, req: Request, start: int = 0) -> jax.Array:
         """B=1 prefill of tokens [start, total) — ``start`` > 0 means the
@@ -849,7 +862,7 @@ class Engine:
             jnp.asarray(self._temp), jnp.asarray(self._top_k),
             jnp.asarray(self._top_p), jnp.asarray(self._min_p),
             jnp.asarray(self._rep_p), jnp.asarray(self._freq_p),
-            jnp.asarray(self._pres_p))
+            jnp.asarray(self._pres_p), jnp.asarray(self._seed))
         if self.spec:
             if self._dev_hist is None:
                 dev_hist = jnp.zeros(self._hist_host.shape, jnp.int32)

@@ -167,8 +167,11 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
 def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params,
                     ring_collectives: bool = False):
-    """Returns (tp_params, forward_fn) where forward_fn matches
-    :func:`llama.forward`'s signature and runs the shard_map TP body.
+    """Returns (tp_params, forward_fn); forward_fn takes
+    (params, tokens, positions, cache, offsets, kv_lens, ...) — i.e.
+    :func:`llama.forward` WITHOUT the leading cfg (bound in the closure)
+    — and runs the shard_map TP body. Wrap with
+    ``lambda cfg, *a, **k: fn(*a, **k)`` for cfg-leading callers.
 
     ``tp_params`` are the column-permuted params — pass them to
     ``sharding.shard_params`` / ``device_put`` and then to forward_fn.

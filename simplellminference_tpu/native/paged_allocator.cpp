@@ -196,9 +196,14 @@ int32_t pa_cow_last_page(void* h, int32_t seq) {
 }
 
 // Copy this slot's block-table row into out[max_pages_per_seq].
+// Out-of-range slots fill with -1 (unmapped) instead of reading OOB.
 void pa_get_row(void* h, int32_t seq, int32_t* out) {
   auto* a = static_cast<Allocator*>(h);
   std::lock_guard<std::mutex> lock(a->mu);
+  if (seq < 0 || seq >= a->max_seqs) {
+    for (int32_t i = 0; i < a->max_pages_per_seq; ++i) out[i] = -1;
+    return;
+  }
   std::memcpy(out, a->row(seq), sizeof(int32_t) * a->max_pages_per_seq);
 }
 

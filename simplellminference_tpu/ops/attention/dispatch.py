@@ -86,8 +86,9 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
     """Paged decode attention. q: [B, 1, N, D]; pools: [P, kvN, ps, D] or
     stacked [L, P, kvN, ps, D] with a traced ``layer`` index.
 
-    bf16/f32/fp8 pools take the Pallas kernel on TPU (fp8 is a direct cast
-    in-kernel); int8 pools (per-token scales) take the gather+dense path.
+    All pool dtypes take the Pallas kernel on TPU: fp8 is a direct cast
+    in-kernel, int8 dequantizes through the per-token scale pools riding
+    alongside the data pages. The gather+dense path covers CPU/GSPMD.
     """
     import jax.numpy as jnp
 

@@ -41,9 +41,20 @@ def apply_penalties(logits: jax.Array, counts: jax.Array,
     return lf
 
 
+def _row_keys(key, seeds, seed_pos):
+    """Per-row PRNG keys: fold (seed, position) into a FIXED base so a
+    request's draws depend only on its own (seed, token index) — batch
+    composition and engine scheduling cannot perturb them."""
+    base = jax.random.PRNGKey(0)
+    return jax.vmap(
+        lambda s, p: jax.random.fold_in(jax.random.fold_in(base, s), p)
+    )(seeds.astype(jnp.uint32), seed_pos.astype(jnp.uint32))
+
+
 def _sample_sorted(logits: jax.Array, key: jax.Array,
                    temperature: jax.Array, top_k: jax.Array,
-                   top_p: jax.Array, min_p: jax.Array) -> jax.Array:
+                   top_p: jax.Array, min_p: jax.Array,
+                   seeds=None, seed_pos=None) -> jax.Array:
     """One-sort top-k/top-p/min-p sampling in sorted space.
 
     A single key-value sort yields both the descending logits and the
@@ -69,7 +80,11 @@ def _sample_sorted(logits: jax.Array, key: jax.Array,
     keep &= probs >= min_p[:, None] * probs[:, :1]
     masked = jnp.where(keep, sv, -jnp.inf)
 
-    pos = jax.random.categorical(key, masked, axis=-1)   # sorted-space idx
+    if seeds is not None:
+        keys = _row_keys(key, seeds, seed_pos)
+        pos = jax.vmap(jax.random.categorical)(keys, masked)
+    else:
+        pos = jax.random.categorical(key, masked, axis=-1)  # sorted idx
     return jnp.take_along_axis(si, pos[:, None], axis=-1)[:, 0]
 
 
@@ -79,7 +94,9 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
            counts: Optional[jax.Array] = None,
            repetition_penalty: Optional[jax.Array] = None,
            frequency_penalty: Optional[jax.Array] = None,
-           presence_penalty: Optional[jax.Array] = None) -> jax.Array:
+           presence_penalty: Optional[jax.Array] = None,
+           seeds: Optional[jax.Array] = None,
+           seed_pos: Optional[jax.Array] = None) -> jax.Array:
     """Batched sampling with per-sequence params, jit-safe (static shapes).
 
     logits: [B, V] fp32; temperature/top_k/top_p/min_p: [B] (temperature
@@ -87,6 +104,12 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     disable their filters). ``counts`` [B, V] + the penalty vectors enable
     repetition/frequency/presence penalties (applied to the raw logits,
     greedy rows included — matching HF/vLLM semantics).
+
+    ``seeds``/``seed_pos`` [B]: per-row deterministic keys derived from
+    (seed, token position) — a request's draws then depend only on its
+    own seed and position, never on batch composition (the OpenAI `seed`
+    contract; without them all rows share ``key`` with per-element
+    noise).
 
     When every row is greedy with neutral penalties (the common serving
     case) a lax.cond skips the vocab sort entirely — this runs inside
@@ -107,7 +130,8 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
         def with_pen(_):
             lf = apply_penalties(logits, counts, rp, fp, pp)
             gr = greedy(lf)
-            s = _sample_sorted(lf, key, temperature, top_k, top_p, min_p)
+            s = _sample_sorted(lf, key, temperature, top_k, top_p, min_p,
+                               seeds, seed_pos)
             return jnp.where(temperature <= 0.0, gr, s.astype(jnp.int32))
 
         return jax.lax.cond(neutral, lambda _: greedy(logits), with_pen,
@@ -116,7 +140,8 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     gr = greedy(logits)
 
     def stochastic(_):
-        s = _sample_sorted(logits, key, temperature, top_k, top_p, min_p)
+        s = _sample_sorted(logits, key, temperature, top_k, top_p, min_p,
+                           seeds, seed_pos)
         return jnp.where(temperature <= 0.0, gr, s.astype(jnp.int32))
 
     return jax.lax.cond(neutral, lambda _: gr, stochastic, operand=None)

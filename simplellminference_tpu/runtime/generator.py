@@ -31,6 +31,19 @@ from simplellminference_tpu.ops import sampling as sampling_ops
 from simplellminference_tpu.runtime.kv_cache import DenseKVCache
 
 
+@jax.jit
+def _sample_and_count(logits, key, temp, top_k, top_p, min_p, counts, rp,
+                      fp, pp):
+    """Penalty-aware sample + device-side count update (module-level so
+    the jit cache survives across generate() calls)."""
+    tok = sampling_ops.sample(logits, key, temp, top_k, top_p,
+                              min_p=min_p, counts=counts,
+                              repetition_penalty=rp, frequency_penalty=fp,
+                              presence_penalty=pp)
+    counts = counts.at[jnp.arange(logits.shape[0]), tok].add(1.0)
+    return tok, counts
+
+
 @dataclasses.dataclass
 class GenerateResult:
     token_ids: list[list[int]]      # per sequence, generated tokens only
@@ -43,7 +56,7 @@ class Generator:
 
     def __init__(self, cfg: ModelConfig, params, max_batch: int = 1,
                  max_seq: Optional[int] = None, kv_dtype=None,
-                 forward_fn=None, donate: bool = True):
+                 forward_fn=None):
         self.cfg = cfg
         self.params = params
         self.max_batch = max_batch
@@ -105,12 +118,19 @@ class Generator:
                  params: SamplingParams = SamplingParams()) -> GenerateResult:
         """Python-loop generation (engine-style; per-step host control)."""
         b = len(prompts)
+        need = max(len(p) for p in prompts) + params.max_new_tokens
+        if need > self.max_seq:
+            raise ValueError(
+                f"prompt+max_new_tokens ({need}) exceeds the KV arena "
+                f"capacity ({self.max_seq}); raise max_seq or shorten "
+                "the request (writes past the arena would silently "
+                "clamp and corrupt the cache)")
         bucket = min(next_power_of_2(max(len(p) for p in prompts)),
                      self.max_seq)
         cache = self.new_cache(b, bucket + params.max_new_tokens)
         last_logits, cache, lens = self.prefill(cache, prompts)
         lens_arr = jnp.asarray(lens, jnp.int32)
-        key = jax.random.PRNGKey(params.seed)
+        key = jax.random.PRNGKey(params.seed or 0)
         temp = jnp.full((b,), params.temperature, jnp.float32)
         top_k = jnp.full((b,), params.top_k, jnp.int32)
         top_p = jnp.full((b,), params.top_p, jnp.float32)
@@ -132,19 +152,12 @@ class Generator:
             fp = jnp.full((b,), params.frequency_penalty, jnp.float32)
             pp = jnp.full((b,), params.presence_penalty, jnp.float32)
 
-            @jax.jit
-            def _pick_pen(logits, key, counts):
-                tok = sampling_ops.sample(
-                    logits, key, temp, top_k, top_p, min_p=min_p,
-                    counts=counts, repetition_penalty=rp,
-                    frequency_penalty=fp, presence_penalty=pp)
-                counts = counts.at[jnp.arange(b), tok].add(1.0)
-                return tok, counts
-
         def pick(logits, key):
             nonlocal counts
             if use_pen:
-                tok, counts = _pick_pen(logits, key, counts)
+                tok, counts = _sample_and_count(
+                    logits, key, temp, top_k, top_p, min_p, counts, rp,
+                    fp, pp)
                 return tok
             if params.greedy:
                 return sampling_ops.greedy(logits)
@@ -183,8 +196,11 @@ class Generator:
         """
         b = len(prompts)
         lens = [len(p) for p in prompts]
+        if max(lens) + max_new_tokens > self.max_seq:
+            raise ValueError(
+                f"prompt+max_new_tokens ({max(lens) + max_new_tokens}) "
+                f"exceeds the KV arena capacity ({self.max_seq})")
         bucket = min(next_power_of_2(max(lens)), self.max_seq)
-        assert max(lens) <= self.max_seq
         tokens = np.zeros((b, bucket), np.int32)
         for i, p in enumerate(prompts):
             tokens[i, :len(p)] = np.asarray(p, np.int32)

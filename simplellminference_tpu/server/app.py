@@ -65,6 +65,11 @@ class EngineWorker:
         self._thread.join(timeout=5)
 
 
+def _capacity_error(msg: str) -> bool:
+    """Server-capacity (retryable, 429) vs client-request (400) errors."""
+    return "queue full" in msg or "pool exhausted" in msg
+
+
 def _sampling_from(body: dict, tokenizer) -> SamplingParams:
     return SamplingParams(
         max_new_tokens=int(body.get("max_tokens", 128)),
@@ -75,7 +80,7 @@ def _sampling_from(body: dict, tokenizer) -> SamplingParams:
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),
         presence_penalty=float(body.get("presence_penalty", 0.0)),
-        seed=int(body.get("seed", 0)),
+        seed=(int(body["seed"]) if "seed" in body and body["seed"] is not None else None),
         stop_token_ids=tuple(body.get("stop_token_ids", ())) or
         ((tokenizer.eos_id,) if tokenizer and tokenizer.eos_id >= 0
          else ()),
@@ -111,7 +116,11 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
         def on_tokens(req, ids, finished):
             loop.call_soon_threadsafe(q.put_nowait, (list(ids), finished))
 
-        req = worker.submit(prompt_ids, sampling, on_tokens)
+        # submit()/cancel() contend with the engine thread's step lock (a
+        # step blocks for a full JAX dispatch) — keep them off the event
+        # loop so /health and other streams stay live.
+        req = await loop.run_in_executor(None, worker.submit, prompt_ids,
+                                         sampling, on_tokens)
         detok = StreamingDetokenizer(tokenizer) if tokenizer else None
 
         if stream:
@@ -146,7 +155,8 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                         break
             except (asyncio.CancelledError, ConnectionResetError):
                 # client went away: reclaim the slot/pages immediately
-                worker.cancel(req)
+                await asyncio.shield(
+                    loop.run_in_executor(None, worker.cancel, req))
                 raise
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
@@ -158,7 +168,8 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 if finished:
                     break
         except asyncio.CancelledError:
-            worker.cancel(req)
+            await asyncio.shield(
+                loop.run_in_executor(None, worker.cancel, req))
             raise
         return req
 
@@ -168,17 +179,33 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
 
     async def _fanout(prompt_ids, sampling, n):
         """n parallel samples of one prompt (prefix-cache shares pages)."""
+        import dataclasses as _dc
+
         loop = asyncio.get_running_loop()
         done: asyncio.Queue = asyncio.Queue()
         reqs = []
-        for _ in range(n):
-            def on_tokens(req, ids, finished):
-                if finished:
-                    loop.call_soon_threadsafe(done.put_nowait, req)
-            reqs.append(worker.submit(list(prompt_ids), sampling,
-                                      on_tokens))
-        for _ in range(n):
-            await done.get()
+
+        def on_tokens(req, ids, finished):
+            if finished:
+                loop.call_soon_threadsafe(done.put_nowait, req)
+
+        try:
+            for i in range(n):
+                # per-choice seeds: with a fixed user seed, identical
+                # rows would otherwise draw identical samples
+                s_i = sampling if sampling.seed is None else _dc.replace(
+                    sampling, seed=sampling.seed + i)
+                reqs.append(await loop.run_in_executor(
+                    None, worker.submit, list(prompt_ids), s_i,
+                    on_tokens))
+            for _ in range(n):
+                await done.get()
+        except asyncio.CancelledError:
+            # client disconnect mid-fanout: reclaim every live member
+            for r in reqs:
+                await asyncio.shield(
+                    loop.run_in_executor(None, worker.cancel, r))
+            raise
         return reqs
 
     async def completions(request):
@@ -272,7 +299,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             reqs = await _fanout(prompt_ids, sampling, n)
         errs = [r.error for r in reqs if r.error]
         if errs:
-            status = 429 if "queue full" in errs[0] else 400
+            status = 429 if _capacity_error(errs[0]) else 400
             return web.json_response({"error": errs[0]}, status=status)
         return web.json_response({
             "id": f"chatcmpl-{reqs[0].req_id}",
