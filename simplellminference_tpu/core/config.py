@@ -110,9 +110,14 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias", d.get("model_type") == "qwen2"),
             model_type=d.get("model_type", "llama"),
-            hidden_act=d.get("hidden_act") or d.get("hidden_activation")
+            # HF resolves the FFN activation from `hidden_activation`
+            # first; stock Gemma checkpoints carry a legacy
+            # `hidden_act: "gelu"` that transformers IGNORES (it uses
+            # gelu_pytorch_tanh) — mirroring that order here keeps our
+            # outputs matched to HF on real Gemma configs.
+            hidden_act=d.get("hidden_activation")
             or ("gelu_pytorch_tanh" if d.get("model_type") == "gemma"
-                else "silu"),
+                else d.get("hidden_act") or "silu"),
             embed_scale=(float(d["hidden_size"]) ** 0.5
                          if d.get("model_type") == "gemma" else 1.0),
         )
@@ -269,13 +274,21 @@ class EngineConfig:
     prefill_chunk: int = 0
     max_queue: int = 256
     # Speculative decoding (prompt-lookup self-drafting): propose
-    # spec_tokens greedy continuations from the last spec_ngram-gram's
-    # previous occurrence in the context and verify them in ONE forward —
-    # decode is weight-bound, so verifying G+1 tokens costs nearly the
-    # same HBM traffic as 1. 0 = off. Greedy rows only (stochastic rows
-    # fall back to one token per step inside the same batch).
+    # spec_tokens continuations from the last spec_ngram-gram's previous
+    # occurrence in the context and verify them in ONE forward — decode
+    # is weight-bound, so verifying G+1 tokens costs nearly the same HBM
+    # traffic as 1. 0 = off. Greedy rows accept by argmax equality;
+    # stochastic rows accept by distribution-preserving rejection
+    # sampling (penalty rows fall back to one token per step).
     spec_tokens: int = 0
     spec_ngram: int = 2
+    # Persistent prefix cache: retain finished requests' prompt pages in
+    # an LRU store (refcounted, zero-copy) so a recurring system prompt
+    # skips its prefill even with no concurrent request in flight. Value
+    # = max retained entries (0 = only share with RUNNING requests).
+    # Retained pages are evicted before any preemption under pool
+    # pressure — they can never cost a live request its slot.
+    prefix_cache_entries: int = 16
     kv: KVCacheConfig = dataclasses.field(default_factory=KVCacheConfig)
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
     # Mesh geometry: axis name -> size. Absent axes = 1.

@@ -119,6 +119,14 @@ class Engine:
         self._req_ids = itertools.count()
         self.metrics = metrics_lib.EngineMetrics()
 
+        # persistent prefix cache: finished requests' prompt pages are
+        # DETACHED into refcounted allocator handles instead of freed, so
+        # a recurring system prompt skips its prefill even with no
+        # concurrent request in flight. LRU by insertion order; evicted
+        # under pool pressure BEFORE any preemption. Maps the retained
+        # page-aligned token prefix -> allocator handle.
+        self._prefix_store: "dict[tuple, int]" = {}
+
         # host-side per-slot decode state
         self._pos = np.zeros(b, np.int32)          # next write position
         self._next_tok = np.zeros(b, np.int32)
@@ -172,12 +180,16 @@ class Engine:
                                 last_token_only=True)
             # first token sampled in-graph: no separate sampling dispatch
             # (~25 ms through the tunnel) per admitted request.
+            # seed_pos keys by the CONSUMED input token's position
+            # (kv_len-1), matching the burst recurrence (seed_pos=pos of
+            # the input token) — kv_len here would collide with the first
+            # burst step's key and repeat its Gumbel noise.
             tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
                                       top_p, min_p=min_p, counts=counts,
                                       repetition_penalty=rp,
                                       frequency_penalty=fp,
                                       presence_penalty=pp, seeds=seeds,
-                                      seed_pos=kv_len)
+                                      seed_pos=kv_len - 1)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             # ONE host sync object: a second np.asarray would cost another
             # ~25 ms relay round trip per admit/burst
@@ -201,7 +213,7 @@ class Engine:
                                       repetition_penalty=rp,
                                       frequency_penalty=fp,
                                       presence_penalty=pp, seeds=seeds,
-                                      seed_pos=kv_len)
+                                      seed_pos=kv_len - 1)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             return jnp.stack([tok.astype(jnp.float32), lp], -1), cache
 
@@ -264,10 +276,13 @@ class Engine:
             prompt lookup (latest earlier occurrence of the context's
             last n-gram), verifies draft+1 positions in ONE forward
             (weight traffic ~= one decode step), and emits the accepted
-            prefix plus the model's own next token. Greedy rows only;
-            stochastic rows sample one token from the window's first
-            logits. Invariant: hist[0..pos] holds the context (hist[pos]
-            == the pending input token)."""
+            prefix plus a bonus token. Greedy rows accept by equality
+            with the greedy prediction; stochastic penalty-neutral rows
+            accept by rejection sampling against the shaped distribution
+            (emitted marginals match non-speculative sampling exactly);
+            rows with active penalties fall back to one sampled token
+            per step. Invariant: hist[0..pos] holds the context
+            (hist[pos] == the pending input token)."""
             bsz = dev_tok.shape[0]
             hl = dev_hist.shape[1]
             tok0 = jnp.where(ov_mask, ov_tok, dev_tok)
@@ -315,18 +330,76 @@ class Engine:
                     counts=counts, repetition_penalty=rp,
                     frequency_penalty=fp, presence_penalty=pp,
                     seeds=seeds, seed_pos=pos)
-                # speculative acceptance compares against the RAW
-                # greedy prediction — rows with active penalties must
-                # fall back to one sampled token per step (the `first`
-                # sample applies penalty state exactly like the
-                # non-speculative burst)
-                greedy_row = ((temp <= 0.0) & (rp == 1.0)
-                              & (fp == 0.0) & (pp == 0.0))
-                eq = (draft == pred[:, :spec_g]) & greedy_row[:, None]
+                # Three acceptance regimes per row:
+                #  * greedy rows: accept drafts equal to the RAW greedy
+                #    prediction (token-exact vs non-speculative greedy);
+                #  * stochastic penalty-neutral rows: standard rejection
+                #    sampling against the SHAPED distribution — the
+                #    prompt-lookup draft is a point-mass proposal, so
+                #    accept draft d_k w.p. p_shaped(d_k), and on
+                #    rejection draw from the residual p|!=d_k. Emitted
+                #    marginals equal non-speculative sampling exactly;
+                #  * rows with active penalties fall back to one sampled
+                #    token per step (`first` applies penalty state like
+                #    the non-speculative burst).
+                pen_neutral = (rp == 1.0) & (fp == 0.0) & (pp == 0.0)
+                greedy_row = (temp <= 0.0) & pen_neutral
+                rs_row = (temp > 0.0) & pen_neutral
+                eq_g = draft == pred[:, :spec_g]
+
+                spec_pos = pos[:, None] + kidx[:, :spec_g]    # [B, G]
+
+                def rs_accept(_):
+                    # p_shaped(d_k) per window position, one sort each
+                    pd = jax.vmap(
+                        lambda lg, d: sampling_ops.shaped_token_prob(
+                            lg, d, temp, top_k, top_p, min_p),
+                        in_axes=(1, 1), out_axes=1)(
+                        logits[:, :spec_g], draft)           # [B, G]
+                    # acceptance uniforms keyed by (seed, position) on a
+                    # dedicated stream — deterministic per request, never
+                    # shared with any categorical draw
+                    ukeys = jax.vmap(sampling_ops.spec_row_keys,
+                                     in_axes=(None, 1, None),
+                                     out_axes=1)(
+                        seeds, spec_pos, 1)                  # [B, G, 2]
+                    u = jax.vmap(
+                        lambda kk: jax.vmap(jax.random.uniform)(kk),
+                        in_axes=1, out_axes=1)(ukeys)        # [B, G]
+                    return u < pd
+
+                any_rs = jnp.any(rs_row & active)
+                acc_rs = jax.lax.cond(
+                    any_rs, rs_accept,
+                    lambda _: jnp.zeros((bsz, spec_g), bool), None)
+                eq = jnp.where(greedy_row[:, None], eq_g,
+                               acc_rs & rs_row[:, None])
                 n_acc = jnp.cumprod(eq.astype(jnp.int32), 1).sum(1)
-                n_acc = jnp.where(greedy_row, n_acc, 0)
-                bonus = jnp.take_along_axis(pred, n_acc[:, None], 1)[:, 0]
-                bonus = jnp.where(greedy_row, bonus, first)
+                n_acc = jnp.where(greedy_row | rs_row, n_acc, 0)
+                bonus_g = jnp.take_along_axis(pred, n_acc[:, None],
+                                              1)[:, 0]
+
+                def rs_bonus(_):
+                    # the bonus draw consumes window n_acc's logits: the
+                    # residual p|!=d after a rejection, or the full
+                    # shaped p after G straight accepts (no residual)
+                    lg_b = jnp.take_along_axis(
+                        logits, n_acc[:, None, None], axis=1)[:, 0]
+                    excl = jnp.where(
+                        n_acc < spec_g,
+                        jnp.take_along_axis(
+                            draft, jnp.minimum(n_acc, spec_g - 1)[:, None],
+                            1)[:, 0],
+                        -1)
+                    bkeys = sampling_ops.spec_row_keys(
+                        seeds, pos + n_acc, 2)
+                    return sampling_ops.sample_excluding(
+                        lg_b, temp, top_k, top_p, min_p, excl, bkeys)
+
+                bonus_rs = jax.lax.cond(
+                    any_rs, rs_bonus, lambda _: jnp.zeros_like(tok), None)
+                bonus = jnp.where(greedy_row, bonus_g,
+                                  jnp.where(rs_row, bonus_rs, first))
                 draft_p = jnp.concatenate(
                     [draft, jnp.zeros((bsz, 1), jnp.int32)], 1)
                 emitted = jnp.where(
@@ -411,6 +484,15 @@ class Engine:
         metrics_lib.log_event("request_added", req_id=req.req_id,
                               prompt_len=len(req.prompt_ids))
         return req
+
+    def flush_prefix_cache(self) -> int:
+        """Release every retained prefix (persistent prefix cache) back
+        to the page pool. Returns entries released. Useful before model
+        swaps / tests; serving never needs this (pressure evicts LRU)."""
+        n = 0
+        while self._evict_prefix_lru():
+            n += 1
+        return n
 
     def cancel(self, req: Request) -> bool:
         """Client abort: reclaim the request's resources immediately.
@@ -498,6 +580,54 @@ class Engine:
                 best, best_slot = n, cand.slot
         return best_slot, best
 
+    def _find_prefix_handle(self, req: Request) -> tuple[tuple, int, int]:
+        """(key, handle, tokens) of the RETAINED prefix sharing the most
+        full pages with ``req``'s prompt (the persistent prefix cache —
+        pages of finished requests kept resident), or ((), -1, 0).
+        Partial use of a longer entry is fine: its leading pages are
+        valid for any prompt that begins with them."""
+        ps = self.ecfg.kv.page_size
+        best_key, best_h, best = (), -1, 0
+        cap = ((req.total_len - 1) // ps) * ps  # >=1 token must prefill
+        for key, h in self._prefix_store.items():
+            m = min(len(key), cap)
+            if m > best and tuple(req.prompt_ids[:m]) == key[:m]:
+                best_key, best_h, best = key, h, m
+        return best_key, best_h, best
+
+    def _evict_prefix_lru(self) -> bool:
+        """Release the least-recently-used retained prefix handle."""
+        if not self._prefix_store:
+            return False
+        key = next(iter(self._prefix_store))
+        h = self._prefix_store.pop(key)
+        self.allocator.prefix_release(h)
+        self.metrics.prefix_cache_evictions += 1
+        metrics_lib.log_event("prefix_evicted", tokens=len(key))
+        return True
+
+    def _retain_prefix(self, req: Request):
+        """Detach a finishing request's prompt pages into the persistent
+        store (refcounted — they survive the slot's free_seq) instead of
+        letting a recurring system prompt re-prefill from scratch."""
+        cap = self.ecfg.prefix_cache_entries
+        if cap <= 0 or req.slot < 0:
+            return
+        ps = self.ecfg.kv.page_size
+        n = (len(req.prompt_ids) // ps) * ps
+        if n <= 0:
+            return
+        key = tuple(req.prompt_ids[:n])
+        if key in self._prefix_store:
+            self._prefix_store[key] = self._prefix_store.pop(key)  # LRU
+            return
+        h = self.allocator.prefix_detach(req.slot, n)
+        if h < 0:
+            return
+        self._prefix_store[key] = h
+        while len(self._prefix_store) > cap:
+            self._evict_prefix_lru()
+
     def _admit(self):
         free = self._free_slots()
         admitted: list[Request] = []
@@ -507,11 +637,23 @@ class Engine:
             req = self.waiting[0]
             slot = free[0]
             # prefix cache: share complete prompt-prefix pages with a
-            # running request (refcounted, zero-copy), then allocate only
-            # the remainder. Prefill starts after the shared prefix.
+            # running request OR a retained (persistent) prefix handle —
+            # whichever covers more — then allocate only the remainder.
+            # Prefill starts after the shared prefix.
             req.cached_len = 0
             src, shareable = self._find_prefix_source(req, late)
-            if src >= 0 and shareable > 0:
+            pkey, ph, ph_tok = self._find_prefix_handle(req)
+            if ph_tok > shareable:
+                shared = self.allocator.prefix_attach(ph, slot, ph_tok)
+                if shared > 0 and self.allocator.extend(slot,
+                                                        req.total_len):
+                    req.cached_len = shared
+                    # LRU refresh
+                    self._prefix_store[pkey] = self._prefix_store.pop(pkey)
+                    self.metrics.prefix_cache_persistent_hits += 1
+                elif shared > 0:
+                    self.allocator.free_seq(slot)  # drop the share
+            if req.cached_len == 0 and src >= 0 and shareable > 0:
                 shared = self.allocator.share_prefix(src, slot, shareable)
                 if shared > 0:
                     if self.allocator.extend(slot, req.total_len):
@@ -520,7 +662,11 @@ class Engine:
                         self.allocator.free_seq(slot)  # drop the share
             if req.cached_len == 0 \
                     and not self.allocator.alloc_seq(slot, req.total_len):
-                break  # pool exhausted — wait for finishes
+                # pool exhausted: retained prefixes give way before live
+                # work waits — evict LRU and retry this same request
+                if self._evict_prefix_lru():
+                    continue
+                break  # truly exhausted — wait for finishes
             if req.cached_len or (
                     chunk and chunk > 0
                     and req.total_len - req.cached_len > chunk
@@ -732,6 +878,7 @@ class Engine:
 
     def _finish(self, req: Request):
         req.state = RequestState.FINISHED
+        self._retain_prefix(req)
         self.allocator.free_seq(req.slot)
         self.slots[req.slot] = None
         self.metrics.requests_finished += 1
@@ -780,6 +927,10 @@ class Engine:
                         break
             if ok:
                 return True
+            # retained prefixes are strictly lower priority than live
+            # requests: evict them all before preempting anyone
+            if self._evict_prefix_lru():
+                continue
             if not self._preempt_youngest():
                 return False
 

@@ -30,6 +30,8 @@ class EngineMetrics:
     decode_bursts: int = 0
     prefills: int = 0
     prefix_cache_hits: int = 0
+    prefix_cache_persistent_hits: int = 0  # hits from RETAINED (finished)
+    prefix_cache_evictions: int = 0
     prompt_tokens_cached: int = 0  # prompt tokens served by shared pages
     spec_steps: int = 0            # speculative verify steps (active rows)
     spec_accepted: int = 0         # draft tokens accepted
@@ -84,6 +86,9 @@ class EngineMetrics:
             "decode_bursts": self.decode_bursts,
             "prefills": self.prefills,
             "prefix_cache_hits": self.prefix_cache_hits,
+            "prefix_cache_persistent_hits":
+            self.prefix_cache_persistent_hits,
+            "prefix_cache_evictions": self.prefix_cache_evictions,
             "prompt_tokens_cached": self.prompt_tokens_cached,
             "spec_steps": self.spec_steps,
             "spec_accepted": self.spec_accepted,

@@ -32,6 +32,12 @@ class PageAllocator:
             ("pa_free_seq", [ctypes.c_void_p, ctypes.c_int32]),
             ("pa_share_prefix", [ctypes.c_void_p, ctypes.c_int32,
                                  ctypes.c_int32, ctypes.c_int32]),
+            ("pa_prefix_detach", [ctypes.c_void_p, ctypes.c_int32,
+                                  ctypes.c_int32]),
+            ("pa_prefix_tokens", [ctypes.c_void_p, ctypes.c_int32]),
+            ("pa_prefix_attach", [ctypes.c_void_p, ctypes.c_int32,
+                                  ctypes.c_int32, ctypes.c_int32]),
+            ("pa_prefix_release", [ctypes.c_void_p, ctypes.c_int32]),
             ("pa_cow_last_page", [ctypes.c_void_p, ctypes.c_int32]),
             ("pa_get_row", [ctypes.c_void_p, ctypes.c_int32,
                             ctypes.POINTER(ctypes.c_int32)]),
@@ -78,6 +84,27 @@ class PageAllocator:
         FRESH slot dst (refcounted, zero-copy). Returns tokens shared
         (multiple of page_size; 0 = none), -1 on bad args."""
         return self._lib.pa_share_prefix(self._h, src, dst, n_tokens)
+
+    def prefix_detach(self, slot: int, n_tokens: int) -> int:
+        """Detach slot's first full pages covering <= n_tokens into a
+        standalone refcounted handle (pages survive free_seq of the
+        slot). Returns handle id >= 0, or -1 (nothing to retain)."""
+        return self._lib.pa_prefix_detach(self._h, slot, n_tokens)
+
+    def prefix_tokens(self, handle: int) -> int:
+        return self._lib.pa_prefix_tokens(self._h, handle)
+
+    def prefix_attach(self, handle: int, dst: int,
+                      max_tokens: int) -> int:
+        """Share a detached handle's first full pages covering
+        <= max_tokens into FRESH slot dst. Returns tokens shared
+        (multiple of page_size; 0 = nothing attachable), or -1."""
+        return self._lib.pa_prefix_attach(self._h, handle, dst, max_tokens)
+
+    def prefix_release(self, handle: int) -> int:
+        """Drop a handle; pages whose refcount hits 0 return to the pool.
+        Returns pages freed."""
+        return self._lib.pa_prefix_release(self._h, handle)
 
     def cow_last_page(self, slot: int) -> int:
         return self._lib.pa_cow_last_page(self._h, slot)

@@ -27,6 +27,18 @@
 
 namespace {
 
+// A detached, refcounted page list living OUTSIDE any sequence slot —
+// the substrate of the persistent prefix cache: the engine detaches a
+// finished request's prompt pages into a handle (pages stay resident),
+// attaches them into future slots with matching prompts, and releases
+// handles under pool pressure (LRU policy lives in Python; this is pure
+// refcount bookkeeping).
+struct PrefixEntry {
+  std::vector<int32_t> pages;
+  int32_t tokens = 0;  // == pages.size() * page_size (full pages only)
+  bool live = false;
+};
+
 struct Allocator {
   int32_t num_pages = 0;
   int32_t page_size = 0;
@@ -37,6 +49,7 @@ struct Allocator {
   std::vector<int32_t> ref_count;    // per page
   std::vector<int32_t> block_table;  // [max_seqs, max_pages_per_seq]
   std::vector<int32_t> seq_len;      // tokens per sequence slot (-1 = free)
+  std::vector<PrefixEntry> prefixes; // detached prefix handles
   std::mutex mu;
 
   int32_t* row(int32_t seq) { return block_table.data() + (size_t)seq * max_pages_per_seq; }
@@ -173,6 +186,93 @@ int32_t pa_share_prefix(void* h, int32_t src, int32_t dst,
   }
   a->seq_len[dst] = pages * a->page_size;
   return pages * a->page_size;
+}
+
+// ---- persistent prefix cache (detached refcounted page lists) ----
+
+// Detach the first floor(min(n_tokens, seq_len[seq]) / page_size) FULL
+// pages of live slot `seq` into a standalone handle (refcount++ on each
+// page — they survive pa_free_seq of the slot). Returns a handle id
+// >= 0, 0-token requests return -1 (nothing to retain), bad args -1.
+int32_t pa_prefix_detach(void* h, int32_t seq, int32_t n_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  std::lock_guard<std::mutex> lock(a->mu);
+  if (seq < 0 || seq >= a->max_seqs || a->seq_len[seq] < 0) return -1;
+  int32_t tok = n_tokens < a->seq_len[seq] ? n_tokens : a->seq_len[seq];
+  int32_t pages = tok / a->page_size;  // FULL pages only
+  if (pages <= 0) return -1;
+  // reuse a dead handle slot if any
+  size_t id = a->prefixes.size();
+  for (size_t i = 0; i < a->prefixes.size(); ++i)
+    if (!a->prefixes[i].live) { id = i; break; }
+  if (id == a->prefixes.size()) a->prefixes.emplace_back();
+  PrefixEntry& e = a->prefixes[id];
+  e.pages.assign(a->row(seq), a->row(seq) + pages);
+  e.tokens = pages * a->page_size;
+  e.live = true;
+  for (int32_t p : e.pages) ++a->ref_count[p];
+  return (int32_t)id;
+}
+
+// Tokens covered by a live handle (-1 if dead/bad).
+int32_t pa_prefix_tokens(void* h, int32_t handle) {
+  auto* a = static_cast<Allocator*>(h);
+  std::lock_guard<std::mutex> lock(a->mu);
+  if (handle < 0 || (size_t)handle >= a->prefixes.size() ||
+      !a->prefixes[handle].live)
+    return -1;
+  return a->prefixes[handle].tokens;
+}
+
+// Share the first floor(min(max_tokens, e.tokens) / page_size) pages of
+// a handle into the FRESH slot `dst` (refcount++, zero copies) — the
+// detached-handle analog of pa_share_prefix. Partial attaches let an
+// exactly-page-aligned recurring prompt reuse all but its last page (one
+// token must always re-prefill to produce logits). dst's seq_len becomes
+// the attached token count; callers pa_extend() for the remainder.
+// Returns tokens shared (0 = nothing attachable), or -1 on bad args.
+int32_t pa_prefix_attach(void* h, int32_t handle, int32_t dst,
+                         int32_t max_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  std::lock_guard<std::mutex> lock(a->mu);
+  if (handle < 0 || (size_t)handle >= a->prefixes.size() ||
+      !a->prefixes[handle].live)
+    return -1;
+  if (dst < 0 || dst >= a->max_seqs || a->seq_len[dst] != -1) return -1;
+  if (max_tokens < 0) return -1;
+  PrefixEntry& e = a->prefixes[handle];
+  int32_t tok = max_tokens < e.tokens ? max_tokens : e.tokens;
+  int32_t pages = tok / a->page_size;
+  if (pages <= 0) return 0;
+  if (pages > a->max_pages_per_seq) return -1;
+  int32_t* rd = a->row(dst);
+  for (int32_t i = 0; i < pages; ++i) {
+    rd[i] = e.pages[i];
+    ++a->ref_count[e.pages[i]];
+  }
+  a->seq_len[dst] = pages * a->page_size;
+  return pages * a->page_size;
+}
+
+// Release a handle: refcount-- its pages (pages whose count hits zero
+// return to the pool). Returns pages freed to the pool, or -1.
+int32_t pa_prefix_release(void* h, int32_t handle) {
+  auto* a = static_cast<Allocator*>(h);
+  std::lock_guard<std::mutex> lock(a->mu);
+  if (handle < 0 || (size_t)handle >= a->prefixes.size() ||
+      !a->prefixes[handle].live)
+    return -1;
+  PrefixEntry& e = a->prefixes[handle];
+  int32_t freed = 0;
+  for (int32_t p : e.pages)
+    if (--a->ref_count[p] == 0) {
+      a->free_stack.push_back(p);
+      ++freed;
+    }
+  e.pages.clear();
+  e.tokens = 0;
+  e.live = false;
+  return freed;
 }
 
 // Copy-on-write the last page of `seq` if shared. Returns the NEW page id

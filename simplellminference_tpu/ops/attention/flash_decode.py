@@ -119,6 +119,10 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         # block (dominant at short windows), large bk keeps the grid
         # small at long windows (sweep in benchmarks/micro.py).
         bk = 128 if smax <= 1024 else 256
+        if smax % bk != 0:
+            # the dispatcher only guarantees smax % 128 == 0 — a 1152- or
+            # 1408-slot arena must not trip the divisibility assert below
+            bk = 128
     bound = smax if max_kv is None else min(smax, max(bk, max_kv))
     bk = min(bk, smax)
     assert smax % bk == 0, (smax, bk)

@@ -51,16 +51,16 @@ def _row_keys(key, seeds, seed_pos):
     )(seeds.astype(jnp.uint32), seed_pos.astype(jnp.uint32))
 
 
-def _sample_sorted(logits: jax.Array, key: jax.Array,
-                   temperature: jax.Array, top_k: jax.Array,
-                   top_p: jax.Array, min_p: jax.Array,
-                   seeds=None, seed_pos=None) -> jax.Array:
-    """One-sort top-k/top-p/min-p sampling in sorted space.
+def _shaped_sorted(logits: jax.Array, temperature: jax.Array,
+                   top_k: jax.Array, top_p: jax.Array,
+                   min_p: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(masked descending shaped logits, permutation).
 
     A single key-value sort yields both the descending logits and the
     permutation; top-k becomes a rank mask, top-p a prefix mask, min-p a
-    threshold against the max prob, and the categorical draw happens in
-    sorted space (its result maps back through the permutation) — no
+    threshold against the max prob — filtered entries are -inf. The
+    categorical draw (and the speculative accept/residual math) happens
+    in sorted space; results map back through the permutation — no
     second argsort, no [B, V] scatter.
     """
     b, v = logits.shape
@@ -74,18 +74,71 @@ def _sample_sorted(logits: jax.Array, key: jax.Array,
 
     rank = jnp.arange(v, dtype=jnp.int32)[None]
     keep = rank < jnp.where(top_k > 0, top_k, v)[:, None]
-    probs = jax.nn.softmax(sv, axis=-1)
+    # HF/vLLM processor order: top-k filters FIRST, then top-p evaluates
+    # on the RENORMALIZED survivor distribution — so the nucleus test
+    # must run on the softmax of the top-k-masked logits. (min-p compares
+    # a probability RATIO, which renormalization leaves unchanged.)
+    probs = jax.nn.softmax(jnp.where(keep, sv, -jnp.inf), axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep &= cum - probs < top_p[:, None]   # always keeps the first
     keep &= probs >= min_p[:, None] * probs[:, :1]
-    masked = jnp.where(keep, sv, -jnp.inf)
+    return jnp.where(keep, sv, -jnp.inf), si
 
+
+def _sample_sorted(logits: jax.Array, key: jax.Array,
+                   temperature: jax.Array, top_k: jax.Array,
+                   top_p: jax.Array, min_p: jax.Array,
+                   seeds=None, seed_pos=None) -> jax.Array:
+    """One-sort top-k/top-p/min-p sampling (see :func:`_shaped_sorted`)."""
+    masked, si = _shaped_sorted(logits, temperature, top_k, top_p, min_p)
     if seeds is not None:
         keys = _row_keys(key, seeds, seed_pos)
         pos = jax.vmap(jax.random.categorical)(keys, masked)
     else:
         pos = jax.random.categorical(key, masked, axis=-1)  # sorted idx
     return jnp.take_along_axis(si, pos[:, None], axis=-1)[:, 0]
+
+
+def shaped_token_prob(logits: jax.Array, tok: jax.Array,
+                      temperature: jax.Array, top_k: jax.Array,
+                      top_p: jax.Array, min_p: jax.Array) -> jax.Array:
+    """P(tok) under the SHAPED sampling distribution (temperature +
+    top-k/top-p/min-p filtering, renormalized) — the acceptance
+    probability of a deterministically drafted token in speculative
+    rejection sampling (point-mass proposal: accept w.p. p_target(tok)).
+    logits [B, V], tok [B] -> [B] float32 (0 for filtered-out tokens)."""
+    masked, si = _shaped_sorted(logits, temperature, top_k, top_p, min_p)
+    probs = jax.nn.softmax(masked, axis=-1)
+    return jnp.sum(jnp.where(si == tok[:, None], probs, 0.0), axis=-1)
+
+
+def sample_excluding(logits: jax.Array, temperature: jax.Array,
+                     top_k: jax.Array, top_p: jax.Array, min_p: jax.Array,
+                     exclude: jax.Array, keys: jax.Array) -> jax.Array:
+    """Draw from the shaped distribution with ``exclude`` zeroed out and
+    renormalized — the RESIDUAL draw after a speculative rejection (for a
+    point-mass proposal at token d the residual max(0, p - q)/Z is
+    exactly p conditioned on != d). ``exclude`` [B] (-1 = exclude
+    nothing); ``keys`` [B] per-row PRNG keys. Falls back to the full
+    shaped distribution if exclusion empties a row's support (can only be
+    approached when p(d) -> 1, where rejection probability -> 0)."""
+    masked, si = _shaped_sorted(logits, temperature, top_k, top_p, min_p)
+    excluded = jnp.where(si == exclude[:, None], -jnp.inf, masked)
+    ok = jnp.any(excluded > -jnp.inf, axis=-1, keepdims=True)
+    masked = jnp.where(ok, excluded, masked)
+    pos = jax.vmap(jax.random.categorical)(keys, masked)
+    return jnp.take_along_axis(si, pos[:, None], axis=-1)[:, 0]
+
+
+def spec_row_keys(seeds: jax.Array, seed_pos: jax.Array,
+                  tag: int) -> jax.Array:
+    """Per-row keys for the speculative accept/residual draws: the
+    deterministic (seed, position) key of :func:`_row_keys` folded with a
+    stream ``tag`` so the uniform acceptance draw and the residual
+    categorical never share bits with each other or with the
+    non-speculative path's draw at the same position."""
+    base = _row_keys(None, seeds, seed_pos)
+    return jax.vmap(lambda k: jax.random.fold_in(k, tag))(base)
 
 
 def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,

@@ -243,7 +243,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             reqs = await _fanout(prompt_ids, sampling, n)
         errs = [r.error for r in reqs if r.error]
         if errs:
-            status = 429 if "queue full" in errs[0] else 400
+            status = 429 if _capacity_error(errs[0]) else 400
             return web.json_response({"error": errs[0]}, status=status)
         want_lp = bool(body.get("logprobs"))
         return web.json_response({

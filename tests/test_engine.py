@@ -246,8 +246,8 @@ def test_engine_speculative_matches_greedy(model):
 
 
 def test_engine_speculative_with_sampling_and_stops(model):
-    """Stochastic rows inside a speculative batch fall back to one token
-    per verify step; stop tokens truncate mid-span."""
+    """Stochastic rows inside a speculative batch emit correct-length
+    outputs via rejection sampling; stop tokens truncate mid-span."""
     cfg, params = model
     prompts = [[5, 6, 7, 8] * 5, [1, 2, 3]]
 
@@ -416,3 +416,150 @@ def test_engine_seed_reproducible_across_batches(model):
     sp_ns = SamplingParams(max_new_tokens=12, temperature=0.9, top_k=50)
     a, b_ = eng3.generate([p, list(p)], sp_ns)
     assert a != b_
+
+def test_engine_persistent_prefix_cache_sequential(model):
+    """A finished request's prompt pages are RETAINED: a later request
+    with the same prompt admits with cached_len > 0 even though nothing
+    is running (VERDICT r1 item 5), and its greedy output is exact."""
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    base = rng.integers(1, cfg.vocab_size, 40).tolist()
+
+    solo = make_engine(cfg, params).generate(
+        [base], SamplingParams(max_new_tokens=8))[0]
+
+    eng = make_engine(cfg, params)
+    r1 = eng.add_request(prompt_ids=base,
+                         sampling=SamplingParams(max_new_tokens=8))
+    eng.run()                    # r1 finishes; store retains its pages
+    assert not eng.has_work
+    r2 = eng.add_request(prompt_ids=list(base),
+                         sampling=SamplingParams(max_new_tokens=8))
+    eng.run()
+    assert r1.output_ids == solo
+    assert r2.output_ids == solo
+    assert r2.cached_len > 0     # admitted from the persistent store
+    assert eng.metrics.prefix_cache_persistent_hits == 1
+    # 40 tokens -> 5 full pages of 8 retained; cap 40+0-1 -> 32 usable
+    assert r2.cached_len == 32
+
+
+def test_engine_persistent_prefix_partial_and_exact_match(model):
+    """A retained LONG prompt serves shorter prompts sharing its leading
+    pages; an exactly-page-aligned same prompt reuses all but one page."""
+    cfg, params = model
+    rng = np.random.default_rng(12)
+    base = rng.integers(1, cfg.vocab_size, 32).tolist()  # page-aligned
+
+    want_full = make_engine(cfg, params).generate(
+        [base], SamplingParams(max_new_tokens=6))[0]
+    short = base[:16] + [3, 1]
+    want_short = make_engine(cfg, params).generate(
+        [short], SamplingParams(max_new_tokens=6))[0]
+
+    eng = make_engine(cfg, params)
+    eng.generate([base], SamplingParams(max_new_tokens=6))
+    r_exact = eng.add_request(prompt_ids=list(base),
+                              sampling=SamplingParams(max_new_tokens=6))
+    eng.run()
+    r_short = eng.add_request(prompt_ids=short,
+                              sampling=SamplingParams(max_new_tokens=6))
+    eng.run()
+    assert r_exact.output_ids == want_full
+    # 32-token aligned prompt: 24 tokens attach (one page must prefill)
+    assert r_exact.cached_len == 24
+    assert r_short.output_ids == want_short
+    assert r_short.cached_len == 16  # two leading pages of the long entry
+
+
+def test_engine_persistent_prefix_evicts_under_pressure(model):
+    """Retained pages are evicted (never preempt live work) when the pool
+    runs dry; everything still completes exactly."""
+    cfg, params = model
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(1, cfg.vocab_size, 24).tolist()
+               for _ in range(3)]
+    want = dense_reference(cfg, params, prompts, 16)
+
+    # pool of 10 pages x 8: each request peaks at 5 pages; retention after
+    # each finish would hold 3 pages — the next admit must evict.
+    eng = make_engine(cfg, params, max_batch=1, num_pages=10, page_size=8)
+    got = [eng.generate([p], SamplingParams(max_new_tokens=16))[0]
+           for p in prompts]
+    assert got == want
+    assert eng.metrics.prefix_cache_evictions > 0
+    assert eng.metrics.preemptions == 0
+
+
+def test_engine_persistent_prefix_store_lru_cap(model):
+    """The store never exceeds prefix_cache_entries (LRU evictions)."""
+    cfg, params = model
+    ecfg = EngineConfig(
+        max_batch_size=2, prefix_cache_entries=2,
+        kv=KVCacheConfig(page_size=8, num_pages=64, max_pages_per_seq=16,
+                         kv_dtype="f32"))
+    eng = Engine(cfg, params, ecfg, decode_burst=4)
+    rng = np.random.default_rng(14)
+    for _ in range(5):
+        p = rng.integers(1, cfg.vocab_size, 16).tolist()
+        eng.generate([p], SamplingParams(max_new_tokens=4))
+    assert len(eng._prefix_store) <= 2
+    assert eng.metrics.prefix_cache_evictions >= 3
+
+def test_engine_speculative_stochastic_rows_accept(model):
+    """Stochastic penalty-neutral rows now get speculation benefit
+    (VERDICT r1 item 6): near-greedy temperature on a repetitive prompt
+    accepts draft tokens instead of degrading to one token per step."""
+    cfg, params = model
+    prompts = [([5, 6, 7, 8] * 6)[:20]]
+
+    def mk(spec):
+        ecfg = EngineConfig(
+            max_batch_size=2, spec_tokens=spec,
+            kv=KVCacheConfig(page_size=8, num_pages=64,
+                             max_pages_per_seq=24, kv_dtype="f32"))
+        return Engine(cfg, params, ecfg, decode_burst=3)
+
+    eng = mk(3)
+    r = eng.add_request(
+        prompt_ids=prompts[0],
+        sampling=SamplingParams(max_new_tokens=24, temperature=0.05,
+                                seed=3))
+    eng.run()
+    assert len(r.output_ids) == 24
+    m = eng.metrics
+    assert m.spec_accepted > 0, \
+        "stochastic row accepted zero drafts (rejection sampling dead)"
+
+
+def test_engine_speculative_sampling_marginals(model):
+    """Distribution preservation: the joint law of the first two sampled
+    tokens under speculative decoding matches the non-speculative engine
+    (top_k=2 makes the outcome space small enough to compare empirically
+    across independent per-request seeds)."""
+    cfg, params = model
+    prompt = ([5, 6, 7, 8] * 5)[:20]  # repetitive: drafts actually fire
+    n = 192
+
+    def run_mode(spec):
+        ecfg = EngineConfig(
+            max_batch_size=8, spec_tokens=spec,
+            kv=KVCacheConfig(page_size=8, num_pages=256,
+                             max_pages_per_seq=8, kv_dtype="f32"))
+        eng = Engine(cfg, params, ecfg, decode_burst=2)
+        reqs = [eng.add_request(
+            prompt_ids=list(prompt),
+            sampling=SamplingParams(max_new_tokens=2, temperature=1.5,
+                                    top_k=2, seed=1000 + i))
+            for i in range(n)]
+        eng.run()
+        from collections import Counter
+        return Counter(tuple(r.output_ids) for r in reqs)
+
+    base = run_mode(0)
+    spec = run_mode(3)
+    keys = set(base) | set(spec)
+    tv = 0.5 * sum(abs(base.get(k, 0) - spec.get(k, 0)) for k in keys) / n
+    # ~4 effective outcomes, n=192 per mode: sampling noise ~0.08;
+    # a greedy-collapse or draft-biased sampler shows tv >~ 0.4
+    assert tv < 0.2, (tv, base, spec)

@@ -62,6 +62,9 @@ def test_engine_chaos_invariants(spec):
     for r in reqs:
         assert r.state in TERMINAL, (r.req_id, r.state)
         assert len(r.output_ids) <= r.sampling.max_new_tokens
+    # only the persistent prefix cache may hold pages once idle; after
+    # flushing it every page must be back in the pool
+    eng.flush_prefix_cache()
     assert eng.allocator.num_free == ecfg.kv.num_pages, "page leak"
     m = eng.metrics
     assert (m.requests_finished + m.requests_failed

@@ -163,3 +163,21 @@ def test_family_paged_engine_matches_dense(family):
     dense = _generator_generate(cfg, params, prompts, 10)
     paged = _engine_generate(cfg, params, prompts, 10)
     assert paged == dense
+
+def test_gemma_legacy_hidden_act_resolution():
+    """Stock google/gemma configs carry legacy `hidden_act: "gelu"` that
+    HF transformers IGNORES (it resolves from hidden_activation, default
+    gelu_pytorch_tanh). A bare gelu in hidden_act must not leak through."""
+    d = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+             num_hidden_layers=2, num_attention_heads=4,
+             num_key_value_heads=2, head_dim=32, model_type="gemma",
+             hidden_act="gelu")  # legacy field: must be ignored for gemma
+    cfg = ModelConfig.from_hf_dict(d)
+    assert cfg.hidden_act == "gelu_pytorch_tanh"
+    # explicit hidden_activation always wins
+    cfg2 = ModelConfig.from_hf_dict({**d, "hidden_activation": "gelu"})
+    assert cfg2.hidden_act == "gelu"
+    # non-gemma models still resolve hidden_act normally
+    cfg3 = ModelConfig.from_hf_dict(
+        {**d, "model_type": "llama", "hidden_act": "silu"})
+    assert cfg3.hidden_act == "silu"

@@ -123,6 +123,31 @@ def test_sampling_greedy_and_topk(rng):
     assert out[1] in top5
 
 
+def test_sampling_topp_renormalizes_after_topk(rng):
+    """HF/vLLM order: top-k filters first, top-p runs on the RENORMALIZED
+    survivor distribution.
+
+    Near-uniform logits over v=1000, top_k=10, top_p=0.5: on the raw
+    softmax the whole top-10 set holds ~1% of the mass, so a raw-softmax
+    nucleus test keeps all 10; renormalized, each survivor holds ~10%, so
+    the nucleus is exactly the first 5. Draws must stay in {0..4}."""
+    from simplellminference_tpu.ops import sampling as S
+
+    v = 1000
+    logits = -np.arange(v, dtype=np.float32) * 1e-3  # strictly ordered
+    lj = jnp.asarray(logits[None])
+    t = jnp.asarray([1.0], jnp.float32)
+    draws = set()
+    for i in range(64):
+        tok = S.sample(lj, jax.random.PRNGKey(i), t,
+                       jnp.asarray([10], jnp.int32),
+                       jnp.asarray([0.5], jnp.float32))
+        draws.add(int(tok[0]))
+    assert draws <= {0, 1, 2, 3, 4}, \
+        f"top-p ran on un-renormalized probs: drew {sorted(draws)}"
+    assert len(draws) > 1  # it is actually sampling, not argmaxing
+
+
 def test_sampling_penalties_and_min_p(rng):
     from simplellminference_tpu.ops import sampling as S
 
@@ -185,3 +210,57 @@ def test_generator_penalties_match_engine(rng):
                                            kv_dtype="f32")))
     e = eng.generate(prompts, sp)
     assert g == e
+
+
+def test_spec_rejection_sampling_preserves_marginals(rng):
+    """The speculative accept/residual pair reproduces the target shaped
+    distribution EXACTLY in expectation: emit draft d w.p. p(d), else
+    draw from p|!=d — the emitted marginal must equal p (the core
+    guarantee behind stochastic-row speculation)."""
+    from simplellminference_tpu.ops import sampling as S
+
+    v, n = 16, 20000
+    logits = jnp.asarray(rng.standard_normal((1, v)) * 2, jnp.float32)
+    temp = jnp.asarray([0.9], jnp.float32)
+    top_k = jnp.asarray([8], jnp.int32)
+    top_p = jnp.asarray([0.95], jnp.float32)
+    min_p = jnp.asarray([0.0], jnp.float32)
+    draft = jnp.asarray([int(np.asarray(logits)[0].argmax())], jnp.int32)
+
+    pd = S.shaped_token_prob(logits, draft, temp, top_k, top_p, min_p)
+    masked, si = S._shaped_sorted(logits, temp, top_k, top_p, min_p)
+    target = np.zeros(v)
+    target[np.asarray(si)[0]] = np.asarray(jax.nn.softmax(masked, -1))[0]
+
+    @jax.jit
+    def emit(seed):
+        u = jax.random.uniform(
+            jax.vmap(lambda k: jax.random.fold_in(k, 1))(
+                S._row_keys(None, seed[None], jnp.asarray([0])))[0])
+        res = S.sample_excluding(
+            logits, temp, top_k, top_p, min_p, draft,
+            S.spec_row_keys(seed[None], jnp.asarray([0]), 2))
+        return jnp.where(u < pd[0], draft[0], res[0])
+
+    draws = np.asarray(jax.vmap(emit)(
+        jnp.arange(n, dtype=jnp.uint32)))
+    emp = np.bincount(draws, minlength=v) / n
+    # total-variation distance ~ O(sqrt(v/n)) noise ~ 0.02; allow 3x
+    assert 0.5 * np.abs(emp - target).sum() < 0.06, (emp, target)
+    # and the residual never emits filtered-out tokens
+    assert set(np.unique(draws)) <= set(np.flatnonzero(target > 0))
+
+
+def test_sample_excluding_empty_support_fallback(rng):
+    """Excluding the only surviving token must fall back to the full
+    shaped distribution instead of drawing from all -inf garbage."""
+    from simplellminference_tpu.ops import sampling as S
+    v = 32
+    logits = jnp.zeros((1, v), jnp.float32).at[0, 3].set(50.0)
+    tok = S.sample_excluding(
+        logits, jnp.asarray([1.0]), jnp.asarray([1], jnp.int32),
+        jnp.asarray([1.0]), jnp.asarray([0.0]),
+        jnp.asarray([3], jnp.int32),
+        S.spec_row_keys(jnp.asarray([5], jnp.uint32),
+                        jnp.asarray([0]), 2))
+    assert int(tok[0]) == 3

@@ -122,3 +122,66 @@ def test_randomized_invariants():
         # invariant: no page in two tables (no sharing in this test)
         used = [p for s in lens for p in pa.row(s) if p >= 0]
         assert len(used) == len(set(used))
+
+
+def test_prefix_detach_attach_release(pa):
+    # slot 0 holds a 40-token sequence (3 pages of 16)
+    assert pa.alloc_seq(0, 40)
+    assert pa.num_free == 29
+    h = pa.prefix_detach(0, 40)          # 2 FULL pages (32 tokens)
+    assert h >= 0
+    assert pa.prefix_tokens(h) == 32
+    pa.free_seq(0)
+    # the detached pages survive the slot free: only the partial page
+    # returned to the pool
+    assert pa.num_free == 30
+    # attach into a fresh slot, full and partial
+    assert pa.prefix_attach(h, 1, 32) == 32
+    assert pa.seq_len(1) == 32
+    assert pa.num_free == 30              # shared, no new pages
+    assert pa.prefix_attach(h, 2, 17) == 16  # partial: one full page
+    assert pa.seq_len(2) == 16
+    # extend slot 1 past the shared prefix allocates fresh pages only
+    assert pa.extend(1, 60)
+    assert pa.num_free == 28
+    pa.free_seq(1)
+    pa.free_seq(2)
+    assert pa.num_free == 30              # handle still pins its 2 pages
+    assert pa.prefix_release(h) == 2
+    assert pa.num_free == 32
+    # dead handle rejects everything
+    assert pa.prefix_tokens(h) == -1
+    assert pa.prefix_attach(h, 3, 16) == -1
+    assert pa.prefix_release(h) == -1
+
+
+def test_prefix_detach_edge_cases(pa):
+    assert pa.prefix_detach(0, 16) == -1     # slot not live
+    assert pa.alloc_seq(0, 5)
+    assert pa.prefix_detach(0, 5) == -1      # no full page to retain
+    assert pa.extend(0, 16)
+    h = pa.prefix_detach(0, 16)
+    assert h >= 0 and pa.prefix_tokens(h) == 16
+    # attach refuses a live destination slot
+    assert pa.prefix_attach(h, 0, 16) == -1
+    # attach with max_tokens below one page attaches nothing
+    assert pa.prefix_attach(h, 1, 15) == 0
+    assert pa.seq_len(1) == -1
+    pa.free_seq(0)
+    pa.prefix_release(h)
+    assert pa.num_free == 32
+
+
+def test_prefix_handle_slot_reuse(pa):
+    """Released handle ids are recycled without cross-talk."""
+    assert pa.alloc_seq(0, 32)
+    h1 = pa.prefix_detach(0, 32)
+    pa.prefix_release(h1)
+    assert pa.alloc_seq(1, 16)
+    h2 = pa.prefix_detach(1, 16)
+    assert h2 == h1                       # recycled id
+    assert pa.prefix_tokens(h2) == 16
+    pa.free_seq(0)
+    pa.free_seq(1)
+    pa.prefix_release(h2)
+    assert pa.num_free == 32
