@@ -264,7 +264,12 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
     return q[:b].reshape(b, n, d), ck, cv
 
 
-def fused_qkv_available(lw, cfg, b: int, s: int, cache_k) -> bool:
+def fused_qkv_available(lw, cfg, b: int, s: int, cache_k,
+                        n_heads: int | None = None,
+                        kv_heads: int | None = None) -> bool:
+    """``n_heads``/``kv_heads``: the SHARD-LOCAL head counts inside a
+    shard_map TP body (lw leaves are local shards there); defaults to the
+    config's global counts on a single device."""
     from simplellminference_tpu.ops.linear import QuantizedWeight
 
     w = lw.get("wqkv")
@@ -276,5 +281,9 @@ def fused_qkv_available(lw, cfg, b: int, s: int, cache_k) -> bool:
     if cache_k is None or cache_k.ndim != 5:
         return False
     nq = w.q.shape[-1]
+    n = n_heads if n_heads is not None else cfg.num_heads
+    kv = kv_heads if kv_heads is not None else cfg.num_kv_heads
+    if (n + 2 * kv) * cfg.head_dim != nq:
+        return False  # shard layout mismatch
     return qkv_tiles(cfg.hidden_size, nq, cfg.head_dim,
                      max(16, -(-b // 8) * 8)) is not None

@@ -62,10 +62,12 @@ def param_specs(cfg: ModelConfig) -> dict[str, Any]:
     return specs
 
 
-def _spec_for_leaf(path_spec: P, leaf) -> P:
-    """Quantized weights: q shares the weight spec; scales [L, G, N] keep the
-    contraction-dim sharding on G and the output sharding on N."""
-    return path_spec
+def _scales_spec(spec: P, scales) -> P:
+    """Quantized scales [L, G, N] shard like the weight — except dims the
+    scales COLLAPSE (per-channel quant has G == 1) must stay replicated:
+    a size-1 dim cannot split across the mesh."""
+    return P(*[None if scales.shape[i] == 1 else ax
+               for i, ax in enumerate(spec)])
 
 
 def _match_tree(params, specs):
@@ -76,7 +78,7 @@ def _match_tree(params, specs):
         if isinstance(v, dict):
             out[k] = _match_tree(v, s)
         elif isinstance(v, QuantizedWeight):
-            out[k] = QuantizedWeight(q=s, scales=s)
+            out[k] = QuantizedWeight(q=s, scales=_scales_spec(s, v.scales))
         else:
             out[k] = s
     return out

@@ -79,3 +79,114 @@ def test_flash_decode_len_one(rng):
     want = jnp.repeat(want, n // kvn, axis=1)  # [B, N, D]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+def test_flash_decode_auto_bk_odd_large_arena(rng):
+    """smax > 1024 with smax % 256 != 0 (e.g. 1152 slots) must auto-pick a
+    dividing bk instead of tripping the divisibility assert — the
+    dispatcher only guarantees smax % 128 == 0."""
+    b, n, kvn, d, smax = 1, 2, 1, 64, 1152
+    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((b, kvn, smax, d)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((b, kvn, smax, d)), jnp.float32)
+    kv_lens = jnp.asarray([700], jnp.int32)
+    got = flash_decode(q, ck, cv, kv_lens, interpret=True)  # bk=None: auto
+    k = ck.transpose(0, 2, 1, 3)
+    v = cv.transpose(0, 2, 1, 3)
+    mask = (jnp.arange(smax)[None, None, None, :]
+            < kv_lens[:, None, None, None])
+    want = ref_ops.attention(q[:, None], k, v, mask)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+def _paged_ref(q, pool_k, pool_v, tables, kv_lens, offs, ks=None, vs=None):
+    """Gather pages densely and run masked reference attention."""
+    from simplellminference_tpu.memory.paged_kv import gather_dense
+    ck, cv = gather_dense(pool_k, pool_v, tables, ks, vs)
+    b, s = q.shape[0], q.shape[1]
+    smax = ck.shape[2]
+    key_pos = jnp.arange(smax)[None, None, None, :]
+    q_pos = offs[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    mask = ((key_pos <= q_pos[:, None, :, None])
+            & (key_pos < kv_lens[:, None, None, None]))
+    return ref_ops.attention(q, ck.transpose(0, 2, 1, 3),
+                             cv.transpose(0, 2, 1, 3), mask)
+
+
+@pytest.mark.parametrize("b,s,n,kvn,d,ps", [
+    (2, 128, 4, 2, 64, 16),
+    (1, 256, 8, 8, 128, 32),   # MHA, bq=256
+    (2, 128, 4, 1, 64, 64),    # MQA
+])
+def test_paged_flash_prefill_matches_ref(rng, b, s, n, kvn, d, ps):
+    """Chunked prefill through page tables == dense gathered reference,
+    with per-row chunk offsets (batched suffix prefills)."""
+    from simplellminference_tpu.ops.attention.paged_prefill import (
+        paged_flash_prefill)
+    mp = 8
+    p = b * mp + 1
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    pool_k = jnp.asarray(rng.standard_normal((p, kvn, ps, d)), jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((p, kvn, ps, d)), jnp.float32)
+    # each row: a page-aligned offset and a table of distinct pages
+    offs = jnp.asarray([(i % 2) * ps for i in range(b)], jnp.int32)
+    kv_lens = offs + jnp.asarray(
+        rng.integers(1, s + 1, size=(b,)), jnp.int32)
+    perm = rng.permutation(p - 1)[: b * mp] + 1
+    tables = jnp.asarray(perm.reshape(b, mp), jnp.int32)
+
+    got = paged_flash_prefill(q, pool_k, pool_v, tables, kv_lens, offs,
+                              bq=128, interpret=True)
+    want = _paged_ref(q, pool_k, pool_v, tables, kv_lens, offs)
+    # compare only valid query rows (padded rows are garbage by contract)
+    for i in range(b):
+        valid = int(kv_lens[i] - offs[i])
+        np.testing.assert_allclose(np.asarray(got[i, :valid]),
+                                   np.asarray(want[i, :valid]),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_paged_flash_prefill_quant_kv(rng):
+    """INT8 KV pools with per-token scales dequantize in-kernel."""
+    from simplellminference_tpu.ops.attention.paged_prefill import (
+        paged_flash_prefill)
+    b, s, n, kvn, d, ps, mp = 1, 128, 4, 2, 64, 32, 6
+    p = 8
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (p, kvn, ps, d)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (p, kvn, ps, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (p, kvn, ps)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (p, kvn, ps)), jnp.float32)
+    offs = jnp.zeros((b,), jnp.int32)
+    kv_lens = jnp.asarray([100], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(p)[: mp].reshape(b, mp), jnp.int32)
+
+    got = paged_flash_prefill(q, kq, vq, tables, kv_lens, offs, bq=128,
+                              interpret=True, k_scale=ks, v_scale=vs)
+    want = _paged_ref(q, kq, vq, tables, kv_lens, offs, ks, vs)
+    np.testing.assert_allclose(np.asarray(got[0, :100]),
+                               np.asarray(want[0, :100]),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_paged_flash_prefill_stacked_layer(rng):
+    """Stacked [L, ...] pools with a traced layer index read layer slices
+    without copies (the scan-over-layers contract)."""
+    from simplellminference_tpu.ops.attention.paged_prefill import (
+        paged_flash_prefill)
+    b, s, n, kvn, d, ps, mp, L = 1, 128, 2, 2, 64, 16, 8, 3
+    p = 10
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    pk = jnp.asarray(rng.standard_normal((L, p, kvn, ps, d)), jnp.float32)
+    pv = jnp.asarray(rng.standard_normal((L, p, kvn, ps, d)), jnp.float32)
+    offs = jnp.zeros((b,), jnp.int32)
+    kv_lens = jnp.asarray([s], jnp.int32)
+    tables = jnp.asarray(rng.permutation(p)[: mp].reshape(b, mp),
+                         jnp.int32)
+    for li in (0, 2):
+        got = paged_flash_prefill(q, pk, pv, tables, kv_lens, offs,
+                                  bq=128, interpret=True,
+                                  layer=jnp.asarray(li, jnp.int32))
+        want = _paged_ref(q, pk[li], pv[li], tables, kv_lens, offs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
