@@ -1,0 +1,65 @@
+"""Multi-process multi-host proof (VERDICT r1 item 7, SURVEY §4.4).
+
+Two OS processes x 4 virtual CPU devices join one JAX distributed runtime
+through ``multihost.initialize`` + ``pod_mesh`` and run a shard_map TP
+forward; both must produce the tokens of a single-process 8-device run.
+This is the methodology stand-in for a real 2-host pod slice (no pod in
+CI) — it exercises the real ``jax.distributed`` wire-up, cross-process
+mesh construction, and collective execution.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_procs(nprocs: int, timeout: int = 240) -> list[str]:
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    if nprocs == 1:
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coord, str(nprocs), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for pid in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    lines = [ln for out in outs for ln in out.splitlines()
+             if ln.startswith("MHOST ")]
+    assert len(lines) == nprocs, outs
+    return lines
+
+
+def test_two_process_tp_matches_single_process():
+    single = _run_procs(1)[0]
+    want_tokens = single.split("tokens=")[1]
+
+    lines = _run_procs(2)
+    toks = {ln.split("tokens=")[1] for ln in lines}
+    assert len(toks) == 1, f"processes disagree: {lines}"
+    assert toks.pop() == want_tokens, (lines, single)
+    assert all("devices=8" in ln for ln in lines), lines
