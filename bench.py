@@ -2,11 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+The headline measures BASELINE config #3 the honest way: decode
+throughput THROUGH the continuous-batching Engine (paged KV cache,
+admit/burst scheduling, on-device sampling) — not a stripped fused loop.
+Decode-only isolation by differencing: the same engine workload runs at
+``steps`` and ``steps/2`` new tokens and the difference cancels prefill
+and fixed dispatch costs exactly. The stripped fused-loop number is
+reported alongside in the stderr detail as the kernel-path ceiling.
+
 ``vs_baseline`` is the fraction of the per-chip HBM-bandwidth roofline
-achieved (the reference publishes no numbers — BASELINE.md; the BASELINE.json
-target is >=85% of roofline). Roofline model: decode is bandwidth-bound, so
-step_time >= (weight_bytes + batch * kv_bytes_read) / HBM_BW and
-tokens/s <= batch / step_time.
+achieved (the reference publishes no numbers — BASELINE.md; the
+BASELINE.json target is >=85% of roofline). Roofline model: decode is
+bandwidth-bound, so step_time >= (weight_bytes + batch * kv_bytes_read)
+/ HBM_BW and tokens/s <= batch / step_time.
 
 Run on the real chip (JAX_PLATFORMS=axon). Use --model/--batch/--steps to
 vary; defaults match BASELINE config #3 (7B INT8, batch 8).
@@ -88,6 +96,50 @@ def weight_bytes(params) -> int:
                for x in jax.tree.leaves(params))
 
 
+def _engine_decode_time(cfg, params, args, steps: int) -> float:
+    """Wall time of a full Engine run (admit + prefill + decode to
+    ``steps`` new tokens per request). Differencing two calls isolates
+    the decode segment. Fresh engine per call: the paged pools and all
+    compiled graphs are rebuilt identically, and fresh prompt tokens
+    defeat the relay's result cache."""
+    import time as _time
+
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine.engine import Engine
+
+    rng = np.random.default_rng(_time.monotonic_ns() % (1 << 31))
+    ps = args.page_size
+    cap = args.prompt_len + args.steps + 2 * args.burst + ps
+    ecfg = EngineConfig(
+        max_batch_size=args.batch,
+        kv=KVCacheConfig(page_size=ps,
+                         num_pages=args.batch * (cap // ps + 1) + 8,
+                         max_pages_per_seq=cap // ps + 1),
+        prefix_cache_entries=0)   # bench prompts are random — no reuse
+    eng = Engine(cfg, params, ecfg, decode_burst=args.burst)
+    sampling = SamplingParams(max_new_tokens=steps)
+
+    def submit():
+        for _ in range(args.batch):
+            eng.add_request(
+                prompt_ids=rng.integers(
+                    1, cfg.vocab_size, args.prompt_len).tolist(),
+                sampling=sampling)
+
+    submit()
+    eng.run()           # compile all graphs (prefill batch + burst)
+    best = None
+    for _ in range(2):
+        submit()
+        t0 = time.perf_counter()
+        eng.run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama2-7b",
@@ -96,6 +148,12 @@ def main():
     ap.add_argument("--ctx", type=int, default=1024, help="KV capacity")
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--burst", type=int, default=8,
+                    help="engine decode-burst depth")
+    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--fused-only", action="store_true",
+                    help="report the stripped fused loop as the headline "
+                         "(r1 behavior)")
     ap.add_argument("--fp", action="store_true", help="bf16 weights, no quant")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
@@ -146,13 +204,27 @@ def main():
 
     decode_s = max(t_full - t_half, 1e-9)
     total_new = args.batch * (args.steps - half)
-    toks_per_s = total_new / decode_s
+    fused_toks_per_s = total_new / decode_s
 
-    # Roofline: per decode step read all weights once + the live KV prefix.
+    # --- the honest config-#3 path: Engine + paged KV + batch 8 ---
+    if args.fused_only:
+        eng_toks_per_s = None
+    else:
+        te_full = _engine_decode_time(cfg, params, args, args.steps)
+        te_half = _engine_decode_time(cfg, params, args, half)
+        eng_decode_s = max(te_full - te_half, 1e-9)
+        eng_toks_per_s = total_new / eng_decode_s
+
+    toks_per_s = (fused_toks_per_s if args.fused_only
+                  else eng_toks_per_s)
+
+    # Roofline: per decode step read all weights once + the live KV
+    # prefix. The differenced segment is steps/2..steps, so its mean
+    # live context is prompt + 3/4 steps.
     platform = jax.devices()[0].platform
     bw = HBM_BW.get("v5e" if platform == "tpu" else "cpu")
     kv_elem_bytes = 2
-    mean_len = args.prompt_len + args.steps / 2
+    mean_len = args.prompt_len + args.steps * 3 / 4
     kv_bytes = (2 * cfg.num_layers * mean_len * cfg.num_kv_heads *
                 cfg.head_dim * kv_elem_bytes)
     step_floor = (wbytes + args.batch * kv_bytes) / bw
@@ -160,8 +232,9 @@ def main():
     frac = toks_per_s / roofline
 
     result = {
-        "metric": f"decode_tokens_per_sec_per_chip_{args.model}"
-                  f"_{'int8' if quantize else 'bf16'}_b{args.batch}",
+        "metric": f"serve_decode_tokens_per_sec_per_chip_{args.model}"
+                  f"_{'int8' if quantize else 'bf16'}_b{args.batch}"
+                  + ("_fusedloop" if args.fused_only else "_engine"),
         "value": round(toks_per_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(frac, 4),
@@ -177,11 +250,14 @@ def main():
             "detail": {
                 "platform": platform, "weight_gb": round(wbytes / 1e9, 2),
                 "prefill_s": round(prefill_s, 3),
-                "decode_s": round(decode_s, 3),
+                "fused_decode_toks_s": round(fused_toks_per_s, 1),
+                "engine_decode_toks_s": (round(eng_toks_per_s, 1)
+                                         if eng_toks_per_s else None),
                 "roofline_toks_s": round(roofline, 1),
                 "practical_stream_ceiling_toks_s": round(practical, 1),
                 "frac_of_practical": round(toks_per_s / practical, 4),
                 "steps": args.steps, "batch": args.batch,
+                "burst": args.burst,
             }}), file=sys.stderr)
     print(json.dumps(result))
 

@@ -63,8 +63,10 @@ def main():
         max_batch_size=args.batch,
         kv=KVCacheConfig(
             page_size=args.page_size, num_pages=args.pages,
-            max_pages_per_seq=max(
-                (args.prompt_len + max_new) // args.page_size + 2, 16)))
+            # TIGHT table width: every extra column is a clamped (dead)
+            # grid step in the paged attention kernel (~3 us each)
+            max_pages_per_seq=(args.prompt_len + max_new)
+            // args.page_size + 2))
     eng = Engine(cfg, params, ecfg, decode_burst=args.burst)
 
     rng = np.random.default_rng(0)

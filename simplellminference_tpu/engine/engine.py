@@ -154,6 +154,22 @@ class Engine:
         self._override = np.zeros(b, bool)
         self._inflight = None  # (toks_dev, [(slot, req)]) (+n_em for spec)
 
+        # Device-resident caches of burst arguments that rarely change:
+        # through the dispatch relay every jnp.asarray upload is its own
+        # RPC (~0.2 ms), and the steady-state loop used to pay ~13 of
+        # them per burst — ~2.5 ms/burst of pure host overhead. Dirty
+        # flags re-upload only on actual change (admit/extend/finish).
+        self._samp_dev = None          # 8 sampler-arg rows
+        self._samp_dirty = True
+        self._tables_dev = None        # block tables snapshot
+        self._tables_dirty = True
+        self._active_dev = None        # slot-occupancy mask
+        self._active_dirty = True
+        self._zero_ov = None           # (tok, pos, mask) no-op overrides
+        # sampling is fully seeded (per-row fold of seed x position), so
+        # the burst's key argument is inert — one constant key suffices
+        self._burst_key = None
+
         # speculative decoding: device-carried token history for the
         # prompt-lookup draft + its host override rows
         self.spec = engine_cfg.spec_tokens
@@ -510,6 +526,8 @@ class Engine:
         elif req.state == RequestState.RUNNING:
             self.allocator.free_seq(req.slot)
             self.slots[req.slot] = None
+            self._active_dirty = True
+            self._tables_dirty = True
             req.slot = -1
         elif req.state == RequestState.PREEMPTED:
             try:
@@ -702,6 +720,10 @@ class Engine:
                                   slot=slot, cached=req.cached_len)
         if not admitted:
             return
+        # admits changed slot occupancy, block tables, and sampler rows
+        self._active_dirty = True
+        self._tables_dirty = True
+        self._samp_dirty = True
         chunk = self.ecfg.prefill_chunk
         pending: list[tuple[list[Request], jax.Array]] = []
         batchable: list[Request] = []
@@ -881,6 +903,8 @@ class Engine:
         self._retain_prefix(req)
         self.allocator.free_seq(req.slot)
         self.slots[req.slot] = None
+        self._active_dirty = True
+        self._tables_dirty = True
         self.metrics.requests_finished += 1
         if req.ttft is not None:
             self.metrics.ttfts.append(req.ttft)
@@ -896,6 +920,8 @@ class Engine:
         victim = max(running, key=lambda r: r.req_id)
         self.allocator.free_seq(victim.slot)
         self.slots[victim.slot] = None
+        self._active_dirty = True
+        self._tables_dirty = True
         victim.slot = -1
         victim.state = RequestState.PREEMPTED
         victim.preempt_count += 1
@@ -925,6 +951,7 @@ class Engine:
                     if not self.allocator.extend(req.slot, target):
                         ok = False
                         break
+                    self._tables_dirty = True
             if ok:
                 return True
             # retained prefixes are strictly lower priority than live
@@ -981,6 +1008,8 @@ class Engine:
                 victim.error = "KV page pool exhausted"
                 self.allocator.free_seq(victim.slot)
                 self.slots[victim.slot] = None
+                self._active_dirty = True
+                self._tables_dirty = True
                 self.metrics.requests_failed += 1
                 victim.emit([], finished=True)
                 return
@@ -992,53 +1021,71 @@ class Engine:
         if not running:
             self._process_inflight()
             return
-        active = np.asarray([s is not None for s in self.slots], bool)
-        tables = jnp.asarray(self.allocator.table())
-        self._key, sub = jax.random.split(self._key)
+        active_np = np.asarray([s is not None for s in self.slots], bool)
+        # device-cached args: re-upload only when host state changed
+        if self._active_dirty or self._active_dev is None:
+            self._active_dev = jnp.asarray(active_np)
+            self._active_dirty = False
+        max_len = max(self.allocator.seq_len(r.slot) for r in running)
+        self._ensure_tables(max_len)
+        if self._samp_dirty or self._samp_dev is None:
+            self._samp_dev = (
+                jnp.asarray(self._temp), jnp.asarray(self._top_k),
+                jnp.asarray(self._top_p), jnp.asarray(self._min_p),
+                jnp.asarray(self._rep_p), jnp.asarray(self._freq_p),
+                jnp.asarray(self._pres_p), jnp.asarray(self._seed))
+            self._samp_dirty = False
+        active = self._active_dev
+        tables = self._tables_dev
+        sampler_args = self._samp_dev
+        # every sampling draw is keyed by per-row (seed, position) folds
+        # — the burst's key argument is inert, so one constant suffices
+        # (no per-burst split dispatch)
+        if self._burst_key is None:
+            self._burst_key = jax.random.PRNGKey(1)
+        sub = self._burst_key
         if self._dev_tok is None:
             dev_tok = jnp.asarray(self._next_tok)
             dev_pos = jnp.asarray(self._pos)
             dev_counts = jnp.zeros(self._counts_host.shape, jnp.float32)
             ov_mask = np.ones(len(self.slots), bool)
-            ov_counts = jnp.asarray(self._counts_host)
+            any_ov = True
         else:
             dev_tok, dev_pos = self._dev_tok, self._dev_pos
             dev_counts = self._dev_counts
             ov_mask = self._override
-            # the penalty-state upload (B x V) only happens on admits;
-            # otherwise a persistent zero buffer rides along unused
-            ov_counts = (jnp.asarray(self._counts_host) if ov_mask.any()
-                         else self._get_zero_counts())
-        sampler_args = (
-            jnp.asarray(self._temp), jnp.asarray(self._top_k),
-            jnp.asarray(self._top_p), jnp.asarray(self._min_p),
-            jnp.asarray(self._rep_p), jnp.asarray(self._freq_p),
-            jnp.asarray(self._pres_p), jnp.asarray(self._seed))
+            any_ov = bool(ov_mask.any())
+        if any_ov:
+            # override rows (admits since the in-flight dispatch): the
+            # one case that pays the uploads, including B x V counts
+            ov_tok = jnp.asarray(self._next_tok)
+            ov_pos = jnp.asarray(self._pos)
+            ov_counts = jnp.asarray(self._counts_host)
+            ov_mask_dev = jnp.asarray(ov_mask)
+        else:
+            ov_tok, ov_pos, ov_mask_dev = self._get_zero_ov()
+            ov_counts = self._get_zero_counts()
         if self.spec:
             if self._dev_hist is None:
                 dev_hist = jnp.zeros(self._hist_host.shape, jnp.int32)
                 ov_hist = jnp.asarray(self._hist_host)
             else:
                 dev_hist = self._dev_hist
-                ov_hist = (jnp.asarray(self._hist_host) if ov_mask.any()
+                ov_hist = (jnp.asarray(self._hist_host) if any_ov
                            else self._get_zero_hist())
             (packed, self._dev_tok, self._dev_pos,
              self._dev_counts, self._dev_hist,
              self.cache) = self._spec_burst_fn(
                 self.burst, self.params, self.cache, dev_tok, dev_pos,
-                dev_counts, dev_hist, jnp.asarray(self._next_tok),
-                jnp.asarray(self._pos), ov_counts, ov_hist,
-                jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
-                *sampler_args)
+                dev_counts, dev_hist, ov_tok, ov_pos, ov_counts, ov_hist,
+                ov_mask_dev, tables, active, sub, *sampler_args)
             payload = ("spec", packed, None)
         else:
             (packed, self._dev_tok, self._dev_pos, self._dev_counts,
              self.cache) = self._burst_fn(
                 self.burst, self.params, self.cache, dev_tok, dev_pos,
-                dev_counts, jnp.asarray(self._next_tok),
-                jnp.asarray(self._pos), ov_counts,
-                jnp.asarray(ov_mask), tables, jnp.asarray(active), sub,
-                *sampler_args)
+                dev_counts, ov_tok, ov_pos, ov_counts,
+                ov_mask_dev, tables, active, sub, *sampler_args)
             payload = ("std", packed, None)
         self._override[:] = False
         self.metrics.decode_bursts += 1
@@ -1047,7 +1094,7 @@ class Engine:
         if prev is not None:
             self._bookkeep(*prev)
         self.metrics.observe_step(
-            busy_slots=int(active.sum()), total_slots=len(self.slots),
+            busy_slots=int(active_np.sum()), total_slots=len(self.slots),
             used_pages=self.ecfg.kv.num_pages - self.allocator.num_free,
             total_pages=self.ecfg.kv.num_pages)
 
@@ -1056,6 +1103,39 @@ class Engine:
             self._zero_counts = jnp.zeros(self._counts_host.shape,
                                           jnp.float32)
         return self._zero_counts
+
+    def _ensure_tables(self, width_tokens: int):
+        """Refresh the device tables snapshot, SLICED to a power-of-2
+        page-column width covering ``width_tokens``.
+
+        The paged attention kernels iterate the table's full column count
+        per (batch, head-group) — every column past the live maximum is a
+        clamped dead grid step, and ``max_pages_per_seq`` is sized for
+        the longest POSSIBLE sequence (512 columns by default: ~30 ms of
+        dead steps per decode step if passed whole). Power-of-2 widths
+        keep the compile-variant set logarithmic as contexts grow."""
+        ps = self.ecfg.kv.page_size
+        mp = self.allocator.max_pages_per_seq
+        need = max(-(-width_tokens // ps), 1)
+        width = 1
+        while width < need:
+            width *= 2
+        width = min(width, mp)
+        if (self._tables_dirty or self._tables_dev is None
+                or self._tables_dev.shape[1] != width):
+            self._tables_dev = jnp.asarray(
+                self.allocator.table()[:, :width])
+            self._tables_dirty = False
+
+    def _get_zero_ov(self):
+        """(tok, pos, mask) no-op override buffers — device-resident so
+        an override-free burst uploads nothing."""
+        if self._zero_ov is None:
+            b = len(self.slots)
+            self._zero_ov = (jnp.zeros(b, jnp.int32),
+                             jnp.zeros(b, jnp.int32),
+                             jnp.zeros(b, bool))
+        return self._zero_ov
 
     def _get_zero_hist(self):
         if self._zero_hist is None:
