@@ -34,11 +34,11 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--pages", type=int, default=128)
-    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--pages", type=int, default=64)
+    ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--kv-dtype", default="bf16",
                     choices=["bf16", "fp8", "int8", "f32"])
-    ap.add_argument("--burst", type=int, default=4)
+    ap.add_argument("--burst", type=int, default=8)
     ap.add_argument("--stagger", type=int, default=0)
     ap.add_argument("--spec", type=int, default=0,
                     help="speculative decoding: prompt-lookup draft "
