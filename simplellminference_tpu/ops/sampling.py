@@ -92,10 +92,20 @@ def _sample_sorted(logits: jax.Array, key: jax.Array,
     """One-sort top-k/top-p/min-p sampling (see :func:`_shaped_sorted`)."""
     masked, si = _shaped_sorted(logits, temperature, top_k, top_p, min_p)
     if seeds is not None:
+        # Scatter the shaped logits back to TOKEN order and draw by
+        # Gumbel-max there: the per-row noise is then keyed by token id,
+        # so a row's draw depends only on its (seed, position) and its
+        # own shaped distribution — identical to the sort-free
+        # `_sample_gumbel` fast path when shaping is neutral, and never
+        # on batch composition or which path the batch compiled.
+        b, v = logits.shape
+        masked_tok = jnp.full_like(masked, -jnp.inf).at[
+            jnp.arange(b)[:, None], si].set(masked)
         keys = _row_keys(key, seeds, seed_pos)
-        pos = jax.vmap(jax.random.categorical)(keys, masked)
-    else:
-        pos = jax.random.categorical(key, masked, axis=-1)  # sorted idx
+        g = jax.vmap(lambda k, s: jax.random.gumbel(k, s.shape))(
+            keys, masked_tok)
+        return jnp.argmax(masked_tok + g, axis=-1).astype(jnp.int32)
+    pos = jax.random.categorical(key, masked, axis=-1)  # sorted idx
     return jnp.take_along_axis(si, pos[:, None], axis=-1)[:, 0]
 
 
@@ -141,6 +151,24 @@ def spec_row_keys(seeds: jax.Array, seed_pos: jax.Array,
     return jax.vmap(lambda k: jax.random.fold_in(k, tag))(base)
 
 
+def _sample_gumbel(logits: jax.Array, key: jax.Array,
+                   temperature: jax.Array, seeds=None,
+                   seed_pos=None) -> jax.Array:
+    """Sort-free categorical draw (Gumbel-max) for rows with NO
+    top-k/top-p/min-p shaping — the common `temperature`-only case. A
+    full [B, V] sort costs ~V log V per step (0.5+ ms at a 128k vocab);
+    argmax over gumbel-perturbed logits is one linear pass."""
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = logits.astype(jnp.float32) / t
+    if seeds is not None:
+        keys = _row_keys(key, seeds, seed_pos)
+        g = jax.vmap(lambda k, s: jax.random.gumbel(k, s.shape))(
+            keys, scaled)
+    else:
+        g = jax.random.gumbel(key, scaled.shape)
+    return jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
+
+
 def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
            top_k: jax.Array, top_p: jax.Array,
            min_p: Optional[jax.Array] = None,
@@ -164,15 +192,35 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     contract; without them all rows share ``key`` with per-element
     noise).
 
-    When every row is greedy with neutral penalties (the common serving
-    case) a lax.cond skips the vocab sort entirely — this runs inside
-    every decode step, and a [B, 32k] sort per step is pure overhead for
-    greedy requests.
+    Cost tiers (lax.cond, chosen in-graph per batch): all-greedy batches
+    pay one argmax; batches that sample but use NO top-k/top-p/min-p pay
+    a sort-free Gumbel-max; only batches with shaping filters pay the
+    [B, V] sort. Seeded draws are tier-invariant: the sorted path
+    scatters the shaped logits back to token order and uses the same
+    per-(seed, position) Gumbel noise as the fast path.
     """
     b, v = logits.shape
     if min_p is None:
         min_p = jnp.zeros((b,), jnp.float32)
     neutral = jnp.all(temperature <= 0.0)
+    # no row uses top-k/top-p/min-p => the draw needs no vocab sort
+    shaping_off = (jnp.all(top_k <= 0) & jnp.all(top_p >= 1.0)
+                   & jnp.all(min_p <= 0.0))
+
+    def draw(lf):
+        gr = greedy(lf)
+
+        def gumbel_path(_):
+            return _sample_gumbel(lf, key, temperature, seeds, seed_pos)
+
+        def sorted_path(_):
+            return _sample_sorted(lf, key, temperature, top_k, top_p,
+                                  min_p, seeds, seed_pos)
+
+        s = jax.lax.cond(shaping_off, gumbel_path, sorted_path,
+                         operand=None)
+        return jnp.where(temperature <= 0.0, gr, s.astype(jnp.int32))
+
     if counts is not None:
         rp = repetition_penalty
         fp = frequency_penalty
@@ -181,23 +229,13 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
                     & jnp.all(pp == 0.0))
 
         def with_pen(_):
-            lf = apply_penalties(logits, counts, rp, fp, pp)
-            gr = greedy(lf)
-            s = _sample_sorted(lf, key, temperature, top_k, top_p, min_p,
-                               seeds, seed_pos)
-            return jnp.where(temperature <= 0.0, gr, s.astype(jnp.int32))
+            return draw(apply_penalties(logits, counts, rp, fp, pp))
 
         return jax.lax.cond(neutral, lambda _: greedy(logits), with_pen,
                             operand=None)
 
-    gr = greedy(logits)
-
-    def stochastic(_):
-        s = _sample_sorted(logits, key, temperature, top_k, top_p, min_p,
-                           seeds, seed_pos)
-        return jnp.where(temperature <= 0.0, gr, s.astype(jnp.int32))
-
-    return jax.lax.cond(neutral, lambda _: gr, stochastic, operand=None)
+    return jax.lax.cond(neutral, lambda _: greedy(logits),
+                        lambda _: draw(logits), operand=None)
 
 
 def token_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:

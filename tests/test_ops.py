@@ -264,3 +264,51 @@ def test_sample_excluding_empty_support_fallback(rng):
         S.spec_row_keys(jnp.asarray([5], jnp.uint32),
                         jnp.asarray([0]), 2))
     assert int(tok[0]) == 3
+
+
+def test_sampling_gumbel_fast_path_matches_sorted(rng):
+    """Seeded draws are TIER-invariant: a shaping-neutral row draws the
+    same token whether the batch compiled the sort-free Gumbel path or
+    the sorted path (e.g. because another row uses top-k) — the
+    batch-composition-independence contract."""
+    from simplellminference_tpu.ops import sampling as S
+
+    b, v = 4, 512
+    logits = jnp.asarray(rng.standard_normal((b, v)) * 2, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    temp = jnp.asarray([0.7, 1.0, 1.3, 0.9], jnp.float32)
+    seeds = jnp.asarray([11, 22, 33, 44], jnp.uint32)
+    pos = jnp.asarray([5, 6, 7, 8], jnp.int32)
+    neutral_k = jnp.zeros((b,), jnp.int32)
+    neutral_p = jnp.ones((b,), jnp.float32)
+
+    fast = S.sample(logits, key, temp, neutral_k, neutral_p,
+                    seeds=seeds, seed_pos=pos)
+    # force the sorted path: one row gets top_k = v (keeps everything,
+    # identical distribution) — draws must still match exactly
+    k2 = neutral_k.at[0].set(v)
+    slow = S.sample(logits, key, temp, k2, neutral_p,
+                    seeds=seeds, seed_pos=pos)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_sampling_gumbel_distribution(rng):
+    """The sort-free path samples the right distribution (chi-square-ish
+    check against softmax(logits/T) on a small vocab)."""
+    from simplellminference_tpu.ops import sampling as S
+
+    v, n = 8, 4000
+    logits = jnp.asarray(rng.standard_normal((1, v)) * 1.5, jnp.float32)
+    temp = jnp.asarray([0.8], jnp.float32)
+
+    @jax.jit
+    def one(seed):
+        return S.sample(logits, jax.random.PRNGKey(0), temp,
+                        jnp.zeros((1,), jnp.int32), jnp.ones((1,)),
+                        seeds=seed[None].astype(jnp.uint32),
+                        seed_pos=jnp.asarray([0]))[0]
+
+    draws = np.asarray(jax.vmap(one)(jnp.arange(n, dtype=jnp.uint32)))
+    emp = np.bincount(draws, minlength=v) / n
+    want = np.asarray(jax.nn.softmax(logits[0] / temp[0]))
+    assert 0.5 * np.abs(emp - want).sum() < 0.05, (emp, want)
