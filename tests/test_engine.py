@@ -520,13 +520,18 @@ def test_engine_speculative_stochastic_rows_accept(model):
                              max_pages_per_seq=24, kv_dtype="f32"))
         return Engine(cfg, params, ecfg, decode_burst=3)
 
+    base = mk(0).generate(prompts, SamplingParams(max_new_tokens=24))
+
+    # temperature>0 with top_k=1: the shaped distribution is a point
+    # mass on the argmax, so rejection sampling must accept exactly the
+    # drafts greedy acceptance would — deterministic, seed-independent.
     eng = mk(3)
     r = eng.add_request(
         prompt_ids=prompts[0],
-        sampling=SamplingParams(max_new_tokens=24, temperature=0.05,
-                                seed=3))
+        sampling=SamplingParams(max_new_tokens=24, temperature=1.0,
+                                top_k=1, seed=3))
     eng.run()
-    assert len(r.output_ids) == 24
+    assert r.output_ids == base[0]
     m = eng.metrics
     assert m.spec_accepted > 0, \
         "stochastic row accepted zero drafts (rejection sampling dead)"
