@@ -609,8 +609,17 @@ class Engine:
         cap = ((req.total_len - 1) // ps) * ps  # >=1 token must prefill
         for key, h in self._prefix_store.items():
             m = min(len(key), cap)
-            if m > best and tuple(req.prompt_ids[:m]) == key[:m]:
-                best_key, best_h, best = key, h, m
+            # longest COMMON page-aligned prefix — an entry whose
+            # trailing pages diverge (system prompt + different user
+            # text) still shares its matching leading pages
+            common = 0
+            for a, b_ in zip(req.prompt_ids[:m], key):
+                if a != b_:
+                    break
+                common += 1
+            common = (common // ps) * ps
+            if common > best:
+                best_key, best_h, best = key, h, common
         return best_key, best_h, best
 
     def _evict_prefix_lru(self) -> bool:
@@ -782,9 +791,15 @@ class Engine:
         starts = [r.cached_len if suffixes else 0 for r in reqs]
         todo = [r.total_len - s for r, s in zip(reqs, starts)]
         bucket = next_power_of_2(max(max(todo), 16))
+        if suffixes and jax.default_backend() == "tpu":
+            # suffix rows attend to the cached prefix via the paged
+            # flash prefill kernel, which needs Sq % 128 == 0 — a
+            # sub-128 bucket would silently fall back to a dense gather
+            # of the WHOLE prefix (128 padded query rows are far cheaper)
+            bucket = max(bucket, 128)
         nb = 1 if n == 1 else len(self.slots)
         tokens = np.zeros((nb, bucket), np.int32)
-        mp = self.allocator.table().shape[1]
+        mp = self.allocator.max_pages_per_seq
         tables = np.full((nb, mp), -1, np.int32)
         kv_len = np.ones(nb, np.int32)
         offs = np.zeros(nb, np.int32)
@@ -854,6 +869,8 @@ class Engine:
             # chunk offsets stay page-aligned: start is page-aligned and
             # multi-chunk runs only with page-multiple chunk sizes
             step = chunk if use_chunks else next_power_of_2(max(todo, 16))
+            if jax.default_backend() == "tpu":
+                step = max(step, 128)   # paged-prefill kernel gate
             n_chunks = -(-todo // step)
             padded = np.zeros((n_chunks * step,), np.int32)
             padded[:todo] = ids[start:]
@@ -1029,11 +1046,15 @@ class Engine:
         max_len = max(self.allocator.seq_len(r.slot) for r in running)
         self._ensure_tables(max_len)
         if self._samp_dirty or self._samp_dev is None:
-            self._samp_dev = (
-                jnp.asarray(self._temp), jnp.asarray(self._top_k),
-                jnp.asarray(self._top_p), jnp.asarray(self._min_p),
-                jnp.asarray(self._rep_p), jnp.asarray(self._freq_p),
-                jnp.asarray(self._pres_p), jnp.asarray(self._seed))
+            # .copy() everywhere a LIVE host buffer is uploaded: on the
+            # CPU backend jnp.asarray may zero-copy-alias the numpy
+            # array (alignment-dependent), and the host mutates these
+            # while the asynchronously dispatched burst still reads them
+            self._samp_dev = tuple(
+                jnp.asarray(a.copy())
+                for a in (self._temp, self._top_k, self._top_p,
+                          self._min_p, self._rep_p, self._freq_p,
+                          self._pres_p, self._seed))
             self._samp_dirty = False
         active = self._active_dev
         tables = self._tables_dev
@@ -1045,8 +1066,8 @@ class Engine:
             self._burst_key = jax.random.PRNGKey(1)
         sub = self._burst_key
         if self._dev_tok is None:
-            dev_tok = jnp.asarray(self._next_tok)
-            dev_pos = jnp.asarray(self._pos)
+            dev_tok = jnp.asarray(self._next_tok.copy())
+            dev_pos = jnp.asarray(self._pos.copy())
             dev_counts = jnp.zeros(self._counts_host.shape, jnp.float32)
             ov_mask = np.ones(len(self.slots), bool)
             any_ov = True
@@ -1057,21 +1078,25 @@ class Engine:
             any_ov = bool(ov_mask.any())
         if any_ov:
             # override rows (admits since the in-flight dispatch): the
-            # one case that pays the uploads, including B x V counts
-            ov_tok = jnp.asarray(self._next_tok)
-            ov_pos = jnp.asarray(self._pos)
-            ov_counts = jnp.asarray(self._counts_host)
-            ov_mask_dev = jnp.asarray(ov_mask)
+            # one case that pays the uploads, including B x V counts.
+            # .copy(): zero-copy jnp.asarray aliasing + the host-side
+            # mutations below (override reset, bookkeeping) would
+            # otherwise race the in-flight burst's reads (confirmed
+            # flaky-garbage-tokens bug on the CPU backend).
+            ov_tok = jnp.asarray(self._next_tok.copy())
+            ov_pos = jnp.asarray(self._pos.copy())
+            ov_counts = jnp.asarray(self._counts_host.copy())
+            ov_mask_dev = jnp.asarray(ov_mask.copy())
         else:
             ov_tok, ov_pos, ov_mask_dev = self._get_zero_ov()
             ov_counts = self._get_zero_counts()
         if self.spec:
             if self._dev_hist is None:
                 dev_hist = jnp.zeros(self._hist_host.shape, jnp.int32)
-                ov_hist = jnp.asarray(self._hist_host)
+                ov_hist = jnp.asarray(self._hist_host.copy())
             else:
                 dev_hist = self._dev_hist
-                ov_hist = (jnp.asarray(self._hist_host) if any_ov
+                ov_hist = (jnp.asarray(self._hist_host.copy()) if any_ov
                            else self._get_zero_hist())
             (packed, self._dev_tok, self._dev_pos,
              self._dev_counts, self._dev_hist,

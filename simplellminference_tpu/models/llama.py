@@ -117,7 +117,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
             # in-place KV append as ONE pallas call (ops/qkv_fused.py)
             w = lw["wqkv"]
             q2, cache_k, cache_v = qkv_fused.fused_qkv_append(
-                x[:, 0], lw["input_norm"], w.q, w.scales,
+                x[:, 0], lw.get("_input_norm3", lw["input_norm"]),
+                w.q, w.scales,
                 sin[:, 0], cos[:, 0], cache_k, cache_v, li, offsets,
                 n_heads=n, kv_heads=kvn, eps=cfg.rms_norm_eps,
                 interpret=FORCE_FUSED_INTERPRET)
@@ -197,7 +198,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
             gu, dn = lw["w_gate_up"], lw["w_down"]
             xf = x.reshape(b * s, h)
             out = ffn_fused.fused_ffn(
-                xf, lw["post_norm"], gu.q, gu.scales,
+                xf, lw.get("_post_norm3", lw["post_norm"]),
+                gu.q, gu.scales,
                 dn.q, dn.scales, li, eps=cfg.rms_norm_eps,
                 interpret=FORCE_FUSED_INTERPRET)
             if tp_axis is not None:
@@ -256,7 +258,11 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if cfg.embed_scale != 1.0:  # Gemma: sqrt(hidden_size) multiplier
         x = x * jnp.asarray(cfg.embed_scale, dtype)
     sin, cos = ref_ops.rope_tables_for(cfg, positions)
-    lw = params["layers"]
+    lw = dict(params["layers"])
+    # hoist the fused kernels' [L,H]->[L,1,H] norm reshapes out of the
+    # layer scan (see forward_paged)
+    lw["_input_norm3"] = lw["input_norm"][:, None, :]
+    lw["_post_norm3"] = lw["post_norm"][:, None, :]
 
     if cache is not None:
         if offsets is None:
@@ -372,7 +378,11 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         mask = None
 
     quant_kv = cache.k_scale is not None
-    lw = params["layers"]
+    lw = dict(params["layers"])
+    # hoist the fused kernels' [L,H]->[L,1,H] norm reshapes out of the
+    # layer scan (inside it, XLA re-lays the arrays out per layer step)
+    lw["_input_norm3"] = lw["input_norm"][:, None, :]
+    lw["_post_norm3"] = lw["post_norm"][:, None, :]
 
     def norm_w(w, li):
         return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
@@ -392,7 +402,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             from simplellminference_tpu.ops import qkv_fused
             w = lw["wqkv"]
             q2, pk, pv = qkv_fused.fused_qkv_append(
-                x[:, 0], lw["input_norm"], w.q, w.scales,
+                x[:, 0], lw["_input_norm3"], w.q, w.scales,
                 sin[:, 0], cos[:, 0], pk, pv, li, positions[:, 0],
                 n_heads=n, kv_heads=kvn, eps=cfg.rms_norm_eps,
                 tables=tables, interpret=FORCE_FUSED_INTERPRET)
@@ -464,7 +474,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 gu, dn = lw["w_gate_up"], lw["w_down"]
                 xf = x.reshape(b * s, cfg.hidden_size)
                 xo = ffn_fused.fused_ffn(
-                    xf, lw["post_norm"],
+                    xf, lw["_post_norm3"],
                     gu.q, gu.scales, dn.q, dn.scales, li,
                     eps=cfg.rms_norm_eps,
                     interpret=FORCE_FUSED_INTERPRET)

@@ -159,7 +159,10 @@ def fused_ffn(x: jax.Array, norm_w: jax.Array, q1: jax.Array,
     grid = (t1 + k2,)
 
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
-    nw3 = norm_w.reshape(l_, 1, h)
+    # accept pre-shaped [L, 1, H] norms: reshaping here (inside the
+    # caller's layer scan) makes XLA re-lay the whole array out every
+    # layer step (models/llama.py hoists the reshape)
+    nw3 = norm_w if norm_w.ndim == 3 else norm_w.reshape(l_, 1, h)
     s1r = s1.reshape(l_, 1, n1_full)
     s2r = s2.reshape(l_, 1, h)
 

@@ -204,7 +204,9 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
         page = jnp.where(pid < 0, cb - 1, pid).astype(jnp.int32)  # trash
         wblk = (offsets % ps) // _ROWS
     rel = offsets % _ROWS
-    nw3 = norm_w.reshape(l_, 1, h)
+    # accept pre-shaped [L, 1, H] norms (reshape hoisted by the caller —
+    # see fused_ffn)
+    nw3 = norm_w if norm_w.ndim == 3 else norm_w.reshape(l_, 1, h)
     ws3 = ws.reshape(l_, 1, nq)
 
     def w_index(i, li, pg, wb, rl):

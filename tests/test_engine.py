@@ -568,3 +568,27 @@ def test_engine_speculative_sampling_marginals(model):
     # ~4 effective outcomes, n=192 per mode: sampling noise ~0.08;
     # a greedy-collapse or draft-biased sampler shows tv >~ 0.4
     assert tv < 0.2, (tv, base, spec)
+
+def test_engine_persistent_prefix_divergent_suffix(model):
+    """A retained entry whose TRAILING pages differ still shares its
+    matching leading pages — the recurring-system-prompt case (system
+    prefix + different user text per request)."""
+    cfg, params = model
+    rng = np.random.default_rng(15)
+    system = rng.integers(1, cfg.vocab_size, 24).tolist()  # 3 pages of 8
+    user_a = rng.integers(1, cfg.vocab_size, 10).tolist()
+    user_b = rng.integers(1, cfg.vocab_size, 13).tolist()
+
+    want_b = make_engine(cfg, params).generate(
+        [system + user_b], SamplingParams(max_new_tokens=6))[0]
+
+    eng = make_engine(cfg, params)
+    eng.generate([system + user_a], SamplingParams(max_new_tokens=6))
+    r = eng.add_request(prompt_ids=system + user_b,
+                        sampling=SamplingParams(max_new_tokens=6))
+    eng.run()
+    assert r.output_ids == want_b
+    # the retained entry covers (24+10)//8*8 = 32 tokens but diverges
+    # after the 24 system tokens -> exactly the 3 system pages share
+    assert r.cached_len == 24
+    assert eng.metrics.prefix_cache_persistent_hits == 1
