@@ -29,7 +29,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama2-7b",
-                    choices=["llama2-7b", "tinyllama", "qwen2-7b"])
+                    choices=["llama2-7b", "tinyllama", "qwen2-7b",
+                             "llama3-3b"])
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-new", type=int, default=64)
@@ -40,6 +41,10 @@ def main():
                     choices=["bf16", "fp8", "int8", "f32"])
     ap.add_argument("--burst", type=int, default=8)
     ap.add_argument("--stagger", type=int, default=0)
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature for all requests "
+                         "(0 = greedy; >0 exercises the stochastic "
+                         "Gumbel-max tier)")
     ap.add_argument("--spec", type=int, default=0,
                     help="speculative decoding: prompt-lookup draft "
                          "tokens per verify step (0 = off)")
@@ -62,7 +67,8 @@ def main():
 
     mk = {"llama2-7b": ModelConfig.llama2_7b,
           "tinyllama": ModelConfig.tinyllama_1_1b,
-          "qwen2-7b": ModelConfig.qwen2_7b}[args.model]
+          "qwen2-7b": ModelConfig.qwen2_7b,
+          "llama3-3b": ModelConfig.llama3_2_3b}[args.model]
     cfg = mk(dtype="bfloat16")
     params = canonicalize_layouts(
         bench_mod._bench_params(cfg, True, None))
@@ -79,7 +85,8 @@ def main():
     eng = Engine(cfg, params, ecfg, decode_burst=args.burst)
 
     rng = np.random.default_rng(0)
-    sampling = SamplingParams(max_new_tokens=args.max_new)
+    sampling = SamplingParams(max_new_tokens=args.max_new,
+                              temperature=args.temperature)
 
     shared = rng.integers(1, cfg.vocab_size, args.shared_prefix).tolist() \
         if args.shared_prefix > 0 else []

@@ -48,6 +48,17 @@ class ModelConfig:
     # input-embedding multiplier (Gemma scales by sqrt(hidden_size))
     hidden_act: str = "silu"
     embed_scale: float = 1.0
+    # Sparse-MoE FFN (Mixtral-style): 0 = dense FFN. The reference is
+    # dense-only (model.cpp:99-121; SURVEY.md §2.8 "Expert parallel:
+    # absent"); see ops/moe.py for the TPU-native design.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    # Per-expert FFN width; None = intermediate_size (Mixtral semantics;
+    # Qwen2-MoE checkpoints carry a distinct moe_intermediate_size).
+    moe_intermediate_size: Optional[int] = None
+    # Renormalize the top-k router probabilities to sum to 1 (Mixtral
+    # always does; Qwen2-MoE exposes norm_topk_prob).
+    norm_topk_prob: bool = True
 
     @property
     def q_size(self) -> int:
@@ -61,6 +72,11 @@ class ModelConfig:
     def kv_group_size(self) -> int:
         """Heads per KV head (GQA group; reference: mha.cpp:23)."""
         return self.num_heads // self.num_kv_heads
+
+    @property
+    def expert_intermediate_size(self) -> int:
+        """Per-expert FFN width (MoE models only)."""
+        return self.moe_intermediate_size or self.intermediate_size
 
     def __post_init__(self):
         if self.num_heads % self.num_kv_heads != 0:
@@ -120,6 +136,13 @@ class ModelConfig:
                 else d.get("hidden_act") or "silu"),
             embed_scale=(float(d["hidden_size"]) ** 0.5
                          if d.get("model_type") == "gemma" else 1.0),
+            # Mixtral: num_local_experts/num_experts_per_tok; dense
+            # checkpoints carry neither.
+            num_experts=d.get("num_local_experts",
+                              d.get("num_experts", 0)),
+            num_experts_per_tok=d.get("num_experts_per_tok", 2),
+            moe_intermediate_size=d.get("moe_intermediate_size"),
+            norm_topk_prob=d.get("norm_topk_prob", True),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -197,6 +220,15 @@ class ModelConfig:
             num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128,
             rope_theta=1000000.0, max_seq_len=32768,
             attention_bias=True, model_type="qwen2"), ov)
+
+    @classmethod
+    def mixtral_8x7b(cls, **ov) -> "ModelConfig":
+        return cls._preset(dict(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=1000000.0, max_seq_len=32768,
+            model_type="mixtral", num_experts=8, num_experts_per_tok=2),
+            ov)
 
     @classmethod
     def tiny_test(cls, **ov) -> "ModelConfig":

@@ -81,7 +81,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                   offsets: Optional[jax.Array], mask: jax.Array,
                   kv_lens: Optional[jax.Array], prefill_from_zero: bool,
                   tp_axis: Optional[str] = None,
-                  ring_collectives: bool = False):
+                  ring_collectives: bool = False,
+                  kv_layer: Optional[jax.Array] = None):
     """One decoder layer. x: [B, S, H]. Returns (x', cache_k', cache_v').
 
     ``lw`` is the FULL stacked layer-params subtree ([L, ...] leaves) and
@@ -94,6 +95,12 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     ``tp_axis``: set inside a shard_map TP body (models/llama_tp.py) —
     heads/intermediate dims are local shards and the row-sharded wo /
     w_down products are all-reduced over the axis (megatron pattern).
+
+    ``kv_layer``: cache layer index override (defaults to ``li``). The
+    pipeline-parallel schedule (models/llama_pp.py) uses it to redirect
+    bubble-tick KV writes/reads to a per-stage trash layer while weights
+    keep indexing a valid real layer; setting it bypasses the fused-QKV
+    megakernel (which couples the weight and cache indices in-kernel).
     """
     b, s, h = x.shape
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -105,11 +112,13 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
         return w if li is None else jax.lax.dynamic_index_in_dim(
             w, li, 0, keepdims=False)
 
+    kv_li = li if kv_layer is None else kv_layer
+
     # --- attention block (reference: model.cpp:52-90) ---
     # (column-parallel under TP: the fused QKV kernel needs no collective
     # — n/kvn are already shard-local and the cache shards on kv heads)
-    if (li is not None and s == 1 and cache_k is not None
-            and _use_fused_kernels()):
+    if (li is not None and kv_layer is None and s == 1
+            and cache_k is not None and _use_fused_kernels()):
         from simplellminference_tpu.ops import qkv_fused
         if qkv_fused.fused_qkv_available(lw, cfg, b, s, cache_k,
                                          n_heads=n, kv_heads=kvn):
@@ -144,7 +153,7 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
             from simplellminference_tpu.ops import kv_append as kva
             writer = (kva.kv_append if _use_pallas_kv()
                       else kva.kv_append_ref)
-            cache_k, cache_v = writer(cache_k, cache_v, k, v, li, offsets)
+            cache_k, cache_v = writer(cache_k, cache_v, k, v, kv_li, offsets)
         else:
             cache_k, cache_v = update_layer(cache_k, cache_v, k, v, offsets)
         if s > 1 and prefill_from_zero:
@@ -154,7 +163,7 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
         else:
             attn = dispatch.attention_cached(cfg, q, cache_k, cache_v, mask,
                                              kv_lens, prefill_from_zero,
-                                             layer=li)
+                                             layer=kv_li)
     else:
         attn = dispatch.attention(cfg, q, k, v, mask)
     return _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
@@ -186,6 +195,14 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
     x = x + attn
 
     # --- FFN block (reference: model.cpp:93-128) ---
+    if cfg.num_experts:
+        # Sparse-MoE FFN (folded dense-expert matmuls; psum inside under
+        # TP — each shard owns whole experts, ops/moe.py).
+        from simplellminference_tpu.ops import moe
+        ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"]),
+                                 cfg.rms_norm_eps)
+        x = x + moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
+        return x, cache_k, cache_v
     if li is not None and _use_fused_kernels():
         from simplellminference_tpu.ops import ffn_fused
         i_loc = cfg.intermediate_size if tp_axis is None else (
@@ -465,6 +482,12 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             attn = jax.lax.psum(attn, tp_axis)
         x = x + attn
 
+        if cfg.num_experts:
+            from simplellminference_tpu.ops import moe
+            ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
+                                     cfg.rms_norm_eps)
+            x = x + moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
+            return (x, pk, pv, pks, pvs), None
         if _use_fused_kernels():
             from simplellminference_tpu.ops import ffn_fused
             i_loc = cfg.intermediate_size if tp_axis is None else (
@@ -533,6 +556,18 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         scale = scale or shape[-2] ** -0.5 if len(shape) > 1 else 0.02
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
+    if cfg.num_experts:
+        e, ie = cfg.num_experts, cfg.expert_intermediate_size
+        ffn = {
+            "router": w(keys[2], (L, h, e), 0.02),
+            "w_gate_up": w(keys[5], (L, h, e * 2 * ie)),
+            "w_down": w(keys[7], (L, e * ie, h), ie ** -0.5),
+        }
+    else:
+        ffn = {
+            "w_gate_up": w(keys[5], (L, h, 2 * i)),
+            "w_down": w(keys[7], (L, i, h)),
+        }
     params: Params = {
         "embed": w(keys[0], (v, h), 0.02),
         "layers": {
@@ -540,8 +575,7 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             "post_norm": jnp.ones((L, h), dtype),
             "wqkv": w(keys[1], (L, h, (n + 2 * kvn) * d)),
             "wo": w(keys[4], (L, n * d, h)),
-            "w_gate_up": w(keys[5], (L, h, 2 * i)),
-            "w_down": w(keys[7], (L, i, h)),
+            **ffn,
         },
         "final_norm": jnp.ones((h,), dtype),
     }

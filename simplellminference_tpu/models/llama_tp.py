@@ -87,8 +87,14 @@ def permute_params_for_tp(cfg: ModelConfig, params: Params,
     layers["wqkv"] = _permute_cols(layers["wqkv"], _qkv_perm(cfg, tp))
     if "wqkv_bias" in layers:
         layers["wqkv_bias"] = layers["wqkv_bias"][..., _qkv_perm(cfg, tp)]
-    layers["w_gate_up"] = _permute_cols(layers["w_gate_up"],
-                                        _gate_up_perm(cfg, tp))
+    if cfg.num_experts:
+        # MoE w_gate_up is per-expert [gate_e | up_e] blocks: a contiguous
+        # column shard is already whole experts (E % tp == 0 asserted in
+        # ops/moe.py) — no permutation needed.
+        assert cfg.num_experts % tp == 0, (cfg.num_experts, tp)
+    else:
+        layers["w_gate_up"] = _permute_cols(layers["w_gate_up"],
+                                            _gate_up_perm(cfg, tp))
     out["layers"] = layers
     return out
 

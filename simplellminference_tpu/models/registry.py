@@ -48,8 +48,9 @@ def _register_builtin():
             hf_param_map=llama_hf_param_map,
         ),
         # HF model_types sharing the Llama graph shape (qwen2 adds the
-        # QKV bias, handled by cfg.attention_bias).
-        aliases=("mistral", "tinyllama", "qwen2", "gemma"),
+        # QKV bias via cfg.attention_bias; mixtral swaps the dense FFN
+        # for the sparse-MoE block via cfg.num_experts).
+        aliases=("mistral", "tinyllama", "qwen2", "gemma", "mixtral"),
     )
 
 

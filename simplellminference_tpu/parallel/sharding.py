@@ -44,6 +44,12 @@ def _layer_specs() -> dict[str, P]:
         "wo": P(None, m, None),
         "w_gate_up": P(None, None, m),
         "w_down": P(None, m, None),
+        # MoE router [L, H, E]: replicated (tiny; every shard routes).
+        # The folded expert w_gate_up/w_down reuse the column/row specs
+        # above — contiguous chunks are whole experts when E % tp == 0,
+        # which makes the model axis double as the EXPERT-parallel axis
+        # (ops/moe.py).
+        "router": P(None, None, None),
     }
 
 

@@ -43,7 +43,11 @@ _HF_LLAMA_MAP: dict[str, Any] = {
 # HF Linear weights are [out, in]; ours are [in, out] => transpose all
 # projection matrices. Embedding/norms keep HF orientation.
 _TRANSPOSED = {"lm_head", "layers/wqkv", "layers/wo", "layers/w_gate_up",
-               "layers/w_down"}
+               "layers/w_down", "layers/router"}
+
+# Tuple entries for these paths concatenate along the CONTRACTION (row)
+# axis after transpose — per-expert w_down blocks stack rows [E*Ie, H].
+_ROW_CONCAT = {"layers/w_down"}
 
 # Paths eligible for weight-only INT8 group quantization. Embedding, norms,
 # and the LM head stay high-precision (standard practice; also how the
@@ -57,6 +61,18 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
 
     Qwen2 shares the graph with QKV bias added (cfg.attention_bias)."""
     m = dict(_HF_LLAMA_MAP)
+    if cfg.num_experts:
+        # Mixtral sparse-MoE FFN: experts fold into the dense stacked
+        # layouts (ops/moe.py) — per-expert [gate_e | up_e] column blocks
+        # for w_gate_up, per-expert row blocks for w_down.
+        pre = "model.layers.{i}.block_sparse_moe"
+        m["layers/router"] = pre + ".gate.weight"
+        m["layers/w_gate_up"] = tuple(
+            pre + f".experts.{e}.w{w}.weight"
+            for e in range(cfg.num_experts) for w in (1, 3))
+        m["layers/w_down"] = tuple(
+            pre + f".experts.{e}.w2.weight"
+            for e in range(cfg.num_experts))
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
     if cfg.attention_bias:
@@ -119,8 +135,9 @@ def params_from_fetcher(cfg: ModelConfig,
         stacked = []
         for li in layers:
             if isinstance(hf_names, tuple):
+                axis = 0 if path in _ROW_CONCAT else -1
                 t = jnp.concatenate(
-                    [load_one(path, n, li) for n in hf_names], axis=-1)
+                    [load_one(path, n, li) for n in hf_names], axis=axis)
             else:
                 t = load_one(path, hf_names, li)
             stacked.append(t)
