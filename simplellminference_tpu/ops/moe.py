@@ -19,9 +19,12 @@ probabilities, and one big matmul folds the weighted expert outputs back
 to the hidden dim. For DECODE this is bandwidth-optimal, not a shortcut:
 decode is weight-bound, and with batch*top_k draws over E experts the
 step must stream essentially all expert weights from HBM anyway — the
-zeros only waste MXU FLOPs the bandwidth had already paid for. (At long-
-sequence PREFILL the dense fold pays E/k× extra FLOPs; a block-sparse
-gather kernel is the known upgrade path and is noted in README.)
+zeros only waste MXU FLOPs the bandwidth had already paid for. At
+long-sequence PREFILL the dense fold would pay E/k× extra FLOPs, so
+prefill (S > 1) routes to :func:`moe_ffn_grouped` instead: tokens sort
+by assigned expert and two ``jax.lax.ragged_dot`` grouped matmuls (XLA's
+native TPU grouped-GEMM) compute only the top-k expert rows per token —
+exact same math, k/E of the FLOPs.
 
 **Expert parallelism = the existing TP sharding.** Because experts are
 contiguous column/row blocks, the megatron column-shard of w_gate_up and
@@ -43,34 +46,131 @@ from simplellminference_tpu.ops import ref_ops
 from simplellminference_tpu.ops.linear import linear
 
 
-def router_probs(x: jax.Array, w_router: jax.Array, top_k: int,
-                 norm_topk: bool = True) -> jax.Array:
-    """Dense gate matrix [T, E]: softmax router probs for each token's
-    top-k experts, zero elsewhere.
+def router_topk(x: jax.Array, w_router: jax.Array, top_k: int,
+                norm_topk: bool = True) -> tuple[jax.Array, jax.Array]:
+    """Top-k router assignment: (probs [T, k] f32, expert ids [T, k] i32).
 
     Matches HF Mixtral semantics: softmax over ALL experts in fp32, keep
     top-k, renormalize (``norm_topk``; Qwen2-MoE's norm_topk_prob flag).
     """
     logits = jnp.dot(x.astype(jnp.float32), w_router.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)                     # [T, E]
-    e = probs.shape[-1]
-    if top_k < e:
-        _, topi = jax.lax.top_k(probs, top_k)                   # [T, k]
-        mask = jax.nn.one_hot(topi, e, dtype=probs.dtype).sum(-2)  # [T, E]
-        probs = probs * mask
+    topv, topi = jax.lax.top_k(probs, min(top_k, probs.shape[-1]))
     if norm_topk:
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    return probs
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    return topv, topi.astype(jnp.int32)
+
+
+def router_probs(x: jax.Array, w_router: jax.Array, top_k: int,
+                 norm_topk: bool = True) -> jax.Array:
+    """Dense gate matrix [T, E]: softmax router probs for each token's
+    top-k experts, zero elsewhere (the folded-path gating mask)."""
+    e = w_router.shape[-1]
+    topv, topi = router_topk(x, w_router, top_k, norm_topk)
+    mask = jax.nn.one_hot(topi, e, dtype=topv.dtype)            # [T, k, E]
+    return jnp.einsum("tk,tke->te", topv, mask)
+
+
+def _grouped_enabled() -> bool:
+    """Env override for the grouped prefill path (default: on for S>1)."""
+    import os
+    return os.environ.get("SLI_MOE_GROUPED", "1") != "0"
+
+
+def _dense_layer_weight(w, li: Optional[jax.Array], dtype) -> jax.Array:
+    """Materialize one layer's FFN weight densely (dequantizing INT8).
+
+    The grouped matmuls are FLOPs-bound at prefill; streaming the INT8
+    blocks once through a dequant has the same HBM cost the folded
+    matmul's weight read already paid."""
+    from simplellminference_tpu.ops.linear import QuantizedWeight
+    if isinstance(w, QuantizedWeight):
+        q, sc = w.q, w.scales
+        if q.ndim == 3 and li is not None:
+            q = jax.lax.dynamic_index_in_dim(q, li, 0, keepdims=False)
+            sc = jax.lax.dynamic_index_in_dim(sc, li, 0, keepdims=False)
+        return ref_ops.dequantize_int8_groupwise(q, sc, dtype)
+    if w.ndim == 3 and li is not None:
+        w = jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+    return w.astype(dtype)
+
+
+def moe_ffn_grouped(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
+                    x: jax.Array,
+                    tp_axis: Optional[str] = None) -> jax.Array:
+    """Grouped-matmul MoE FFN for prefill: [B, S, H] -> [B, S, H].
+
+    Sorts the T*k (token, expert) assignments by expert and runs the two
+    FFN matmuls as ``jax.lax.ragged_dot`` grouped GEMMs over per-expert
+    row groups — k/E of the folded path's FLOPs, exact same math.
+
+    Under ``tp_axis`` each shard owns E/tp whole experts: rows routed to
+    remote experts keep flowing through the local GEMMs (static shapes)
+    but their gate weight is zeroed, so they contribute nothing and the
+    existing psum combine stays correct. Per-shard row count is T*k
+    regardless of tp, so grouped beats folded when k < E/tp and ties at
+    k == E/tp (Mixtral 8x: up to tp=4).
+    """
+    b, s, h = x.shape
+    e, k = cfg.num_experts, cfg.num_experts_per_tok
+    ie = cfg.expert_intermediate_size
+    t = b * s
+    xf = x.reshape(t, h)
+
+    wr = lw["router"]
+    if li is not None:
+        wr = jax.lax.dynamic_index_in_dim(wr, li, 0, keepdims=False)
+    topv, topi = router_topk(xf, wr, k, cfg.norm_topk_prob)     # [T, k]
+    k = topi.shape[-1]
+
+    e_loc, base = e, 0
+    if tp_axis is not None:
+        tp = jax.lax.axis_size(tp_axis)
+        assert e % tp == 0, (e, tp)
+        e_loc = e // tp
+        base = jax.lax.axis_index(tp_axis) * e_loc
+    local = topi - base
+    hit = (local >= 0) & (local < e_loc)
+    # Remote rows park in the LAST local group (sorted to the tail) with
+    # zero gate weight — they ride the GEMMs but contribute nothing.
+    local = jnp.where(hit, local, e_loc - 1)
+    gate = jnp.where(hit, topv, 0.0).reshape(-1)                # [T*k]
+
+    flat_e = local.reshape(-1)                                  # [T*k]
+    order = jnp.argsort(flat_e)                                 # stable
+    tok = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)[order]
+    xg = jnp.take(xf, tok, axis=0)                              # [T*k, H]
+    gsz = jnp.bincount(flat_e, length=e_loc).astype(jnp.int32)
+
+    wgu = _dense_layer_weight(lw["w_gate_up"], li, xf.dtype)
+    wgu = wgu.reshape(h, e_loc, 2 * ie).transpose(1, 0, 2)      # [E,H,2Ie]
+    gu = jax.lax.ragged_dot(xg, wgu, gsz,
+                            preferred_element_type=jnp.float32)
+    act = ref_ops.glu_act(gu[..., :ie], gu[..., ie:], cfg.hidden_act)
+    act = act * jnp.take(gate, order)[:, None]
+
+    wd = _dense_layer_weight(lw["w_down"], li, xf.dtype)
+    wd = wd.reshape(e_loc, ie, h)                               # [E,Ie,H]
+    yg = jax.lax.ragged_dot(act.astype(xf.dtype), wd, gsz,
+                            preferred_element_type=jnp.float32)
+    y = jnp.zeros((t, h), jnp.float32).at[tok].add(yg)
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
+    return y.reshape(b, s, h).astype(x.dtype)
 
 
 def moe_ffn(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
             x: jax.Array, tp_axis: Optional[str] = None) -> jax.Array:
     """MoE FFN on the (already-normed) input x: [B, S, H] -> [B, S, H].
 
+    Decode (S == 1) uses the folded dense-expert matmuls (bandwidth-
+    optimal); prefill routes to :func:`moe_ffn_grouped` (FLOPs-optimal).
     Under ``tp_axis`` each shard owns E/tp whole experts (folded column/
     row blocks); the returned value is the psum-combined output.
     """
     b, s, h = x.shape
+    if s > 1 and _grouped_enabled():
+        return moe_ffn_grouped(cfg, lw, li, x, tp_axis=tp_axis)
     e, k = cfg.num_experts, cfg.num_experts_per_tok
     ie = cfg.expert_intermediate_size
     t = b * s

@@ -25,7 +25,15 @@ def _moe_cfg(**ov):
     return ModelConfig.tiny_test(**kw)
 
 
-def test_moe_ffn_matches_expert_loop_oracle():
+@pytest.fixture(params=["grouped", "folded"])
+def moe_path(request, monkeypatch):
+    """Run the test body under both prefill MoE implementations."""
+    monkeypatch.setenv("SLI_MOE_GROUPED",
+                       "1" if request.param == "grouped" else "0")
+    return request.param
+
+
+def test_moe_ffn_matches_expert_loop_oracle(moe_path):
     cfg = _moe_cfg()
     key = jax.random.PRNGKey(0)
     params = llama.init_params(cfg, key)
@@ -38,6 +46,28 @@ def test_moe_ffn_matches_expert_loop_oracle():
                            lw["w_down"][0], x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_moe_grouped_matches_folded_exactly_shaped():
+    """Grouped (ragged_dot) prefill == folded dense prefill, larger T so
+    every expert sees a nonempty and a non-uniform group."""
+    cfg = _moe_cfg()
+    params = llama.init_params(cfg, jax.random.PRNGKey(7))
+    lw = {k: v[0] for k, v in params["layers"].items()}
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 33, 128), jnp.float32)
+    got = moe.moe_ffn_grouped(cfg, lw, None, x)
+    want_gates = moe.router_probs(
+        x.reshape(-1, 128), lw["router"], cfg.num_experts_per_tok,
+        cfg.norm_topk_prob)
+    assert (np.asarray(want_gates) > 0).sum() > 0
+    import os
+    os.environ["SLI_MOE_GROUPED"] = "0"
+    try:
+        want = moe.moe_ffn(cfg, lw, None, x)
+    finally:
+        os.environ.pop("SLI_MOE_GROUPED")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_router_probs_topk_and_norm():
@@ -85,7 +115,7 @@ def test_moe_forward_golden_vs_hf_mixtral():
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
 
 
-def test_moe_expert_parallel_tp_matches():
+def test_moe_expert_parallel_tp_matches(moe_path):
     """Experts sharded over the model axis (whole-expert column/row
     blocks + psum combine) == single-device MoE forward."""
     from simplellminference_tpu.models import llama_tp
@@ -106,7 +136,7 @@ def test_moe_expert_parallel_tp_matches():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_moe_quantized_close_to_fp():
+def test_moe_quantized_close_to_fp(moe_path):
     from simplellminference_tpu.core.config import QuantConfig
     from simplellminference_tpu.runtime.weights import quantize_params
 
