@@ -57,8 +57,12 @@ class ModelConfig:
     # Qwen2-MoE checkpoints carry a distinct moe_intermediate_size).
     moe_intermediate_size: Optional[int] = None
     # Renormalize the top-k router probabilities to sum to 1 (Mixtral
-    # always does; Qwen2-MoE exposes norm_topk_prob).
+    # always does; Qwen2-MoE exposes norm_topk_prob, default False).
     norm_topk_prob: bool = True
+    # Qwen2-MoE: an always-on dense FFN of this width runs beside the
+    # sparse experts, weighted by sigmoid(x @ shared_expert_gate).
+    # None = no shared expert (Mixtral).
+    shared_expert_intermediate_size: Optional[int] = None
 
     @property
     def q_size(self) -> int:
@@ -124,7 +128,8 @@ class ModelConfig:
             rope_scaling=d.get("rope_scaling"),
             # Qwen2 has QKV bias unconditionally; Llama exposes a flag.
             attention_bias=d.get(
-                "attention_bias", d.get("model_type") == "qwen2"),
+                "attention_bias",
+                d.get("model_type") in ("qwen2", "qwen2_moe")),
             model_type=d.get("model_type", "llama"),
             # HF resolves the FFN activation from `hidden_activation`
             # first; stock Gemma checkpoints carry a legacy
@@ -142,8 +147,22 @@ class ModelConfig:
                               d.get("num_experts", 0)),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
             moe_intermediate_size=d.get("moe_intermediate_size"),
-            norm_topk_prob=d.get("norm_topk_prob", True),
+            # HF default: Mixtral always renormalizes; Qwen2-MoE's
+            # norm_topk_prob defaults to False.
+            norm_topk_prob=d.get(
+                "norm_topk_prob", d.get("model_type") != "qwen2_moe"),
+            shared_expert_intermediate_size=d.get(
+                "shared_expert_intermediate_size"),
         )
+        # Qwen2-MoE can interleave dense layers (decoder_sparse_step,
+        # mlp_only_layers); heterogeneous layer stacks don't fit the
+        # scanned stacked-layer layout, and every released Qwen-MoE
+        # checkpoint is all-sparse — gate loudly rather than mis-run.
+        if kw["num_experts"] and (d.get("decoder_sparse_step", 1) != 1
+                                  or d.get("mlp_only_layers")):
+            raise ValueError(
+                "mixed dense/sparse MoE layer stacks (decoder_sparse_step"
+                " != 1 or mlp_only_layers) are not supported")
         kw.update(overrides)
         return cls(**kw)
 
@@ -229,6 +248,17 @@ class ModelConfig:
             rope_theta=1000000.0, max_seq_len=32768,
             model_type="mixtral", num_experts=8, num_experts_per_tok=2),
             ov)
+
+    @classmethod
+    def qwen15_moe_a2_7b(cls, **ov) -> "ModelConfig":
+        return cls._preset(dict(
+            vocab_size=151936, hidden_size=2048, intermediate_size=5632,
+            num_layers=24, num_heads=16, num_kv_heads=16, head_dim=128,
+            rope_theta=1000000.0, max_seq_len=32768, attention_bias=True,
+            model_type="qwen2_moe", num_experts=60, num_experts_per_tok=4,
+            moe_intermediate_size=1408, norm_topk_prob=False,
+            shared_expert_intermediate_size=5632,
+            tie_word_embeddings=False), ov)
 
     @classmethod
     def tiny_test(cls, **ov) -> "ModelConfig":

@@ -550,7 +550,7 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     dtype = jnp.dtype(dtype or cfg.dtype)
     h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     n, kvn, d, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
-    keys = jax.random.split(key, 10)
+    keys = jax.random.split(key, 12)
 
     def w(k, shape, scale=None):
         scale = scale or shape[-2] ** -0.5 if len(shape) > 1 else 0.02
@@ -563,6 +563,11 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             "w_gate_up": w(keys[5], (L, h, e * 2 * ie)),
             "w_down": w(keys[7], (L, e * ie, h), ie ** -0.5),
         }
+        if cfg.shared_expert_intermediate_size:
+            se = cfg.shared_expert_intermediate_size
+            ffn["shared_gate_up"] = w(keys[3], (L, h, 2 * se))
+            ffn["shared_down"] = w(keys[6], (L, se, h), se ** -0.5)
+            ffn["shared_gate"] = w(keys[10], (L, h, 1), 0.02)
     else:
         ffn = {
             "w_gate_up": w(keys[5], (L, h, 2 * i)),

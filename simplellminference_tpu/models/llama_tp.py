@@ -57,15 +57,20 @@ def _qkv_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
     return np.concatenate(cols)
 
 
-def _gate_up_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
-    """Column permutation for w_gate_up: per-shard [gate_d | up_d]."""
-    i = cfg.intermediate_size
+def _interleave_gate_up_perm(i: int, tp: int) -> np.ndarray:
+    """Column permutation for a [gate | up] matrix of width 2*i:
+    per-shard [gate_d | up_d] blocks."""
     il = i // tp
     cols = []
     for dev in range(tp):
         cols.append(np.arange(dev * il, (dev + 1) * il))
         cols.append(np.arange(i + dev * il, i + (dev + 1) * il))
     return np.concatenate(cols)
+
+
+def _gate_up_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
+    """Column permutation for w_gate_up: per-shard [gate_d | up_d]."""
+    return _interleave_gate_up_perm(cfg.intermediate_size, tp)
 
 
 def _permute_cols(w, perm: np.ndarray):
@@ -90,8 +95,14 @@ def permute_params_for_tp(cfg: ModelConfig, params: Params,
     if cfg.num_experts:
         # MoE w_gate_up is per-expert [gate_e | up_e] blocks: a contiguous
         # column shard is already whole experts (E % tp == 0 asserted in
-        # ops/moe.py) — no permutation needed.
+        # ops/moe.py) — no permutation needed. The Qwen2-MoE shared
+        # expert is a plain dense FFN and gets the megatron interleave.
         assert cfg.num_experts % tp == 0, (cfg.num_experts, tp)
+        if cfg.shared_expert_intermediate_size:
+            layers["shared_gate_up"] = _permute_cols(
+                layers["shared_gate_up"],
+                _interleave_gate_up_perm(
+                    cfg.shared_expert_intermediate_size, tp))
     else:
         layers["w_gate_up"] = _permute_cols(layers["w_gate_up"],
                                             _gate_up_perm(cfg, tp))

@@ -50,7 +50,8 @@ def _register_builtin():
         # HF model_types sharing the Llama graph shape (qwen2 adds the
         # QKV bias via cfg.attention_bias; mixtral swaps the dense FFN
         # for the sparse-MoE block via cfg.num_experts).
-        aliases=("mistral", "tinyllama", "qwen2", "gemma", "mixtral"),
+        aliases=("mistral", "tinyllama", "qwen2", "gemma", "mixtral",
+                 "qwen2_moe"),
     )
 
 

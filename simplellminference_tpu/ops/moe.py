@@ -154,6 +154,8 @@ def moe_ffn_grouped(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
     yg = jax.lax.ragged_dot(act.astype(xf.dtype), wd, gsz,
                             preferred_element_type=jnp.float32)
     y = jnp.zeros((t, h), jnp.float32).at[tok].add(yg)
+    if cfg.shared_expert_intermediate_size:
+        y = y + _shared_expert(cfg, lw, li, xf)
     if tp_axis is not None:
         y = jax.lax.psum(y, tp_axis)
     return y.reshape(b, s, h).astype(x.dtype)
@@ -196,9 +198,31 @@ def moe_ffn(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
     act = ref_ops.glu_act(gu[..., :ie], gu[..., ie:], cfg.hidden_act)
     act = act * gates[..., None].astype(act.dtype)   # zero unselected
     y = linear(act.reshape(t, e_loc * ie), lw["w_down"], layer=li)
+    if cfg.shared_expert_intermediate_size:
+        y = y + _shared_expert(cfg, lw, li, xf).astype(y.dtype)
     if tp_axis is not None:
         y = jax.lax.psum(y, tp_axis)
     return y.reshape(b, s, h)
+
+
+def _shared_expert(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
+                   xf: jax.Array) -> jax.Array:
+    """Qwen2-MoE shared expert: an always-on dense FFN weighted by
+    sigmoid(x @ shared_gate). Returns the [T, H] pre-psum partial —
+    under TP its gate_up/down are megatron column/row shards, so adding
+    it before the expert-combine psum costs zero extra collectives
+    (sigmoid-gate scaling commutes with the psum)."""
+    gu = linear(xf, lw["shared_gate_up"], layer=li)   # [T, 2*Se_loc]
+    se_loc = gu.shape[-1] // 2
+    act = ref_ops.glu_act(gu[..., :se_loc], gu[..., se_loc:],
+                          cfg.hidden_act)
+    y = linear(act, lw["shared_down"], layer=li)      # [T, H] partial
+    wg = lw["shared_gate"]                            # [H, 1] (replicated)
+    if li is not None:
+        wg = jax.lax.dynamic_index_in_dim(wg, li, 0, keepdims=False)
+    gate = jax.nn.sigmoid(
+        jnp.dot(xf.astype(jnp.float32), wg.astype(jnp.float32)))
+    return y.astype(jnp.float32) * gate
 
 
 def moe_ffn_ref(cfg: ModelConfig, router: jax.Array, w_gate_up: jax.Array,

@@ -50,6 +50,11 @@ def _layer_specs() -> dict[str, P]:
         # which makes the model axis double as the EXPERT-parallel axis
         # (ops/moe.py).
         "router": P(None, None, None),
+        # Qwen2-MoE shared expert: plain megatron column/row shards; the
+        # scalar sigmoid gate is replicated.
+        "shared_gate_up": P(None, None, m),
+        "shared_down": P(None, m, None),
+        "shared_gate": P(None, None, None),
     }
 
 

@@ -43,7 +43,8 @@ _HF_LLAMA_MAP: dict[str, Any] = {
 # HF Linear weights are [out, in]; ours are [in, out] => transpose all
 # projection matrices. Embedding/norms keep HF orientation.
 _TRANSPOSED = {"lm_head", "layers/wqkv", "layers/wo", "layers/w_gate_up",
-               "layers/w_down", "layers/router"}
+               "layers/w_down", "layers/router", "layers/shared_gate_up",
+               "layers/shared_down", "layers/shared_gate"}
 
 # Tuple entries for these paths concatenate along the CONTRACTION (row)
 # axis after transpose — per-expert w_down blocks stack rows [E*Ie, H].
@@ -53,7 +54,8 @@ _ROW_CONCAT = {"layers/w_down"}
 # and the LM head stay high-precision (standard practice; also how the
 # BASELINE PPL budget is met).
 _QUANTIZABLE = {"layers/wqkv", "layers/wo", "layers/w_gate_up",
-                "layers/w_down"}
+                "layers/w_down", "layers/shared_gate_up",
+                "layers/shared_down"}
 
 
 def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
@@ -62,17 +64,32 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
     Qwen2 shares the graph with QKV bias added (cfg.attention_bias)."""
     m = dict(_HF_LLAMA_MAP)
     if cfg.num_experts:
-        # Mixtral sparse-MoE FFN: experts fold into the dense stacked
-        # layouts (ops/moe.py) — per-expert [gate_e | up_e] column blocks
-        # for w_gate_up, per-expert row blocks for w_down.
-        pre = "model.layers.{i}.block_sparse_moe"
+        # Sparse-MoE FFN: experts fold into the dense stacked layouts
+        # (ops/moe.py) — per-expert [gate_e | up_e] column blocks for
+        # w_gate_up, per-expert row blocks for w_down. Mixtral names the
+        # projections w1/w3/w2 under block_sparse_moe; Qwen2-MoE uses
+        # gate/up/down_proj under mlp and adds the shared expert.
+        if cfg.model_type == "qwen2_moe":
+            pre = "model.layers.{i}.mlp"
+            names = ("gate_proj", "up_proj")
+            down = "down_proj"
+        else:
+            pre = "model.layers.{i}.block_sparse_moe"
+            names = ("w1", "w3")
+            down = "w2"
         m["layers/router"] = pre + ".gate.weight"
         m["layers/w_gate_up"] = tuple(
-            pre + f".experts.{e}.w{w}.weight"
-            for e in range(cfg.num_experts) for w in (1, 3))
+            pre + f".experts.{e}.{w}.weight"
+            for e in range(cfg.num_experts) for w in names)
         m["layers/w_down"] = tuple(
-            pre + f".experts.{e}.w2.weight"
+            pre + f".experts.{e}.{down}.weight"
             for e in range(cfg.num_experts))
+        if cfg.shared_expert_intermediate_size:
+            m["layers/shared_gate_up"] = (
+                pre + ".shared_expert.gate_proj.weight",
+                pre + ".shared_expert.up_proj.weight")
+            m["layers/shared_down"] = pre + ".shared_expert.down_proj.weight"
+            m["layers/shared_gate"] = pre + ".shared_expert_gate.weight"
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
     if cfg.attention_bias:

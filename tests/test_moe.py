@@ -115,6 +115,86 @@ def test_moe_forward_golden_vs_hf_mixtral():
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
 
 
+def _qwen_moe_cfg(**ov):
+    kw = dict(num_heads=4, num_kv_heads=2, head_dim=32, hidden_size=128,
+              intermediate_size=96, vocab_size=256, num_layers=2,
+              num_experts=4, num_experts_per_tok=2,
+              moe_intermediate_size=48, norm_topk_prob=False,
+              shared_expert_intermediate_size=64, attention_bias=True,
+              model_type="qwen2_moe", dtype="float32")
+    kw.update(ov)
+    return ModelConfig.tiny_test(**kw)
+
+
+def test_qwen2_moe_golden_vs_hf(moe_path):
+    """Qwen2-MoE semantics vs torch: un-renormalized top-k routing,
+    shared expert with sigmoid gate, QKV bias."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "Qwen2MoeForCausalLM"):
+        pytest.skip("transformers too old for Qwen2MoeForCausalLM")
+
+    hf_cfg = transformers.Qwen2MoeConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
+        shared_expert_intermediate_size=64, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        output_router_logits=False, sliding_window=None,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Qwen2MoeForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.num_experts == 4 and cfg.model_type == "qwen2_moe"
+    assert not cfg.norm_topk_prob and cfg.attention_bias
+    assert cfg.shared_expert_intermediate_size == 64
+
+    from simplellminference_tpu.runtime.weights import (
+        params_from_torch_state_dict)
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77]], np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(tokens.astype(np.int64))).logits.numpy()
+    positions = np.arange(tokens.shape[1], dtype=np.int32)[None]
+    got, _ = llama.forward(cfg, params, jnp.asarray(tokens),
+                           jnp.asarray(positions))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_qwen2_moe_tp_matches(moe_path):
+    """Shared expert under megatron TP (column/row shards + one psum)."""
+    from simplellminference_tpu.models import llama_tp
+    from simplellminference_tpu.parallel import mesh as mesh_lib, sharding
+
+    cfg = _qwen_moe_cfg(num_heads=8, num_kv_heads=4)
+    params = llama.init_params(cfg, jax.random.PRNGKey(11))
+    tokens = jnp.asarray(
+        np.random.default_rng(3).integers(0, 256, (2, 8)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (2, 8))
+    ref, _ = llama.forward(cfg, params, tokens, positions)
+
+    mesh = mesh_lib.build_mesh(mesh_lib.MeshConfig(data=2, model=4))
+    tp_params, fwd = llama_tp.make_tp_forward(cfg, mesh, params)
+    tp_params = sharding.shard_params(cfg, tp_params, mesh)
+    got, _ = fwd(tp_params, tokens, positions, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_sparse_dense_stack_rejected():
+    with pytest.raises(ValueError, match="mixed dense/sparse"):
+        ModelConfig.from_hf_dict(dict(
+            vocab_size=256, hidden_size=128, intermediate_size=96,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, model_type="qwen2_moe",
+            num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=48, mlp_only_layers=[0]))
+
+
 def test_moe_expert_parallel_tp_matches(moe_path):
     """Experts sharded over the model axis (whole-expert column/row
     blocks + psum combine) == single-device MoE forward."""
