@@ -63,6 +63,12 @@ class ModelConfig:
     # sparse experts, weighted by sigmoid(x @ shared_expert_gate).
     # None = no shared expert (Mixtral).
     shared_expert_intermediate_size: Optional[int] = None
+    # Sliding-window attention (Mistral-style): each query attends only
+    # to keys within the last `sliding_window` positions, i.e. keys with
+    # q_pos - k_pos < window. None = full causal attention. The flash
+    # kernels skip KV blocks outside the window (decode cost becomes
+    # O(window) instead of O(context)).
+    sliding_window: Optional[int] = None
 
     @property
     def q_size(self) -> int:
@@ -153,6 +159,7 @@ class ModelConfig:
                 "norm_topk_prob", d.get("model_type") != "qwen2_moe"),
             shared_expert_intermediate_size=d.get(
                 "shared_expert_intermediate_size"),
+            sliding_window=cls._resolve_sliding_window(d),
         )
         # Qwen2-MoE can interleave dense layers (decoder_sparse_step,
         # mlp_only_layers); heterogeneous layer stacks don't fit the
@@ -165,6 +172,36 @@ class ModelConfig:
                 " != 1 or mlp_only_layers) are not supported")
         kw.update(overrides)
         return cls(**kw)
+
+    @staticmethod
+    def _resolve_sliding_window(d: dict[str, Any]) -> Optional[int]:
+        """HF sliding-window semantics per model family.
+
+        Mistral applies ``sliding_window`` to every layer when set
+        (v0.2+ checkpoints carry null = full attention). Qwen2 gates on
+        ``use_sliding_window`` (default False — released checkpoints
+        run full attention at inference) and applies it only to layers
+        >= ``max_window_layers``; a heterogeneous full/SWA stack does
+        not fit the scanned stacked-layer layout, so gate loudly.
+        """
+        w = d.get("sliding_window")
+        if not w:
+            return None
+        mt = d.get("model_type", "llama")
+        if mt == "mistral":
+            return int(w)
+        if mt in ("qwen2", "qwen2_moe"):
+            if not d.get("use_sliding_window", False):
+                return None
+            mwl = d.get("max_window_layers", 0)
+            if mwl >= d["num_hidden_layers"]:
+                return None  # every layer below the cutoff: all-full
+            if mwl != 0:
+                raise ValueError(
+                    "mixed full/sliding-window layer stacks "
+                    f"(max_window_layers={mwl}) are not supported")
+            return int(w)
+        return None
 
     @classmethod
     def from_hf_json(cls, path: str, **overrides) -> "ModelConfig":

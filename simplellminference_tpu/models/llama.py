@@ -288,7 +288,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             kv_lens = offsets + s
         if s > 1 and prefill_from_zero:
             # Fresh k/v are the whole prefix: plain causal self-attention.
-            mask = ref_ops.causal_mask(s, s)[None, None]         # [1,1,S,S]
+            mask = ref_ops.causal_mask(
+                s, s, window=cfg.sliding_window)[None, None]     # [1,1,S,S]
         else:
             sk = cache.max_seq
             # Keys live at absolute cache slots 0..sk-1; attend where
@@ -297,6 +298,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             q_pos = positions[:, None, :, None]                  # [B,1,S,1]
             mask = ((key_pos <= q_pos)
                     & (key_pos < kv_lens[:, None, None, None]))
+            if cfg.sliding_window is not None:
+                mask = mask & (key_pos > q_pos - cfg.sliding_window)
 
         def body(carry, li):
             x, ck, cv = carry
@@ -310,7 +313,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             jnp.arange(cfg.num_layers, dtype=jnp.int32))
         cache = DenseKVCache(k=new_k, v=new_v)
     else:
-        mask = ref_ops.causal_mask(s, s)[None, None]             # [1,1,S,S]
+        mask = ref_ops.causal_mask(
+            s, s, window=cfg.sliding_window)[None, None]         # [1,1,S,S]
 
         def body(x, li):
             x, _, _ = decoder_layer(cfg, lw, li, x, sin, cos, None, None,
@@ -390,7 +394,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if chunked or spec:
         mask = None  # built against the gathered cache inside the layer
     elif prefill:
-        mask = ref_ops.causal_mask(s, s)[None, None]
+        mask = ref_ops.causal_mask(
+            s, s, window=cfg.sliding_window)[None, None]
     else:
         mask = None
 

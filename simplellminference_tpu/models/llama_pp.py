@@ -235,15 +235,19 @@ def _pp_body(cfg: ModelConfig, params: Params, tokens, positions, ck, cv,
         if has_cache:
             offs, lens = offs_m[m_idx], lens_m[m_idx]
             if s > 1 and prefill_from_zero:
-                mask = ref_ops.causal_mask(s, s)[None, None]
+                mask = ref_ops.causal_mask(
+                    s, s, window=cfg.sliding_window)[None, None]
             else:
                 key_pos = jnp.arange(smax)[None, None, None, :]
                 q_pos = pos[:, None, :, None]
                 mask = ((key_pos <= q_pos)
                         & (key_pos < lens[:, None, None, None]))
+                if cfg.sliding_window is not None:
+                    mask = mask & (key_pos > q_pos - cfg.sliding_window)
         else:
             offs = lens = None
-            mask = ref_ops.causal_mask(s, s)[None, None]
+            mask = ref_ops.causal_mask(
+                s, s, window=cfg.sliding_window)[None, None]
 
         def lbody(carry, li):
             x, ckm, cvm = carry

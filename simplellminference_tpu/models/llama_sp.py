@@ -101,6 +101,14 @@ def make_sp_prefill(cfg: ModelConfig, mesh: Mesh):
     multiple of the ring size; weights are replicated (combine with TP
     on a 2-D mesh as a follow-up)."""
     ring = mesh.shape[SEQ_AXIS]
+    if cfg.sliding_window is not None:
+        # The ring schedule's online-softmax merge assumes full causal
+        # attention over every rotated KV chunk; windowed masking across
+        # rotated chunks is not wired up. (A window shorter than the
+        # per-device shard would also make the ring pointless.)
+        raise NotImplementedError(
+            "sliding-window attention is not supported by the "
+            "sequence-parallel ring prefill")
 
     def forward_fn(params, tokens):
         b, s = tokens.shape

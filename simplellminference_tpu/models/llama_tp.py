@@ -134,13 +134,16 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
     if cache_k is not None:
         if s > 1 and prefill_from_zero:
-            mask = ref_ops.causal_mask(s, s)[None, None]
+            mask = ref_ops.causal_mask(
+                s, s, window=cfg.sliding_window)[None, None]
         else:
             sk = cache_k.shape[3]
             key_pos = jnp.arange(sk)[None, None, None, :]
             q_pos = positions[:, None, :, None]
             mask = ((key_pos <= q_pos)
                     & (key_pos < kv_lens[:, None, None, None]))
+            if cfg.sliding_window is not None:
+                mask = mask & (key_pos > q_pos - cfg.sliding_window)
 
         def body(carry, li):
             x, ck, cv = carry
@@ -154,7 +157,8 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
             body, (x, cache_k, cache_v),
             jnp.arange(cfg.num_layers, dtype=jnp.int32))
     else:
-        mask = ref_ops.causal_mask(s, s)[None, None]
+        mask = ref_ops.causal_mask(
+            s, s, window=cfg.sliding_window)[None, None]
 
         def body(x, li):
             x, _, _ = llama.decoder_layer(

@@ -62,7 +62,8 @@ def attention(cfg: ModelConfig, q: jax.Array, k: jax.Array, v: jax.Array,
     if _use_flash() and s > 1 and s % 128 == 0 and q.shape[-1] in (64, 128, 256):
         from simplellminference_tpu.ops.attention.flash_prefill import (
             flash_prefill)
-        return flash_prefill(q, k, v, causal=True)
+        return flash_prefill(q, k, v, causal=True,
+                             window=cfg.sliding_window)
     return ref_ops.attention(q, k, v, mask)
 
 
@@ -87,12 +88,14 @@ def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
             from simplellminference_tpu.ops.attention.flash_decode import (
                 flash_decode)
             return flash_decode(q[:, 0], ck, cv, kv_lens,
-                                layer=layer if stacked else None)[:, None]
+                                layer=layer if stacked else None,
+                                window=cfg.sliding_window)[:, None]
         if (s > 1 and prefill_from_zero and s % 128 == 0 and not stacked):
             from simplellminference_tpu.ops.attention.flash_prefill import (
                 flash_prefill)
             return flash_prefill(q, ck[:, :, :s], cv[:, :, :s],
-                                 causal=True, kv_layout="bnsd")
+                                 causal=True, kv_layout="bnsd",
+                                 window=cfg.sliding_window)
     if stacked:
         ck = jax.lax.dynamic_index_in_dim(ck, layer, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv, layer, 0, keepdims=False)
@@ -128,7 +131,8 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
             q, pool_k, pool_v, tables, kv_lens, chunk_offset,
             bq=256 if s % 256 == 0 else 128,
             layer=layer if stacked else None,
-            k_scale=pool_ks, v_scale=pool_vs)
+            k_scale=pool_ks, v_scale=pool_vs,
+            window=cfg.sliding_window)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
         pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
@@ -145,6 +149,9 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
              + jnp.arange(s, dtype=jnp.int32)[None])         # [B, S]
     mask = ((key_pos <= q_pos[:, None, :, None])
             & (key_pos < kv_lens[:, None, None, None]))
+    if cfg.sliding_window is not None:
+        mask = mask & (key_pos > q_pos[:, None, :, None]
+                       - cfg.sliding_window)
     return ref_ops.attention(q, ck.transpose(0, 2, 1, 3),
                              cv.transpose(0, 2, 1, 3), mask)
 
@@ -174,7 +181,8 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                                       kv_lens,
                                       layer=layer if stacked else None,
                                       k_scale=pool_ks,
-                                      v_scale=pool_vs)[:, None]
+                                      v_scale=pool_vs,
+                                      window=cfg.sliding_window)[:, None]
         # speculative verify window: rows s of each sequence sit at
         # positions kv_len - s .. kv_len - 1 (in-window causal masking
         # happens in-kernel; KV page traffic == one decode step)
@@ -182,7 +190,8 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
             paged_flash_verify)
         return paged_flash_verify(q, pool_k, pool_v, tables, kv_lens,
                                   layer=layer if stacked else None,
-                                  k_scale=pool_ks, v_scale=pool_vs)
+                                  k_scale=pool_ks, v_scale=pool_vs,
+                                  window=cfg.sliding_window)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
         pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
@@ -196,11 +205,19 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
     if s == 1:
         mask = (key_pos[None, None, None, :]
                 < kv_lens[:, None, None, None])
+        if cfg.sliding_window is not None:
+            mask = mask & (key_pos[None, None, None, :]
+                           >= kv_lens[:, None, None, None]
+                           - cfg.sliding_window)
     else:
         q_pos = (kv_lens[:, None] - s
                  + jnp.arange(s, dtype=jnp.int32)[None])      # [B, S]
         mask = (key_pos[None, None, None, :]
                 <= q_pos[:, None, :, None])
+        if cfg.sliding_window is not None:
+            mask = mask & (key_pos[None, None, None, :]
+                           > q_pos[:, None, :, None]
+                           - cfg.sliding_window)
     k = ck.transpose(0, 2, 1, 3)
     v = cv.transpose(0, 2, 1, 3)
     return ref_ops.attention(q, k, v, mask)

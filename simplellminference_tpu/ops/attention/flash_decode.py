@@ -39,7 +39,7 @@ NEG_INF = -1e30
 
 def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *, scale: float, bk: int,
-                   group: int, hb: int):
+                   group: int, hb: int, window: int | None):
     del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     ki = pl.program_id(2)
@@ -53,7 +53,12 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(ki * bk < kv_len)
+    run = ki * bk < kv_len
+    if window is not None:
+        # kv block entirely before the window start (kv_len - window)
+        run = run & (ki * bk + bk > kv_len - window)
+
+    @pl.when(run)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)              # [HB, G, D]
         k = k_ref[0, 0].astype(jnp.float32)              # [HB, bk, D]
@@ -63,7 +68,10 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
             preferred_element_type=jnp.float32) * scale
         s = s.reshape(rows, bk)
         k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos < kv_len, s, NEG_INF)
+        keep = k_pos < kv_len
+        if window is not None:
+            keep = keep & (k_pos >= kv_len - window)
+        s = jnp.where(keep, s, NEG_INF)
 
         m_prev = m_ref[:rows, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -87,13 +95,15 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bk", "interpret",
-                                             "rows_target", "max_kv"))
+                                             "rows_target", "max_kv",
+                                             "window"))
 def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                  kv_lens: jax.Array, bk: int | None = None,
                  interpret: bool = False,
                  layer: jax.Array | None = None,
                  rows_target: int = 16,
-                 max_kv: int | None = None) -> jax.Array:
+                 max_kv: int | None = None,
+                 window: int | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D] — or the full stacked
     arena [L, B, kvN, Smax, D] with a traced ``layer`` index. kv_lens: [B]
     -> out [B, N, D]; attends to cache slots [0, kv_len) per sequence.
@@ -101,7 +111,11 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     ``max_kv``: static upper bound on kv_lens when the caller knows one
     tighter than the arena capacity (generate() knows prompt + max_new) —
     the seq-block grid dim shrinks to ceil(max_kv / bk), so per-step cost
-    scales with the workload's real window, not the arena allocation."""
+    scales with the workload's real window, not the arena allocation.
+
+    ``window``: sliding-window attention — attend only cache slots
+    [max(0, kv_len - window), kv_len). Blocks before the window start
+    clamp to it (no DMA, no compute): per-step cost is O(window)."""
     if k_cache.ndim == 4:
         k_cache = k_cache[None]
         v_cache = v_cache[None]
@@ -142,7 +156,12 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         # clamp past-the-end blocks to the last valid block: same index ->
         # Pallas skips the DMA; @pl.when skips the compute.
         frontier = jnp.maximum(lens_ref[i_b] - 1, 0) // bk
-        return (layer_ref[0], i_b, i_h, jnp.minimum(i_k, frontier), 0)
+        i_k = jnp.minimum(i_k, frontier)
+        if window is not None:
+            # blocks before the window start clamp to its first block
+            lo = jnp.maximum(lens_ref[i_b] - window, 0) // bk
+            i_k = jnp.maximum(i_k, lo)
+        return (layer_ref[0], i_b, i_h, i_k, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -166,7 +185,7 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, bk=bk,
-                          group=group, hb=hb),
+                          group=group, hb=hb, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),

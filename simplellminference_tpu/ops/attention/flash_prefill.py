@@ -24,7 +24,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale: float, bq: int, bk: int, causal: bool):
+                  scale: float, bq: int, bk: int, causal: bool,
+                  window: int | None):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -37,6 +38,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
     # Causal frontier: kv block strictly above the diagonal -> skip.
     run = (not causal) or (ki * bk <= qi * bq + bq - 1)
+    if window is not None:
+        # kv block entirely below every query row's window start -> skip
+        # (newest query in the tile attends keys > qi*bq + bq-1 - window).
+        run = run & (ki * bk + bk - 1 >= qi * bq - (window - 1))
 
     @pl.when(run)
     def _():
@@ -51,7 +56,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                 jnp.int32, (bq, bk), 0)
             k_pos = ki * bk + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bk), 1)
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+            keep = k_pos <= q_pos
+            if window is not None:
+                keep = keep & (k_pos > q_pos - window)
+            s = jnp.where(keep, s, NEG_INF)
 
         m_prev = m_ref[:, :1]                        # [bq, 1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -72,18 +80,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "bq", "bk",
-                                             "kv_layout", "interpret"))
+                                             "kv_layout", "interpret",
+                                             "window"))
 def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
                   causal: bool = True, bq: int = 256, bk: int = 256,
                   kv_layout: str = "bsnd",
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False,
+                  window: int | None = None) -> jax.Array:
     """q: [B, Sq, N, D]; k/v: [B, Sk, kvN, D] (kv_layout="bsnd") or
     [B, kvN, Sk, D] (kv_layout="bnsd", the KV-cache layout — no transpose
     of the cache needed) -> [B, Sq, N, D].
 
     Sq/Sk must be padded to bq/bk multiples by the caller (the runtime
     buckets prompt lengths, generator.py). GQA by head-index mapping.
+
+    ``window``: sliding-window attention — query i attends keys with
+    q_pos - k_pos < window (requires causal). kv blocks fully outside
+    the window band are skipped (index-map clamping, like the causal
+    frontier), so cost is O(Sq · window) instead of O(Sq²)/2.
     """
+    assert window is None or causal, "sliding window requires causal"
     b, sq, n, d = q.shape
     if kv_layout == "bsnd":
         _, sk, kvn, _ = k.shape
@@ -108,11 +124,16 @@ def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
             # last kv block the causal frontier allows for this q block
             frontier = jax.lax.div(i_q * bq + bq - 1, bk)
             i_k = jnp.minimum(i_k, frontier)
+        if window is not None:
+            # first kv block the oldest query row's window reaches:
+            # steps below it re-map there (no DMA; @pl.when skips compute)
+            lo = jnp.maximum(i_q * bq - (window - 1), 0) // bk
+            i_k = jnp.maximum(i_k, lo)
         return i_k
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, bq=bq, bk=bk,
-                          causal=causal),
+                          causal=causal, window=window),
         grid=(b, n, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d),

@@ -23,7 +23,8 @@ NEG_INF = -1e30
 
 def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
                   *refs, scale: float, ps: int, group: int, hb: int,
-                  quant_kv: bool, wins: int = 1):
+                  quant_kv: bool, wins: int = 1,
+                  window: int | None = None):
     if quant_kv:
         # INT8 KV: per-token-per-head scale pages ride along; dequant on
         # the VPU right after the page DMA.
@@ -43,7 +44,12 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(pi * ps < kv_len)
+    run = pi * ps < kv_len
+    if window is not None:
+        # page entirely before the OLDEST verify row's window start
+        run = run & (pi * ps + ps > kv_len - wins - window + 1)
+
+    @pl.when(run)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [HB, G*W, D]
         k = kp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
@@ -58,7 +64,11 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
         # window index w sits at position kv_len - wins + w, so it may
         # attend keys k_pos <= that position. wins == 1 => k_pos < kv_len.
         w = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % wins
-        s = jnp.where(k_pos < kv_len - wins + 1 + w, s, NEG_INF)
+        keep = k_pos < kv_len - wins + 1 + w
+        if window is not None:
+            # sliding window per row: k_pos > row_pos - window
+            keep = keep & (k_pos > kv_len - wins + w - window)
+        s = jnp.where(keep, s, NEG_INF)
 
         m_prev = m_ref[:rows, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -83,13 +93,14 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
             hb, group * wins, 1)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "window"))
 def paged_flash_verify(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        tables: jax.Array, kv_lens: jax.Array,
                        interpret: bool = False,
                        layer: jax.Array | None = None,
                        k_scale: jax.Array | None = None,
-                       v_scale: jax.Array | None = None) -> jax.Array:
+                       v_scale: jax.Array | None = None,
+                       window: int | None = None) -> jax.Array:
     """Multi-row decode windows (speculative verify): q [B, S, N, D]
     where row s sits at position kv_len - S + s (in-window causal).
     Same page-table flash kernel as :func:`paged_flash_decode` with the
@@ -101,18 +112,20 @@ def paged_flash_verify(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     out = paged_flash_decode(qp, k_pool, v_pool, tables, kv_lens,
                              interpret=interpret, layer=layer,
                              k_scale=k_scale, v_scale=v_scale,
-                             wins=s)
+                             wins=s, window=window)
     return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "wins"))
+@functools.partial(jax.jit, static_argnames=("interpret", "wins",
+                                             "window"))
 def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        tables: jax.Array, kv_lens: jax.Array,
                        interpret: bool = False,
                        layer: jax.Array | None = None,
                        k_scale: jax.Array | None = None,
                        v_scale: jax.Array | None = None,
-                       wins: int = 1) -> jax.Array:
+                       wins: int = 1,
+                       window: int | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_pool: [P, kvN, ps, D] — or the stacked pools
     [L, P, kvN, ps, D] with a traced ``layer`` index (scalar-prefetched,
     zero-copy reads from inside a scan over layers); tables: [B, MP] int32
@@ -124,7 +137,11 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
     ``wins`` > 1 (via :func:`paged_flash_verify`): q carries
     ``wins``-token verify windows packed into its row dim; per-row causal
-    limits apply in-kernel."""
+    limits apply in-kernel.
+
+    ``window``: sliding-window attention — each query row attends only
+    keys with row_pos - k_pos < window; pages before the window start
+    clamp to its first page (no DMA, no compute): O(window) per step."""
     if k_pool.ndim == 4:
         k_pool = k_pool[None]
         v_pool = v_pool[None]
@@ -155,7 +172,12 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
     def page_index(i_b, i_h, i_p, lens_ref, tables_ref, layer_ref):
         last = jnp.maximum(lens_ref[i_b] - 1, 0) // ps
-        pid = tables_ref[i_b, jnp.minimum(i_p, last)]
+        i_p = jnp.minimum(i_p, last)
+        if window is not None:
+            # pages before the oldest row's window start clamp forward
+            lo = jnp.maximum(lens_ref[i_b] - wins - window + 1, 0) // ps
+            i_p = jnp.maximum(i_p, jnp.minimum(lo, last))
+        pid = tables_ref[i_b, i_p]
         return (layer_ref[0], jnp.maximum(pid, 0), i_h, 0, 0)
 
     def scale_index(i_b, i_h, i_p, lens_ref, tables_ref, layer_ref):
@@ -202,7 +224,7 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     out = pl.pallas_call(
         functools.partial(_paged_kernel, scale=scale, ps=ps,
                           group=group // wins, hb=hb, quant_kv=quant_kv,
-                          wins=wins),
+                          wins=wins, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),

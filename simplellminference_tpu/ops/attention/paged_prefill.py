@@ -33,7 +33,8 @@ NEG_INF = -1e30
 
 def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
                           q_ref, kp_ref, vp_ref, *refs, scale: float,
-                          bq: int, ps: int, quant_kv: bool):
+                          bq: int, ps: int, quant_kv: bool,
+                          window: int | None = None):
     if quant_kv:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
     else:
@@ -55,6 +56,9 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
     # run while the page overlaps [0, min(kv_len, q_pos_max + 1))
     q_hi = off + qi * bq + bq - 1           # newest query this tile
     run = (pi * ps <= q_hi) & (pi * ps < kv_len)
+    if window is not None:
+        # page entirely before the oldest query row's window start
+        run = run & (pi * ps + ps - 1 >= off + qi * bq - (window - 1))
 
     @pl.when(run)
     def _():
@@ -70,7 +74,10 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
             jnp.int32, (bq, ps), 0)
         k_pos = pi * ps + jax.lax.broadcasted_iota(
             jnp.int32, (bq, ps), 1)
-        s = jnp.where((k_pos <= q_pos) & (k_pos < kv_len), s, NEG_INF)
+        keep = (k_pos <= q_pos) & (k_pos < kv_len)
+        if window is not None:
+            keep = keep & (k_pos > q_pos - window)
+        s = jnp.where(keep, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -93,14 +100,15 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bq", "interpret", "window"))
 def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
                         v_pool: jax.Array, tables: jax.Array,
                         kv_lens: jax.Array, chunk_offset: jax.Array,
                         bq: int = 256, interpret: bool = False,
                         layer: jax.Array | None = None,
                         k_scale: jax.Array | None = None,
-                        v_scale: jax.Array | None = None) -> jax.Array:
+                        v_scale: jax.Array | None = None,
+                        window: int | None = None) -> jax.Array:
     """q: [B, Sq, N, D] — row b's queries sit at absolute positions
     chunk_offset[b] + 0..Sq-1 (the current prefill chunk, already written
     to its pages). k/v_pool: [P, kvN, ps, D] or stacked [L, P, kvN, ps, D]
@@ -111,7 +119,11 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     ride along and dequantize in-kernel (same contract as paged_decode).
 
     Sq must be a multiple of bq (callers pad; padded rows produce garbage
-    that downstream last-token selection discards)."""
+    that downstream last-token selection discards).
+
+    ``window``: sliding-window attention — each query attends only keys
+    with q_pos - k_pos < window; pages entirely outside a tile's window
+    band are skipped via index-map clamping (cost O(Sq · window))."""
     if k_pool.ndim == 4:
         k_pool = k_pool[None]
         v_pool = v_pool[None]
@@ -141,8 +153,15 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
         # @pl.when skips the compute.
         frontier = (offs_ref[i_b] + i_q * bq + bq - 1) // ps
         last = jnp.maximum(lens_ref[i_b] - 1, 0) // ps
-        pid = tables_ref[i_b, jnp.minimum(jnp.minimum(i_p, frontier),
-                                          last)]
+        hi = jnp.minimum(frontier, last)
+        i_p = jnp.minimum(i_p, hi)
+        if window is not None:
+            # pages before the oldest query row's window start clamp
+            # forward to the window's first page
+            lo = jnp.maximum(offs_ref[i_b] + i_q * bq - (window - 1),
+                             0) // ps
+            i_p = jnp.maximum(i_p, jnp.minimum(lo, hi))
+        pid = tables_ref[i_b, i_p]
         return (layer_ref[0], jnp.maximum(pid, 0),
                 jax.lax.div(i_h, group), 0, 0)
 
@@ -187,7 +206,7 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_paged_prefill_kernel, scale=scale, bq=bq,
-                          ps=ps, quant_kv=quant_kv),
+                          ps=ps, quant_kv=quant_kv, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(

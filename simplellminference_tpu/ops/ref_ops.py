@@ -157,11 +157,18 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.astype(q.dtype)
 
 
-def causal_mask(sq: int, sk: int, q_offset: jax.Array | int = 0) -> jax.Array:
-    """[Sq, Sk] boolean causal mask; query i attends to keys <= q_offset + i."""
+def causal_mask(sq: int, sk: int, q_offset: jax.Array | int = 0,
+                window: int | None = None) -> jax.Array:
+    """[Sq, Sk] boolean causal mask; query i attends to keys <= q_offset + i.
+
+    ``window``: sliding-window attention (Mistral semantics) — query i
+    additionally attends only to keys with q_pos - k_pos < window."""
     qi = jnp.arange(sq)[:, None] + q_offset
     ki = jnp.arange(sk)[None, :]
-    return ki <= qi
+    mask = ki <= qi
+    if window is not None:
+        mask = mask & (ki > qi - window)
+    return mask
 
 
 def quantize_int8_groupwise(w: jax.Array, group_size: int,
