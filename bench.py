@@ -39,7 +39,7 @@ HBM_BW = {  # bytes/s, per chip
 }
 
 
-def _bench_params(cfg, quantize: bool, key):
+def _bench_params(cfg, quant: str, key):
     """Fake weights straight in their storage dtype — benchmark numerics
     don't matter, HBM traffic does. Deterministic iota hashing instead of
     threefry RNG: generating real random 7B tensors on-device costs ~5 min
@@ -58,10 +58,18 @@ def _bench_params(cfg, quantize: bool, key):
         return (((a * 37 + btt * 101 + 13) % 255) - 127).astype(jnp.int8)
 
     def w(shape):
-        if not quantize:
+        if quant == "none":
             scale = shape[-2] ** -0.5 / 127.0
             return (_fake_int8(shape).astype(jnp.float32) * scale
                     ).astype(dtype)
+        if quant == "int4":
+            # split-half packed storage (ops/matmul.py int4 path):
+            # half the rows, two nibbles per byte
+            pshape = (*shape[:-2], shape[-2] // 2, shape[-1])
+            scales = jnp.full((*shape[:-2], 1, shape[-1]),
+                              shape[-2] ** -0.5 / 7.0, jnp.float32)
+            return QuantizedWeight(q=_fake_int8(pshape), scales=scales,
+                                   bits=4)
         q = _fake_int8(shape)
         # Per-output-channel scales (QuantConfig.group_size=0): the
         # standard near-lossless weight-only INT8 scheme, and the fastest —
@@ -86,7 +94,7 @@ def _bench_params(cfg, quantize: bool, key):
     }
     # INT8 LM head (QuantConfig.quantize_lm_head): halves the largest
     # single weight read of the decode step (h x vocab).
-    params["lm_head"] = (w((h, v)) if quantize
+    params["lm_head"] = (w((h, v)) if quant != "none"
                          else _fake_int8((h, v)).astype(dtype) * 0.002)
     return params
 
@@ -155,6 +163,9 @@ def main():
                     help="report the stripped fused loop as the headline "
                          "(r1 behavior)")
     ap.add_argument("--fp", action="store_true", help="bf16 weights, no quant")
+    ap.add_argument("--quant", default=None, choices=["none", "int8", "int4"],
+                    help="weight storage (default int8; int4 = capacity "
+                         "mode, see core/config.py QuantConfig)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -166,8 +177,9 @@ def main():
           "tinyllama": ModelConfig.tinyllama_1_1b}[args.model]
     cfg = mk(max_seq_len=args.ctx, dtype="bfloat16")
 
-    quantize = not args.fp
-    params = _bench_params(cfg, quantize, jax.random.PRNGKey(0))
+    quant = args.quant or ("none" if args.fp else "int8")
+    quantize = quant != "none"
+    params = _bench_params(cfg, quant, jax.random.PRNGKey(0))
     from simplellminference_tpu.runtime.weights import canonicalize_layouts
     params = canonicalize_layouts(params)
     jax.block_until_ready(params)
@@ -233,7 +245,7 @@ def main():
 
     result = {
         "metric": f"serve_decode_tokens_per_sec_per_chip_{args.model}"
-                  f"_{'int8' if quantize else 'bf16'}_b{args.batch}"
+                  f"_{quant if quantize else 'bf16'}_b{args.batch}"
                   + ("_fusedloop" if args.fused_only else "_engine"),
         "value": round(toks_per_s, 2),
         "unit": "tokens/s/chip",

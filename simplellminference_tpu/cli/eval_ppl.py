@@ -27,6 +27,8 @@ def main(argv=None):
                     help="truncate the corpus (0 = all)")
     ap.add_argument("--compare-int8", action="store_true",
                     help="also evaluate INT8 group-quant and report delta")
+    ap.add_argument("--compare-int4", action="store_true",
+                    help="also report int4 group-quant PPL + delta")
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
@@ -56,6 +58,12 @@ def main(argv=None):
                                               args.stride, progress=True), 4)
         result["delta"] = round(result["ppl_int8"] - result["ppl"], 4)
         result["gate_0.1"] = "PASS" if result["delta"] <= 0.1 else "FAIL"
+    if args.compare_int4:
+        qparams = quantize_params(
+            params, QuantConfig(mode="int4", group_size=args.group_size))
+        result["ppl_int4"] = round(perplexity(cfg, qparams, ids, args.window,
+                                              args.stride, progress=True), 4)
+        result["delta_int4"] = round(result["ppl_int4"] - result["ppl"], 4)
     print(json.dumps(result))
 
 

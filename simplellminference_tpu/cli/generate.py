@@ -8,7 +8,7 @@ streaming detokenization, and timing stats.
 Usage:
     python -m simplellminference_tpu.cli.generate \
         --model-dir /path/to/hf_llama --prompt "..." --max-new-tokens 128 \
-        [--quant int8] [--temperature 0.8 --top-k 50 --top-p 0.95]
+        [--quant int8|int4] [--temperature 0.8 --top-k 50 --top-p 0.95]
 
 Without --model-dir, runs a random-weight TinyLlama with a byte tokenizer
 (smoke-test mode).
@@ -42,7 +42,8 @@ def main(argv=None):
     ap.add_argument("--frequency-penalty", type=float, default=0.0)
     ap.add_argument("--presence-penalty", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4"])
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])

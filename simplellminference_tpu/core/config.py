@@ -318,7 +318,14 @@ class QuantConfig:
     fused Pallas dequant+matmul, and INT8/FP8 paged KV.
     """
 
-    mode: str = "none"          # "none" | "int8"  (weight-only group quant)
+    # "none" | "int8" | "int4" (weight-only group quant). int4 packs two
+    # nibbles per byte (ops/matmul.py int4 path): on v5e it is a CAPACITY
+    # mode — weights/checkpoints halve again (13B fits one 16 GB chip),
+    # but decode is VPU-dequant-bound (~270 GB/s logical vs int8's ~740;
+    # the MXU needs bf16 operands and converting 2x the elements per byte
+    # outweighs the DMA savings). On parts with native int4 MXU feed the
+    # same layout becomes bandwidth-optimal.
+    mode: str = "none"
     # Contraction-dim group for scales; 0 = per-output-channel (one scale
     # per column — the standard near-lossless weight-only INT8 scheme, and
     # the fastest: scales shrink K/group x, which matters because XLA's
@@ -335,7 +342,7 @@ class QuantConfig:
         return self.mode != "none"
 
     def __post_init__(self):
-        if self.mode not in ("none", "int8"):
+        if self.mode not in ("none", "int8", "int4"):
             raise ValueError(f"unknown quant mode {self.mode!r}")
         if self.kv_dtype not in ("bf16", "f32", "int8", "fp8"):
             raise ValueError(f"unknown kv dtype {self.kv_dtype!r}")

@@ -411,7 +411,7 @@ def fused_wo_ffn_available(lw, nd: int, h: int, inter: int, m: int) -> bool:
 
     wo = lw.get("wo")
     if not (isinstance(wo, QuantizedWeight) and wo.q.ndim == 3
-            and wo.scales.shape[-2] == 1):
+            and wo.scales.shape[-2] == 1 and wo.bits == 8):
         return False
     if nd % 128 != 0:
         return False
@@ -425,6 +425,8 @@ def fused_ffn_available(lw, h: int, inter: int, m: int) -> bool:
     gu, dn = lw.get("w_gate_up"), lw.get("w_down")
     if not (isinstance(gu, QuantizedWeight) and isinstance(dn, QuantizedWeight)):
         return False
+    if gu.bits != 8 or dn.bits != 8:
+        return False  # int4 rides the unfused path (capacity mode)
     if gu.q.ndim != 3 or dn.q.ndim != 3:
         return False
     if gu.scales.shape[-2] != 1 or dn.scales.shape[-2] != 1:

@@ -20,26 +20,43 @@ from simplellminference_tpu.ops import ref_ops
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantizedWeight:
-    """INT8 group-quantized weight: q [K, N] int8, scales [K//G, N]."""
+    """Group-quantized weight.
+
+    bits=8: q [K, N] int8, scales [K//G, N].
+    bits=4: q [K/2, N] int8 (two nibbles per byte, split-half packed —
+    see ref_ops.quantize_int4_groupwise), scales [K//G, N].
+    """
 
     q: jax.Array
     scales: jax.Array
+    bits: int = dataclasses.field(default=8, metadata=dict(static=True))
 
     @property
     def shape(self):
-        return self.q.shape
+        """LOGICAL [.., K, N] shape (unpacked contraction dim)."""
+        s = self.q.shape
+        if self.bits == 4:
+            return (*s[:-2], s[-2] * 2, s[-1])
+        return s
 
     @property
     def group_size(self) -> int:
-        return self.q.shape[-2] // self.scales.shape[-2]
+        return self.shape[-2] // self.scales.shape[-2]
 
     @classmethod
     def quantize(cls, w: jax.Array, group_size: int = 128,
-                 scale_dtype=jnp.float32) -> "QuantizedWeight":
-        q, s = ref_ops.quantize_int8_groupwise(w, group_size, scale_dtype)
-        return cls(q=q, scales=s)
+                 scale_dtype=jnp.float32, bits: int = 8) -> "QuantizedWeight":
+        if bits == 4:
+            q, s = ref_ops.quantize_int4_groupwise(w, group_size, scale_dtype)
+        else:
+            assert bits == 8, bits
+            q, s = ref_ops.quantize_int8_groupwise(w, group_size, scale_dtype)
+        return cls(q=q, scales=s, bits=bits)
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        if self.bits == 4:
+            return ref_ops.dequantize_int4_groupwise(self.q, self.scales,
+                                                     dtype)
         return ref_ops.dequantize_int8_groupwise(self.q, self.scales, dtype)
 
 
@@ -67,11 +84,15 @@ def linear(x: jax.Array, w: Weight, out_dtype=None,
         if _use_pallas():
             from simplellminference_tpu.ops.matmul import quantized_matmul
             return quantized_matmul(x, w.q, w.scales, out_dtype=out_dtype,
-                                    layer=layer if stacked else None)
+                                    layer=layer if stacked else None,
+                                    bits=w.bits)
         q, s = w.q, w.scales
         if stacked:
             q = jax.lax.dynamic_index_in_dim(q, layer, 0, keepdims=False)
             s = jax.lax.dynamic_index_in_dim(s, layer, 0, keepdims=False)
+        if w.bits == 4:
+            return ref_ops.quantized_matmul_int4_ref(x, q, s,
+                                                     out_dtype=out_dtype)
         return ref_ops.quantized_matmul_ref(x, q, s, out_dtype=out_dtype)
     if w.ndim == 3:
         assert layer is not None, "stacked weight needs a layer index"

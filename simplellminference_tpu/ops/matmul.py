@@ -109,14 +109,203 @@ def _qmm_kernel(meta_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
             out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _qmm4_kernel(meta_ref, xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref,
+                 out_ref, acc_ref, *, n_groups: int, group_size: int,
+                 out_dtype, per_channel: bool):
+    """INT4 variant: q_ref block is split-half nibble packed ([bkp, bn]
+    int8 covering logical rows kk*bkp.. of BOTH halves). Each packed
+    byte is read once; the two unpacked slabs contract against the two
+    x operands (same array, lo/hi column windows). Sign extension via
+    arithmetic shifts (int4 domain [-8, 7])."""
+    k_step = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xl = xlo_ref[:]                              # [bm, bkp] bf16
+    xh = xhi_ref[:]
+    qp = q_ref[0].astype(jnp.int32)              # [bkp, bn] packed bytes
+    # Mosaic has no i8 vector shifts — sign-extend the nibbles in i32:
+    # low nibble = bits 0-3 (<<28 >>28), high nibble = bits 4-7 (<<24 >>28).
+    lo = jnp.right_shift(jnp.left_shift(qp, 28), 28).astype(jnp.bfloat16)
+    hi = jnp.right_shift(jnp.left_shift(qp, 24), 28).astype(jnp.bfloat16)
+    if per_channel:
+        acc_ref[:] += (jnp.dot(xl, lo, preferred_element_type=jnp.float32)
+                       + jnp.dot(xh, hi,
+                                 preferred_element_type=jnp.float32))
+    else:
+        for g in range(n_groups):
+            sl = slice(g * group_size, (g + 1) * group_size)
+            p_lo = jnp.dot(xl[:, sl], lo[sl],
+                           preferred_element_type=jnp.float32)
+            acc_ref[:] += p_lo * slo_ref[0, 0, g][None].astype(jnp.float32)
+            p_hi = jnp.dot(xh[:, sl], hi[sl],
+                           preferred_element_type=jnp.float32)
+            acc_ref[:] += p_hi * shi_ref[0, 0, g][None].astype(jnp.float32)
+
+    @pl.when(k_step == n_k - 1)
+    def _():
+        if per_channel:
+            scale_row = slo_ref[0, 0, 0, :]
+            out_ref[:] = (acc_ref[:]
+                          * scale_row[None, :].astype(jnp.float32)
+                          ).astype(out_dtype)
+        else:
+            out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pin_row_major(a: jax.Array, interpret: bool) -> jax.Array:
+    """Row-major layout constraint (see scales4 note in quantized_matmul)."""
+    if (not interpret and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        try:
+            from jax.experimental.layout import (Layout,
+                                                 with_layout_constraint)
+            a = with_layout_constraint(
+                a, Layout(major_to_minor=tuple(range(a.ndim))))
+        except ImportError:
+            pass
+    return a
+
+
+def _quantized_matmul_int4(x, q, scales, out_dtype, interpret, bm, bn, bk,
+                           layer, n_start, n_size):
+    """INT4 path of :func:`quantized_matmul` (same contract; ``q`` is
+    [L, K/2, N] split-half nibble packed, scales over logical K groups).
+
+    Grid runs over PACKED rows — K/2 steps' worth of weight DMA, i.e.
+    half the int8 path's weight traffic. x rides along twice (lo/hi
+    logical column windows of the same [M, K] array: two operands, two
+    tiny DMAs, no host reshape/copy)."""
+    if q.ndim == 2:
+        q = q[None]
+        scales = scales[None]
+        layer = jnp.zeros((), jnp.int32)
+    assert layer is not None, "stacked weights need a layer index"
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    orig_shape = x.shape
+    _, kp, n = q.shape
+    k = 2 * kp
+    g_rows = scales.shape[1]
+    group_size = k // g_rows
+    per_channel = group_size == k
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+
+    if bm is None:
+        bm = _largest_divisor(m, 256, 16) if m >= 16 else 16
+    pad_m = (-m) % bm
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    m_p = m + pad_m
+
+    # Packed K block: divisor of K/2, multiple of the (logical) group
+    # size — a group never straddles the K/2 midpoint by construction of
+    # the packing (ref_ops.quantize_int4_groupwise).
+    assert per_channel or kp % group_size == 0, (k, group_size)
+    gmult = 128 if per_channel else max(group_size, 128)
+    bkp = _largest_divisor(kp, max(bk // 2, gmult), gmult)
+    if kp % bkp:
+        if per_channel:
+            bkp = next(d for d in range(min(bk // 2, kp), 0, -1)
+                       if kp % d == 0)
+        else:
+            bkp = _largest_divisor(kp, max(bk // 2, group_size), group_size)
+
+    def fits(d: int) -> bool:
+        vmem = (4 * bm * bkp * 2             # two x operands, double-buf
+                + 2 * bkp * d                # packed q blocks (int8)
+                + 4 * g_rows * d * 4         # two scale operands
+                + 2 * bm * d * 2             # out blocks
+                + bm * d * 4                 # accumulator
+                + 2 * bkp * d * 2 * 2)       # unpacked lo/hi bf16
+        return vmem <= 13 * 2 ** 20
+
+    n_out = n_size if n_size is not None else n
+    bn_eff = _best_tile(n_out, bn, 128, hard_cap=8192, fits=fits)
+    if per_channel:
+        n_groups = 1
+    else:
+        if bkp % group_size != 0:
+            bkp = group_size
+        n_groups = bkp // group_size
+
+    if n_start is None:
+        n_off = jnp.zeros((1,), jnp.int32)
+    else:
+        n_off = (jnp.asarray(n_start, jnp.int32) // bn_eff).reshape(1)
+    meta = jnp.concatenate([layer, n_off])
+
+    n_k = kp // bkp
+    grid = (m_p // bm, n_out // bn_eff, n_k)
+
+    # Scales as [L, 2*n_k, n_groups, N]: row kk = step kk's lo-half
+    # groups, row n_k + kk = its hi-half groups (bitcast reshape of the
+    # logical [L, K/gs, N] — lo groups are exactly the first half of the
+    # group rows). Passed twice with the two row windows.
+    if per_channel:
+        scales4 = scales.reshape(scales.shape[0], 1, 1, n)
+        s_lo_idx = lambda i, j, kk, mt: (mt[0], 0, 0, mt[1] + j)
+        s_hi_idx = s_lo_idx
+    else:
+        scales4 = scales.reshape(scales.shape[0], 2 * n_k, n_groups, n)
+        s_lo_idx = lambda i, j, kk, mt: (mt[0], kk, 0, mt[1] + j)
+        s_hi_idx = lambda i, j, kk, mt: (mt[0], n_k + kk, 0, mt[1] + j)
+    scales4 = _pin_row_major(scales4, interpret)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            # x lo half: columns [kk*bkp, ..); hi half: K/2 + the same
+            pl.BlockSpec((bm, bkp), lambda i, j, kk, mt: (i, kk)),
+            pl.BlockSpec((bm, bkp), lambda i, j, kk, mt: (i, n_k + kk)),
+            pl.BlockSpec((1, bkp, bn_eff),
+                         lambda i, j, kk, mt: (mt[0], kk, mt[1] + j)),
+            pl.BlockSpec((1, 1, n_groups, bn_eff), s_lo_idx),
+            pl.BlockSpec((1, 1, n_groups, bn_eff), s_hi_idx),
+        ],
+        out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk, mt: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn_eff), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_qmm4_kernel, n_groups=n_groups,
+                          group_size=group_size, out_dtype=out_dtype,
+                          per_channel=per_channel),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_p, n_out), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n_out * k,
+            bytes_accessed=(m_p * k * 2 + kp * n_out + scales.size * 4
+                            + m_p * n_out * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta, x2, x2, q, scales4, scales4)
+
+    if pad_m:
+        out = out[:m]
+    return out.reshape(*orig_shape[:-1], n_out)
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
-                                             "bm", "bn", "bk", "n_size"))
+                                             "bm", "bn", "bk", "n_size",
+                                             "bits"))
 def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
                      out_dtype=jnp.bfloat16, interpret: bool = False,
                      bm: int | None = None, bn: int = 2048,
                      bk: int = 512, layer: jax.Array | None = None,
                      n_start: jax.Array | None = None,
-                     n_size: int | None = None) -> jax.Array:
+                     n_size: int | None = None, bits: int = 8) -> jax.Array:
     """y = x @ dequant(q, scales)  (optionally of stacked layer ``layer``).
 
     x: [..., K] (any float dtype; computed in bf16 on the MXU).
@@ -129,7 +318,14 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
     static). This is the ring collective-matmul building block: each ring
     step computes one output chunk while the previous chunk's partial sum
     rides the ICI (parallel/collective.py).
+
+    ``bits=4``: q is [K/2, N] split-half nibble packed (two int4 values
+    per byte — ref_ops.quantize_int4_groupwise); the kernel unpacks in
+    VMEM, so weight HBM traffic halves again vs int8.
     """
+    if bits == 4:
+        return _quantized_matmul_int4(x, q, scales, out_dtype, interpret,
+                                      bm, bn, bk, layer, n_start, n_size)
     if q.ndim == 2:
         q = q[None]
         scales = scales[None]
@@ -193,15 +389,7 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
     # row-major operand constraint.
     n_kslabs = 1 if per_channel else k // bk_eff
     scales4 = scales.reshape(scales.shape[0], n_kslabs, n_groups, n)
-    if (not interpret and jax.default_backend() == "tpu"
-            and jax.device_count() == 1):
-        try:
-            from jax.experimental.layout import (Layout,
-                                                 with_layout_constraint)
-            scales4 = with_layout_constraint(
-                scales4, Layout(major_to_minor=(0, 1, 2, 3)))
-        except ImportError:
-            pass
+    scales4 = _pin_row_major(scales4, interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -89,6 +89,8 @@ def _dense_layer_weight(w, li: Optional[jax.Array], dtype) -> jax.Array:
         if q.ndim == 3 and li is not None:
             q = jax.lax.dynamic_index_in_dim(q, li, 0, keepdims=False)
             sc = jax.lax.dynamic_index_in_dim(sc, li, 0, keepdims=False)
+        if w.bits == 4:
+            return ref_ops.dequantize_int4_groupwise(q, sc, dtype)
         return ref_ops.dequantize_int8_groupwise(q, sc, dtype)
     if w.ndim == 3 and li is not None:
         w = jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)

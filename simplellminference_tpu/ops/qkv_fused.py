@@ -278,7 +278,7 @@ def fused_qkv_available(lw, cfg, b: int, s: int, cache_k,
     if "wqkv_bias" in lw or s != 1 or b > 64:
         return False
     if not (isinstance(w, QuantizedWeight) and w.q.ndim == 3
-            and w.scales.shape[-2] == 1):
+            and w.scales.shape[-2] == 1 and w.bits == 8):
         return False
     if cache_k is None or cache_k.ndim != 5:
         return False

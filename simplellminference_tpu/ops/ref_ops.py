@@ -198,6 +198,60 @@ def dequantize_int8_groupwise(q: jax.Array, scales: jax.Array,
     return out.reshape(*lead, k, n).astype(dtype)
 
 
+def quantize_int4_groupwise(w: jax.Array, group_size: int,
+                            scale_dtype=jnp.float32):
+    """Symmetric per-group INT4 quantization, split-half nibble packed.
+
+    w: [..., K, N] -> (packed: int8 [..., K/2, N], scales: [..., K//G, N]).
+    Values are clipped to [-7, 7] (symmetric; scale = absmax(group) / 7).
+
+    Packing layout (split-half along K): ``packed[..., i, n]`` holds
+    logical row ``i`` in its LOW nibble and row ``i + K/2`` in its HIGH
+    nibble. A K-block of packed rows therefore unpacks into two
+    contraction slabs that are ``K/2`` apart — no sublane interleave
+    anywhere, and the matmul kernel reads each packed byte exactly once
+    (ops/matmul.py int4 path). Requires ``group_size | K/2`` (or
+    ``group_size == K``: per-output-channel scales).
+    """
+    *lead, k, n = w.shape
+    assert k % 2 == 0 and (group_size == k
+                           or (k // 2) % group_size == 0), (k, group_size)
+    wg = w.astype(jnp.float32).reshape(*lead, k // group_size, group_size, n)
+    absmax = jnp.max(jnp.abs(wg), axis=-2)
+    scales = jnp.maximum(absmax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / scales[..., None, :]), -7, 7)
+    q = q.astype(jnp.int8).reshape(*lead, k, n)
+    lo = q[..., : k // 2, :]
+    hi = q[..., k // 2:, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return packed, scales.astype(scale_dtype)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of the split-half packing: [..., K/2, N] int8 -> [..., K, N].
+
+    Low nibble = rows [0, K/2), high nibble = rows [K/2, K); both
+    sign-extended via arithmetic shifts (int4 domain [-8, 7])."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def dequantize_int4_groupwise(packed: jax.Array, scales: jax.Array,
+                              dtype=jnp.float32) -> jax.Array:
+    """[..., K/2, N] packed + [..., K//G, N] scales -> [..., K, N]."""
+    return dequantize_int8_groupwise(unpack_int4(packed), scales, dtype)
+
+
+def quantized_matmul_int4_ref(x: jax.Array, packed: jax.Array,
+                              scales: jax.Array, out_dtype=None) -> jax.Array:
+    """Reference fused int4 dequant+matmul (matches the Pallas kernel's
+    group-wise fp32 partial-sum math)."""
+    return quantized_matmul_ref(x, unpack_int4(packed), scales,
+                                out_dtype=out_dtype)
+
+
 def quantized_matmul_ref(x: jax.Array, q: jax.Array, scales: jax.Array,
                          out_dtype=None) -> jax.Array:
     """Reference for the fused dequant+matmul: x @ dequant(q, scales).

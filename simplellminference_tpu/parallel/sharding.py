@@ -89,7 +89,16 @@ def _match_tree(params, specs):
         if isinstance(v, dict):
             out[k] = _match_tree(v, s)
         elif isinstance(v, QuantizedWeight):
-            out[k] = QuantizedWeight(q=s, scales=_scales_spec(s, v.scales))
+            if v.bits == 4 and any(ax is not None for ax in tuple(s)[:-1]):
+                # split-half nibble packing: a contiguous shard of packed
+                # rows is two non-contiguous logical K windows — row/K
+                # sharding would silently mis-pair x columns with nibbles.
+                # int4 is the fit-on-one-chip mode; use int8 for TP.
+                raise ValueError(
+                    f"int4 weights cannot be K/row-sharded (param {k!r}, "
+                    f"spec {s}); use int8 for tensor parallelism")
+            out[k] = QuantizedWeight(q=s, scales=_scales_spec(s, v.scales),
+                                     bits=v.bits)
         else:
             out[k] = s
     return out

@@ -32,7 +32,8 @@ def _flatten(tree: dict, prefix: str = "") -> dict[str, Any]:
         if isinstance(v, dict):
             out.update(_flatten(v, path + "/"))
         elif isinstance(v, QuantizedWeight):
-            out[path + "#q"] = v.q
+            # "#q" = int8; "#q4" = split-half nibble-packed int4
+            out[path + ("#q4" if v.bits == 4 else "#q")] = v.q
             out[path + "#scales"] = v.scales
         else:
             out[path] = v
@@ -49,7 +50,12 @@ def _unflatten(flat: dict[str, Any]) -> dict:
             continue
         _set(tree, path, v)
     for base, parts in qparts.items():
-        _set(tree, base, QuantizedWeight(q=parts["q"], scales=parts["scales"]))
+        if "q4" in parts:
+            _set(tree, base, QuantizedWeight(q=parts["q4"],
+                                             scales=parts["scales"], bits=4))
+        else:
+            _set(tree, base, QuantizedWeight(q=parts["q"],
+                                             scales=parts["scales"]))
     return tree
 
 

@@ -192,5 +192,6 @@ def save_reference_blob(path: str, cfg: ModelConfig, params: dict) -> None:
 def _index_layer(w, li: int):
     """Index the stacked-L axis of a plain or quantized weight."""
     if isinstance(w, QuantizedWeight):
-        return QuantizedWeight(q=w.q[li], scales=w.scales[li])
+        return QuantizedWeight(q=w.q[li], scales=w.scales[li],
+                               bits=w.bits)
     return w[li]

@@ -112,10 +112,14 @@ def _maybe_quantize(path: str, w, quant: QuantConfig):
                                         and quant.quantize_lm_head)
     if quant.enabled and eligible and not isinstance(w, QuantizedWeight):
         k = w.shape[-2]
+        bits = 4 if quant.mode == "int4" else 8
         gs = quant.group_size or k          # 0 = per-output-channel
         if k % gs != 0:
             gs = int(np.gcd(k, gs)) or k
-        return QuantizedWeight.quantize(w, gs)
+        if bits == 4 and gs != k and (k // 2) % gs != 0:
+            # int4 split-half packing needs gs | K/2 (ref_ops)
+            gs = int(np.gcd(k // 2, gs)) or k
+        return QuantizedWeight.quantize(w, gs, bits=bits)
     return w
 
 
