@@ -156,8 +156,10 @@ def main():
     ap.add_argument("--ctx", type=int, default=1024, help="KV capacity")
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--steps", type=int, default=128)
-    ap.add_argument("--burst", type=int, default=8,
-                    help="engine decode-burst depth")
+    ap.add_argument("--burst", type=int, default=16,
+                    help="engine decode-burst depth (16 is the measured "
+                         "knee: 719 tok/s vs 715 at 8, flat at 32; "
+                         "16 steps = ~0.22 s between scheduler syncs)")
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--fused-only", action="store_true",
                     help="report the stripped fused loop as the headline "
