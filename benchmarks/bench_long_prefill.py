@@ -64,7 +64,7 @@ def main():
           "tinyllama": ModelConfig.tinyllama_1_1b}[args.model]
     cfg = mk(max_seq_len=args.prompt_len + args.max_new + 256,
              dtype="bfloat16")
-    params = canonicalize_layouts(bench_mod._bench_params(cfg, True, None))
+    params = canonicalize_layouts(bench_mod._bench_params(cfg, "int8", None))
     jax.block_until_ready(params)
 
     ps = args.page_size

@@ -71,7 +71,7 @@ def main():
           "llama3-3b": ModelConfig.llama3_2_3b}[args.model]
     cfg = mk(dtype="bfloat16")
     params = canonicalize_layouts(
-        bench_mod._bench_params(cfg, True, None))
+        bench_mod._bench_params(cfg, "int8", None))
     jax.block_until_ready(params)
 
     ecfg = EngineConfig(

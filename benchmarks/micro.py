@@ -224,7 +224,9 @@ def bench_decode_step(model="llama2-7b", batch=8, ctx=1024, t=32,
     mk = {"llama2-7b": ModelConfig.llama2_7b,
           "tinyllama": ModelConfig.tinyllama_1_1b}[model]
     cfg = mk(max_seq_len=ctx, dtype="bfloat16")
-    params = bench_mod._bench_params(cfg, quantize, None)
+    params = bench_mod._bench_params(
+        cfg, quantize if isinstance(quantize, str)
+        else ("int8" if quantize else "none"), None)
     wbytes = bench_mod.weight_bytes(params)
     cache = DenseKVCache.create(cfg.num_layers, batch, ctx,
                                 cfg.num_kv_heads, cfg.head_dim, jnp.bfloat16)

@@ -24,7 +24,7 @@ def main():
     from simplellminference_tpu.runtime.generator import Generator
 
     cfg = ModelConfig.llama2_7b(max_seq_len=1024, dtype="bfloat16")
-    params = bench_mod._bench_params(cfg, True, None)
+    params = bench_mod._bench_params(cfg, "int8", None)
     jax.block_until_ready(params)
     gen = Generator(cfg, params, max_batch=8, max_seq=1024,
                     kv_dtype=__import__("jax.numpy", fromlist=["x"]).bfloat16)

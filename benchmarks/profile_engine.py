@@ -55,7 +55,7 @@ def main():
     mk = {"llama2-7b": ModelConfig.llama2_7b,
           "tinyllama": ModelConfig.tinyllama_1_1b}[args.model]
     cfg = mk(dtype="bfloat16")
-    params = canonicalize_layouts(bench_mod._bench_params(cfg, True, None))
+    params = canonicalize_layouts(bench_mod._bench_params(cfg, "int8", None))
     jax.block_until_ready(params)
 
     max_new = args.burst * (args.bursts + 8)

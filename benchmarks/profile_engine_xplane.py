@@ -38,7 +38,7 @@ def main():
     args = ap.parse_args()
 
     cfg = ModelConfig.llama2_7b(dtype="bfloat16")
-    params = canonicalize_layouts(bench_mod._bench_params(cfg, True, None))
+    params = canonicalize_layouts(bench_mod._bench_params(cfg, "int8", None))
     jax.block_until_ready(params)
 
     max_new = args.burst * 16

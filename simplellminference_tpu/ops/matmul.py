@@ -302,7 +302,7 @@ def _quantized_matmul_int4(x, q, scales, out_dtype, interpret, bm, bn, bk,
                                              "bits"))
 def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
                      out_dtype=jnp.bfloat16, interpret: bool = False,
-                     bm: int | None = None, bn: int = 2048,
+                     bm: int | None = None, bn: int = 4096,
                      bk: int = 512, layer: jax.Array | None = None,
                      n_start: jax.Array | None = None,
                      n_size: int | None = None, bits: int = 8) -> jax.Array:

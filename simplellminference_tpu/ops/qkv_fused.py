@@ -139,7 +139,7 @@ def qkv_tiles(h: int, nq: int, d: int, m_pad: int) -> tuple[int, int] | None:
     def n1_bytes(bn: int) -> int:
         return (nq // bn) * m_pad * bn * 4  # qkv scratch = nq*m f32
 
-    bn1 = _best_tile(nq, 2048, max(d, 128), hard_cap=8192, fits=fits)
+    bn1 = _best_tile(nq, 4096, max(d, 128), hard_cap=8192, fits=fits)
     if nq % bn1 or bn1 % d:
         return None
     return bk1, bn1
