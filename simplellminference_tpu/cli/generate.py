@@ -82,9 +82,16 @@ def main(argv=None):
                                      dtype=args.dtype)
         tok = load_tokenizer(args.tokenizer)
     elif args.model_dir:
-        from simplellminference_tpu.runtime.weights import load_safetensors_dir
-        cfg, params = load_safetensors_dir(args.model_dir, quant=quant,
-                                           dtype=args.dtype)
+        from simplellminference_tpu.runtime import hf_quant
+        if hf_quant.read_quantization_config(args.model_dir):
+            # pre-quantized AWQ/GPTQ checkpoint: native 4-bit import
+            cfg, params = hf_quant.load_quantized_dir(args.model_dir,
+                                                      dtype=args.dtype)
+        else:
+            from simplellminference_tpu.runtime.weights import (
+                load_safetensors_dir)
+            cfg, params = load_safetensors_dir(args.model_dir, quant=quant,
+                                               dtype=args.dtype)
         tok = load_tokenizer(args.tokenizer or args.model_dir)
     else:
         print("[no --model-dir: random TinyLlama + byte tokenizer]",

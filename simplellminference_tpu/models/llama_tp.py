@@ -76,7 +76,8 @@ def _gate_up_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
 def _permute_cols(w, perm: np.ndarray):
     if isinstance(w, QuantizedWeight):
         return QuantizedWeight(q=w.q[..., perm], scales=w.scales[..., perm],
-                               bits=w.bits)
+                               bits=w.bits,
+                               zs=None if w.zs is None else w.zs[..., perm])
     return w[..., perm]
 
 

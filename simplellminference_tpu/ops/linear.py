@@ -25,11 +25,16 @@ class QuantizedWeight:
     bits=8: q [K, N] int8, scales [K//G, N].
     bits=4: q [K/2, N] int8 (two nibbles per byte, split-half packed —
     see ref_ops.quantize_int4_groupwise), scales [K//G, N].
+
+    ``zs`` (bits=4 only, AWQ/GPTQ imports): per-group zero*scale
+    [K//G, N] fp32 for asymmetric quantization, w = (q - z)*s = q*s - zs.
+    None for the native symmetric scheme.
     """
 
     q: jax.Array
     scales: jax.Array
     bits: int = dataclasses.field(default=8, metadata=dict(static=True))
+    zs: jax.Array | None = None
 
     @property
     def shape(self):
@@ -56,7 +61,7 @@ class QuantizedWeight:
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         if self.bits == 4:
             return ref_ops.dequantize_int4_groupwise(self.q, self.scales,
-                                                     dtype)
+                                                     dtype, zs=self.zs)
         return ref_ops.dequantize_int8_groupwise(self.q, self.scales, dtype)
 
 
@@ -85,14 +90,18 @@ def linear(x: jax.Array, w: Weight, out_dtype=None,
             from simplellminference_tpu.ops.matmul import quantized_matmul
             return quantized_matmul(x, w.q, w.scales, out_dtype=out_dtype,
                                     layer=layer if stacked else None,
-                                    bits=w.bits)
-        q, s = w.q, w.scales
+                                    bits=w.bits, zs=w.zs)
+        q, s, zs = w.q, w.scales, w.zs
         if stacked:
             q = jax.lax.dynamic_index_in_dim(q, layer, 0, keepdims=False)
             s = jax.lax.dynamic_index_in_dim(s, layer, 0, keepdims=False)
+            if zs is not None:
+                zs = jax.lax.dynamic_index_in_dim(zs, layer, 0,
+                                                  keepdims=False)
         if w.bits == 4:
             return ref_ops.quantized_matmul_int4_ref(x, q, s,
-                                                     out_dtype=out_dtype)
+                                                     out_dtype=out_dtype,
+                                                     zs=zs)
         return ref_ops.quantized_matmul_ref(x, q, s, out_dtype=out_dtype)
     if w.ndim == 3:
         assert layer is not None, "stacked weight needs a layer index"

@@ -110,13 +110,22 @@ def _qmm_kernel(meta_ref, x_ref, q_ref, s_ref, out_ref, acc_ref, *,
 
 
 def _qmm4_kernel(meta_ref, xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref,
-                 out_ref, acc_ref, *, n_groups: int, group_size: int,
-                 out_dtype, per_channel: bool):
+                 *rest, n_groups: int, group_size: int,
+                 out_dtype, per_channel: bool, has_zeros: bool):
     """INT4 variant: q_ref block is split-half nibble packed ([bkp, bn]
     int8 covering logical rows kk*bkp.. of BOTH halves). Each packed
     byte is read once; the two unpacked slabs contract against the two
     x operands (same array, lo/hi column windows). Sign extension via
-    arithmetic shifts (int4 domain [-8, 7])."""
+    arithmetic shifts (int4 domain [-8, 7]).
+
+    ``has_zeros`` (asymmetric AWQ/GPTQ imports): two extra operands hold
+    per-group zero*scale rows; w = (q - z)*s decomposes as
+    x@(q*s) - rowsum_g(x)*zs, so the correction costs one row-sum and
+    one rank-1 update per group — no extra weight traffic."""
+    if has_zeros:
+        zlo_ref, zhi_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     k_step = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -131,7 +140,7 @@ def _qmm4_kernel(meta_ref, xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref,
     # low nibble = bits 0-3 (<<28 >>28), high nibble = bits 4-7 (<<24 >>28).
     lo = jnp.right_shift(jnp.left_shift(qp, 28), 28).astype(jnp.bfloat16)
     hi = jnp.right_shift(jnp.left_shift(qp, 24), 28).astype(jnp.bfloat16)
-    if per_channel:
+    if per_channel and not has_zeros:
         acc_ref[:] += (jnp.dot(xl, lo, preferred_element_type=jnp.float32)
                        + jnp.dot(xh, hi,
                                  preferred_element_type=jnp.float32))
@@ -144,10 +153,19 @@ def _qmm4_kernel(meta_ref, xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref,
             p_hi = jnp.dot(xh[:, sl], hi[sl],
                            preferred_element_type=jnp.float32)
             acc_ref[:] += p_hi * shi_ref[0, 0, g][None].astype(jnp.float32)
+            if has_zeros:
+                rs_lo = jnp.sum(xl[:, sl].astype(jnp.float32), axis=1,
+                                keepdims=True)           # [bm, 1]
+                rs_hi = jnp.sum(xh[:, sl].astype(jnp.float32), axis=1,
+                                keepdims=True)
+                acc_ref[:] -= rs_lo * zlo_ref[0, 0, g][None].astype(
+                    jnp.float32)
+                acc_ref[:] -= rs_hi * zhi_ref[0, 0, g][None].astype(
+                    jnp.float32)
 
     @pl.when(k_step == n_k - 1)
     def _():
-        if per_channel:
+        if per_channel and not has_zeros:
             scale_row = slo_ref[0, 0, 0, :]
             out_ref[:] = (acc_ref[:]
                           * scale_row[None, :].astype(jnp.float32)
@@ -171,20 +189,26 @@ def _pin_row_major(a: jax.Array, interpret: bool) -> jax.Array:
 
 
 def _quantized_matmul_int4(x, q, scales, out_dtype, interpret, bm, bn, bk,
-                           layer, n_start, n_size):
+                           layer, n_start, n_size, zs=None):
     """INT4 path of :func:`quantized_matmul` (same contract; ``q`` is
     [L, K/2, N] split-half nibble packed, scales over logical K groups).
 
     Grid runs over PACKED rows — K/2 steps' worth of weight DMA, i.e.
     half the int8 path's weight traffic. x rides along twice (lo/hi
     logical column windows of the same [M, K] array: two operands, two
-    tiny DMAs, no host reshape/copy)."""
+    tiny DMAs, no host reshape/copy).
+
+    ``zs``: per-group zero*scale [L?, K/gs, N] for asymmetric AWQ/GPTQ
+    weights (see _qmm4_kernel has_zeros)."""
     if q.ndim == 2:
         q = q[None]
         scales = scales[None]
+        if zs is not None:
+            zs = zs[None]
         layer = jnp.zeros((), jnp.int32)
     assert layer is not None, "stacked weights need a layer index"
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    has_zeros = zs is not None
 
     orig_shape = x.shape
     _, kp, n = q.shape
@@ -192,6 +216,23 @@ def _quantized_matmul_int4(x, q, scales, out_dtype, interpret, bm, bn, bk,
     g_rows = scales.shape[1]
     group_size = k // g_rows
     per_channel = group_size == k
+    if kp % 128 or n % 128:
+        # Mosaic requires (8, 128)-tileable blocks; sub-128 packed-K or N
+        # (tiny test models) can't express the split-half layout — jnp
+        # reference math, still jittable/fusible.
+        from simplellminference_tpu.ops import ref_ops
+        li = layer[0] if hasattr(layer, "shape") else layer
+        qs = jax.lax.dynamic_index_in_dim(q, li, 0, keepdims=False)
+        ss = jax.lax.dynamic_index_in_dim(scales, li, 0, keepdims=False)
+        zss = (None if zs is None else
+               jax.lax.dynamic_index_in_dim(zs, li, 0, keepdims=False))
+        out = ref_ops.quantized_matmul_int4_ref(x, qs, ss,
+                                                out_dtype=out_dtype, zs=zss)
+        if n_size is not None:
+            start = (jnp.zeros((), jnp.int32) if n_start is None
+                     else jnp.asarray(n_start, jnp.int32))
+            out = jax.lax.dynamic_slice_in_dim(out, start, n_size, -1)
+        return out
     m = 1
     for d in orig_shape[:-1]:
         m *= d
@@ -220,7 +261,7 @@ def _quantized_matmul_int4(x, q, scales, out_dtype, interpret, bm, bn, bk,
     def fits(d: int) -> bool:
         vmem = (4 * bm * bkp * 2             # two x operands, double-buf
                 + 2 * bkp * d                # packed q blocks (int8)
-                + 4 * g_rows * d * 4         # two scale operands
+                + (8 if has_zeros else 4) * g_rows * d * 4  # scale (+zs)
                 + 2 * bm * d * 2             # out blocks
                 + bm * d * 4                 # accumulator
                 + 2 * bkp * d * 2 * 2)       # unpacked lo/hi bf16
@@ -230,10 +271,15 @@ def _quantized_matmul_int4(x, q, scales, out_dtype, interpret, bm, bn, bk,
     bn_eff = _best_tile(n_out, bn, 128, hard_cap=8192, fits=fits)
     if per_channel:
         n_groups = 1
+        # with zeros the per-channel row must still scale inline (the
+        # rank-1 correction needs scaled partials), so the kernel runs
+        # the grouped path with one group spanning the whole K block
+        block_gs = bkp if has_zeros else group_size
     else:
         if bkp % group_size != 0:
             bkp = group_size
         n_groups = bkp // group_size
+        block_gs = group_size
 
     if n_start is None:
         n_off = jnp.zeros((1,), jnp.int32)
@@ -258,26 +304,35 @@ def _quantized_matmul_int4(x, q, scales, out_dtype, interpret, bm, bn, bk,
         s_hi_idx = lambda i, j, kk, mt: (mt[0], n_k + kk, 0, mt[1] + j)
     scales4 = _pin_row_major(scales4, interpret)
 
+    in_specs = [
+        # x lo half: columns [kk*bkp, ..); hi half: K/2 + the same
+        pl.BlockSpec((bm, bkp), lambda i, j, kk, mt: (i, kk)),
+        pl.BlockSpec((bm, bkp), lambda i, j, kk, mt: (i, n_k + kk)),
+        pl.BlockSpec((1, bkp, bn_eff),
+                     lambda i, j, kk, mt: (mt[0], kk, mt[1] + j)),
+        pl.BlockSpec((1, 1, n_groups, bn_eff), s_lo_idx),
+        pl.BlockSpec((1, 1, n_groups, bn_eff), s_hi_idx),
+    ]
+    operands = [meta, x2, x2, q, scales4, scales4]
+    if has_zeros:
+        zs4 = zs.astype(jnp.float32).reshape(scales4.shape)
+        zs4 = _pin_row_major(zs4, interpret)
+        in_specs += [pl.BlockSpec((1, 1, n_groups, bn_eff), s_lo_idx),
+                     pl.BlockSpec((1, 1, n_groups, bn_eff), s_hi_idx)]
+        operands += [zs4, zs4]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            # x lo half: columns [kk*bkp, ..); hi half: K/2 + the same
-            pl.BlockSpec((bm, bkp), lambda i, j, kk, mt: (i, kk)),
-            pl.BlockSpec((bm, bkp), lambda i, j, kk, mt: (i, n_k + kk)),
-            pl.BlockSpec((1, bkp, bn_eff),
-                         lambda i, j, kk, mt: (mt[0], kk, mt[1] + j)),
-            pl.BlockSpec((1, 1, n_groups, bn_eff), s_lo_idx),
-            pl.BlockSpec((1, 1, n_groups, bn_eff), s_hi_idx),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk, mt: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn_eff), jnp.float32)],
     )
 
     out = pl.pallas_call(
         functools.partial(_qmm4_kernel, n_groups=n_groups,
-                          group_size=group_size, out_dtype=out_dtype,
-                          per_channel=per_channel),
+                          group_size=block_gs, out_dtype=out_dtype,
+                          per_channel=per_channel, has_zeros=has_zeros),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_p, n_out), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -285,12 +340,13 @@ def _quantized_matmul_int4(x, q, scales, out_dtype, interpret, bm, bn, bk,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_p * n_out * k,
-            bytes_accessed=(m_p * k * 2 + kp * n_out + scales.size * 4
+            bytes_accessed=(m_p * k * 2 + kp * n_out
+                            + scales.size * (8 if has_zeros else 4)
                             + m_p * n_out * 2),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(meta, x2, x2, q, scales4, scales4)
+    )(*operands)
 
     if pad_m:
         out = out[:m]
@@ -305,7 +361,8 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
                      bm: int | None = None, bn: int = 4096,
                      bk: int = 512, layer: jax.Array | None = None,
                      n_start: jax.Array | None = None,
-                     n_size: int | None = None, bits: int = 8) -> jax.Array:
+                     n_size: int | None = None, bits: int = 8,
+                     zs: jax.Array | None = None) -> jax.Array:
     """y = x @ dequant(q, scales)  (optionally of stacked layer ``layer``).
 
     x: [..., K] (any float dtype; computed in bf16 on the MXU).
@@ -321,11 +378,14 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
 
     ``bits=4``: q is [K/2, N] split-half nibble packed (two int4 values
     per byte — ref_ops.quantize_int4_groupwise); the kernel unpacks in
-    VMEM, so weight HBM traffic halves again vs int8.
+    VMEM, so weight HBM traffic halves again vs int8. ``zs`` (bits=4
+    only): per-group zero*scale for asymmetric AWQ/GPTQ weights.
     """
     if bits == 4:
         return _quantized_matmul_int4(x, q, scales, out_dtype, interpret,
-                                      bm, bn, bk, layer, n_start, n_size)
+                                      bm, bn, bk, layer, n_start, n_size,
+                                      zs=zs)
+    assert zs is None, "zero points only supported on the int4 path"
     if q.ndim == 2:
         q = q[None]
         scales = scales[None]

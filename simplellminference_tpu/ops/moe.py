@@ -90,7 +90,10 @@ def _dense_layer_weight(w, li: Optional[jax.Array], dtype) -> jax.Array:
             q = jax.lax.dynamic_index_in_dim(q, li, 0, keepdims=False)
             sc = jax.lax.dynamic_index_in_dim(sc, li, 0, keepdims=False)
         if w.bits == 4:
-            return ref_ops.dequantize_int4_groupwise(q, sc, dtype)
+            zs = w.zs
+            if zs is not None and zs.ndim == 3 and li is not None:
+                zs = jax.lax.dynamic_index_in_dim(zs, li, 0, keepdims=False)
+            return ref_ops.dequantize_int4_groupwise(q, sc, dtype, zs=zs)
         return ref_ops.dequantize_int8_groupwise(q, sc, dtype)
     if w.ndim == 3 and li is not None:
         w = jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)

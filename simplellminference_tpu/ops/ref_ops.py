@@ -239,17 +239,41 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def dequantize_int4_groupwise(packed: jax.Array, scales: jax.Array,
-                              dtype=jnp.float32) -> jax.Array:
-    """[..., K/2, N] packed + [..., K//G, N] scales -> [..., K, N]."""
-    return dequantize_int8_groupwise(unpack_int4(packed), scales, dtype)
+                              dtype=jnp.float32,
+                              zs: jax.Array | None = None) -> jax.Array:
+    """[..., K/2, N] packed + [..., K//G, N] scales -> [..., K, N].
+
+    ``zs`` (asymmetric checkpoints): per-group zero*scale in fp32;
+    w = q*s - zs (i.e. (q - z)*s with zs = z*s precomputed)."""
+    w = dequantize_int8_groupwise(unpack_int4(packed), scales, jnp.float32)
+    if zs is not None:
+        k = w.shape[-2]
+        w = w - jnp.repeat(zs.astype(jnp.float32), k // zs.shape[-2],
+                           axis=-2)
+    return w.astype(dtype)
 
 
 def quantized_matmul_int4_ref(x: jax.Array, packed: jax.Array,
-                              scales: jax.Array, out_dtype=None) -> jax.Array:
+                              scales: jax.Array, out_dtype=None,
+                              zs: jax.Array | None = None) -> jax.Array:
     """Reference fused int4 dequant+matmul (matches the Pallas kernel's
-    group-wise fp32 partial-sum math)."""
-    return quantized_matmul_ref(x, unpack_int4(packed), scales,
-                                out_dtype=out_dtype)
+    group-wise fp32 partial-sum math).
+
+    With ``zs`` (asymmetric AWQ/GPTQ checkpoints): w = (q - z)*s where
+    zs[g, n] = z'[g, n] * s[g, n] in fp32 — the kernel computes
+    x @ (q*s) - rowsum_g(x) * zs per group (runtime/hf_quant.py builds
+    zs at load; cites /root/reference/source/model/model.cpp:204-245,
+    the FP32-only mmap loader this quantized import path supersedes)."""
+    out = quantized_matmul_ref(x, unpack_int4(packed), scales,
+                               out_dtype=jnp.float32)
+    if zs is not None:
+        *lead, k = x.shape
+        g = zs.shape[-2]
+        xg = x.astype(jnp.float32).reshape(*lead, g, k // g)
+        rs = xg.sum(-1)                                   # [..., G]
+        corr = jnp.einsum("...g,gn->...n", rs, zs.astype(jnp.float32))
+        out = out - corr
+    return out.astype(out_dtype or x.dtype)
 
 
 def quantized_matmul_ref(x: jax.Array, q: jax.Array, scales: jax.Array,

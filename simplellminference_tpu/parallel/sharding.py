@@ -97,8 +97,9 @@ def _match_tree(params, specs):
                 raise ValueError(
                     f"int4 weights cannot be K/row-sharded (param {k!r}, "
                     f"spec {s}); use int8 for tensor parallelism")
-            out[k] = QuantizedWeight(q=s, scales=_scales_spec(s, v.scales),
-                                     bits=v.bits)
+            sc_spec = _scales_spec(s, v.scales)
+            out[k] = QuantizedWeight(q=s, scales=sc_spec, bits=v.bits,
+                                     zs=None if v.zs is None else sc_spec)
         else:
             out[k] = s
     return out

@@ -35,6 +35,8 @@ def _flatten(tree: dict, prefix: str = "") -> dict[str, Any]:
             # "#q" = int8; "#q4" = split-half nibble-packed int4
             out[path + ("#q4" if v.bits == 4 else "#q")] = v.q
             out[path + "#scales"] = v.scales
+            if v.zs is not None:        # asymmetric (AWQ/GPTQ import)
+                out[path + "#zs"] = v.zs
         else:
             out[path] = v
     return out
@@ -52,7 +54,8 @@ def _unflatten(flat: dict[str, Any]) -> dict:
     for base, parts in qparts.items():
         if "q4" in parts:
             _set(tree, base, QuantizedWeight(q=parts["q4"],
-                                             scales=parts["scales"], bits=4))
+                                             scales=parts["scales"], bits=4,
+                                             zs=parts.get("zs")))
         else:
             _set(tree, base, QuantizedWeight(q=parts["q"],
                                              scales=parts["scales"]))

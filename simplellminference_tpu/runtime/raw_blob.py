@@ -193,5 +193,6 @@ def _index_layer(w, li: int):
     """Index the stacked-L axis of a plain or quantized weight."""
     if isinstance(w, QuantizedWeight):
         return QuantizedWeight(q=w.q[li], scales=w.scales[li],
-                               bits=w.bits)
+                               bits=w.bits,
+                               zs=None if w.zs is None else w.zs[li])
     return w[li]

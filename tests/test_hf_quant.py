@@ -1,0 +1,275 @@
+"""AWQ / GPTQ checkpoint import: unpack round-trips against independent
+test-side packers, bit-exact dequantization, zero-point kernel math, and
+an end-to-end synthetic-checkpoint load through the public loader.
+
+The reference loads only its own raw-FP32 blob (model.cpp:204-245); this
+is the ecosystem's 4-bit successor path (runtime/hf_quant.py).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplellminference_tpu.core.config import ModelConfig
+from simplellminference_tpu.ops import ref_ops
+from simplellminference_tpu.ops.matmul import quantized_matmul
+from simplellminference_tpu.runtime import hf_quant
+
+AWQ_ORDER = [0, 2, 4, 6, 1, 3, 5, 7]
+
+
+def awq_pack(u4: np.ndarray) -> np.ndarray:
+    """[.., A*8] uint4 values -> int32 [.., A], AWQ interleaved order."""
+    *lead, n = u4.shape
+    r = u4.reshape(*lead, n // 8, 8).astype(np.uint32)
+    out = np.zeros((*lead, n // 8), np.uint32)
+    for j, o in enumerate(AWQ_ORDER):
+        out |= r[..., o] << np.uint32(4 * j)
+    return out.view(np.int32)
+
+
+def gptq_pack_k(u4: np.ndarray) -> np.ndarray:
+    """[K, N] uint4 -> int32 [K/8, N], sequential order along K."""
+    k, n = u4.shape
+    r = u4.reshape(k // 8, 8, n).astype(np.uint32)
+    out = np.zeros((k // 8, n), np.uint32)
+    for j in range(8):
+        out |= r[:, j, :] << np.uint32(4 * j)
+    return out.view(np.int32)
+
+
+def seq_pack_n(u4: np.ndarray) -> np.ndarray:
+    """[G, N] uint4 -> int32 [G, N/8], sequential order along N."""
+    g, n = u4.shape
+    r = u4.reshape(g, n // 8, 8).astype(np.uint32)
+    out = np.zeros((g, n // 8), np.uint32)
+    for j in range(8):
+        out |= r[..., j] << np.uint32(4 * j)
+    return out.view(np.int32)
+
+
+def asym_quantize(w: np.ndarray, gs: int):
+    """Group-wise asymmetric uint4 quantization (the AWQ/GPTQ scheme).
+
+    Returns (q [K,N] in 0..15, z [G,N] in 0..15, s [G,N] f32)."""
+    k, n = w.shape
+    wg = w.reshape(k // gs, gs, n)
+    wmin, wmax = wg.min(1), wg.max(1)
+    s = np.maximum((wmax - wmin) / 15.0, 1e-6)
+    z = np.clip(np.round(-wmin / s), 0, 15)
+    q = np.clip(np.round(wg / s[:, None]) + z[:, None], 0, 15)
+    return (q.reshape(k, n).astype(np.int64), z.astype(np.int64),
+            s.astype(np.float32))
+
+
+def dequant_oracle(q, z, s, gs):
+    k = q.shape[0]
+    rep = lambda a: np.repeat(a, gs, axis=0)
+    return (q - rep(z)) * rep(s)
+
+
+# ---------------------------------------------------------------------------
+# unpackers vs the independent packers above
+# ---------------------------------------------------------------------------
+
+def test_awq_unpack_roundtrip(rng):
+    k, n, gs = 64, 32, 16
+    q = rng.integers(0, 16, (k, n))
+    z = rng.integers(0, 16, (k // gs, n))
+    s = rng.uniform(0.01, 0.2, (k // gs, n)).astype(np.float32)
+    qs, zs, ss = hf_quant.unpack_awq(awq_pack(q), awq_pack(z), s)
+    np.testing.assert_array_equal(qs, q - 8)
+    np.testing.assert_allclose(zs, (z - 8) * s, rtol=1e-6)
+    np.testing.assert_array_equal(ss, s)
+
+
+def test_gptq_unpack_roundtrip(rng):
+    k, n, gs = 64, 32, 16
+    q = rng.integers(0, 16, (k, n))
+    # GPTQ stores z-1; representable zero points are [1, 16]
+    z = rng.integers(1, 17, (k // gs, n))
+    s = rng.uniform(0.01, 0.2, (k // gs, n)).astype(np.float32)
+    g_idx = (np.arange(k) // gs).astype(np.int32)
+    qs, zs, ss = hf_quant.unpack_gptq(gptq_pack_k(q), seq_pack_n(z - 1), s,
+                                      g_idx)
+    np.testing.assert_array_equal(qs, q - 8)
+    np.testing.assert_allclose(zs, (z - 8) * s, rtol=1e-6)
+
+
+def test_gptq_act_order_rejected(rng):
+    k, n, gs = 64, 32, 16
+    q = rng.integers(0, 16, (k, n))
+    z = rng.integers(0, 16, (k // gs, n))
+    s = rng.uniform(0.01, 0.2, (k // gs, n)).astype(np.float32)
+    g_idx = rng.permutation(np.arange(k) // gs).astype(np.int32)
+    with pytest.raises(NotImplementedError, match="act-order"):
+        hf_quant.unpack_gptq(gptq_pack_k(q), seq_pack_n(z - 1), s, g_idx)
+
+
+# ---------------------------------------------------------------------------
+# zero-point matmul: ref == dense oracle == Pallas kernel (interpret)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,k,n,gs", [
+    (8, 256, 128, 64),
+    (16, 512, 256, 128),
+    (8, 512, 256, 512),     # per-channel (group == K) with zeros
+    (5, 256, 384, 128),     # m padding path
+])
+def test_int4_zs_kernel_matches_oracle(rng, m, k, n, gs):
+    w = rng.standard_normal((k, n)).astype(np.float32) + 0.3  # asymmetric
+    q, z, s = asym_quantize(w, gs)
+    packed = hf_quant.pack_split_half((q - 8).astype(np.int8))
+    zs = jnp.asarray((z - 8) * s, jnp.float32)
+    sj = jnp.asarray(s)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+
+    oracle = np.asarray(x, np.float32) @ dequant_oracle(q, z, s, gs)
+    ref = ref_ops.quantized_matmul_int4_ref(x, jnp.asarray(packed), sj,
+                                            out_dtype=jnp.float32, zs=zs)
+    got = quantized_matmul(x, jnp.asarray(packed), sj,
+                           out_dtype=jnp.float32, interpret=True, bits=4,
+                           zs=zs)
+    scale = np.abs(oracle).max()
+    assert np.abs(np.asarray(ref) - oracle).max() / scale < 2e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2 * scale)
+
+
+def test_dequantize_with_zs_exact(rng):
+    k, n, gs = 128, 64, 32
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1 + 0.05
+    q, z, s = asym_quantize(w, gs)
+    from simplellminference_tpu.ops.linear import QuantizedWeight
+    qw = QuantizedWeight(
+        q=jnp.asarray(hf_quant.pack_split_half((q - 8).astype(np.int8))),
+        scales=jnp.asarray(s), bits=4,
+        zs=jnp.asarray((z - 8) * s, jnp.float32))
+    np.testing.assert_allclose(np.asarray(qw.dequantize(jnp.float32)),
+                               dequant_oracle(q, z, s, gs),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: synthetic AWQ checkpoint through load_quantized_dir
+# ---------------------------------------------------------------------------
+
+def _tiny_cfg_dict():
+    return dict(
+        architectures=["LlamaForCausalLM"], model_type="llama",
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=128, torch_dtype="float32",
+        tie_word_embeddings=False)
+
+
+def _write_awq_checkpoint(tmp_path, rng, gs=32):
+    """Random tiny Llama as an AWQ checkpoint; returns the fp32 dequant
+    oracle per our param path so tests can compare."""
+    from safetensors.numpy import save_file
+
+    cd = _tiny_cfg_dict()
+    cd["quantization_config"] = dict(quant_method="awq", bits=4,
+                                     group_size=gs, version="gemm",
+                                     zero_point=True)
+    (tmp_path / "config.json").write_text(json.dumps(cd))
+
+    h, inter, v = cd["hidden_size"], cd["intermediate_size"], cd["vocab_size"]
+    nd, kvd = 4 * 32, 2 * 32
+    tensors, oracle = {}, {}
+
+    def plain(name, shape, scale=0.05):
+        t = (rng.standard_normal(shape) * scale).astype(np.float32)
+        tensors[name] = t
+        return t
+
+    def quantized(name, k, n):
+        w = (rng.standard_normal((k, n)) * 0.08 + 0.02).astype(np.float32)
+        q, z, s = asym_quantize(w, gs)
+        tensors[name + ".qweight"] = awq_pack(q)
+        tensors[name + ".qzeros"] = awq_pack(z)
+        tensors[name + ".scales"] = s
+        return dequant_oracle(q, z, s, gs)          # [K, N] our layout
+
+    plain("model.embed_tokens.weight", (v, h))
+    plain("model.norm.weight", (h,), 1.0)
+    plain("lm_head.weight", (v, h))
+    for i in range(cd["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        plain(p + "input_layernorm.weight", (h,), 1.0)
+        plain(p + "post_attention_layernorm.weight", (h,), 1.0)
+        qkv = [quantized(p + f"self_attn.{nm}_proj", h, nn)
+               for nm, nn in (("q", nd), ("k", kvd), ("v", kvd))]
+        oracle.setdefault("layers/wqkv", []).append(
+            np.concatenate(qkv, axis=-1))
+        oracle.setdefault("layers/wo", []).append(
+            quantized(p + "self_attn.o_proj", nd, h))
+        gu = [quantized(p + f"mlp.{nm}_proj", h, inter)
+              for nm in ("gate", "up")]
+        oracle.setdefault("layers/w_gate_up", []).append(
+            np.concatenate(gu, axis=-1))
+        oracle.setdefault("layers/w_down", []).append(
+            quantized(p + "mlp.down_proj", inter, h))
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+    return {k: np.stack(vv) for k, vv in oracle.items()}
+
+
+def test_load_awq_dir_dequant_exact(rng, tmp_path):
+    oracle = _write_awq_checkpoint(tmp_path, rng)
+    cfg, params = hf_quant.load_quantized_dir(str(tmp_path))
+    assert cfg.num_layers == 2
+    for path, want in oracle.items():
+        qw = params["layers"][path.split("/")[1]]
+        assert qw.bits == 4 and qw.zs is not None
+        got = np.asarray(qw.dequantize(jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # lm_head had no qweight -> loaded plain, [K, N] orientation
+    assert not hasattr(params["lm_head"], "bits")
+    assert params["lm_head"].shape == (128, 256)
+
+
+def test_awq_end_to_end_generation(rng, tmp_path):
+    """Loaded AWQ model generates the same greedy tokens as a dense model
+    built from the checkpoint's own dequantized weights."""
+    from simplellminference_tpu.core.config import SamplingParams
+    from simplellminference_tpu.runtime.generator import Generator
+
+    import dataclasses
+    oracle = _write_awq_checkpoint(tmp_path, rng)
+    cfg = dataclasses.replace(ModelConfig.from_pretrained_dir(str(tmp_path)),
+                              dtype="float32")
+    cfg, params = hf_quant.load_quantized_dir(str(tmp_path), cfg=cfg,
+                                              dtype="float32")
+    dense = jax.tree.map(lambda x: x, params,
+                         is_leaf=lambda x: hasattr(x, "bits"))
+    dense = dict(dense)
+    dense["layers"] = dict(dense["layers"])
+    for path, w in oracle.items():
+        dense["layers"][path.split("/")[1]] = jnp.asarray(w, jnp.float32)
+
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    sp = SamplingParams(max_new_tokens=8)
+    g_q = Generator(cfg, params, max_batch=2, max_seq=64,
+                    kv_dtype=jnp.float32)
+    g_d = Generator(cfg, dense, max_batch=2, max_seq=64,
+                    kv_dtype=jnp.float32)
+    assert g_q.generate(prompts, sp).token_ids == \
+        g_d.generate(prompts, sp).token_ids
+
+
+def test_awq_checkpoint_roundtrip_preserves_zs(rng, tmp_path):
+    from simplellminference_tpu.runtime.checkpoint import (load_checkpoint,
+                                                           save_checkpoint)
+    _write_awq_checkpoint(tmp_path, rng)
+    cfg, params = hf_quant.load_quantized_dir(str(tmp_path))
+    out = str(tmp_path / "native")
+    save_checkpoint(out, cfg, params, metadata={"quant": "awq-import"})
+    _, params2 = load_checkpoint(out)
+    qw, qw2 = params["layers"]["wqkv"], params2["layers"]["wqkv"]
+    assert qw2.zs is not None
+    np.testing.assert_array_equal(np.asarray(qw.q), np.asarray(qw2.q))
+    np.testing.assert_allclose(np.asarray(qw.zs), np.asarray(qw2.zs))
