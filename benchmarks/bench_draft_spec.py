@@ -1,0 +1,115 @@
+"""Draft-model speculation cost model on the real chip.
+
+Random fake weights can't show real acceptance (a random draft never
+matches a random target's argmax), so this measures the two COST sides
+and derives the breakeven acceptance:
+
+  * std:   tokens/s through the engine, plain bursts
+  * spec0: tokens/s through the engine with a draft model at ~0%
+           acceptance — every verify step still pays the G+1-step draft
+           rollout + the (G+1)-token verify forward, i.e. the overhead
+           floor
+  * speedup(a) = (1 + a*G) * (t_std / t_spec0-ish) — with acceptance a
+           the same per-step cost emits 1 + a*G tokens; breakeven is
+           where that crosses 1.0.
+
+Usage: python benchmarks/bench_draft_spec.py [--steps 64] [--spec 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    import bench as bench_mod
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    ModelConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine.engine import Engine
+    from simplellminference_tpu.runtime.weights import canonicalize_layouts
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--spec", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    args = ap.parse_args()
+
+    cfg = ModelConfig.llama2_7b(max_seq_len=1024, dtype="bfloat16")
+    params = canonicalize_layouts(bench_mod._bench_params(cfg, "int8", None))
+    # ~0.15B-class draft: TinyLlama arch cut to 2 layers (embed-dominated)
+    dcfg = ModelConfig.tinyllama_1_1b(num_layers=2, max_seq_len=1024,
+                                      dtype="bfloat16")
+    dparams = canonicalize_layouts(
+        bench_mod._bench_params(dcfg, "int8", None))
+    jax.block_until_ready((params, dparams))
+
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, cfg.vocab_size, args.prompt_len).tolist()
+               for _ in range(args.batch)]
+
+    def run(spec, draft, steps):
+        """Decode tokens/s isolated by differencing steps vs steps/2 runs
+        (cancels prefill, compile, and the fixed relay sync cost — the
+        bench.py engine-path methodology)."""
+        ps = 128
+        cap = args.prompt_len + steps + 2 * 8 * (args.spec + 1) + ps
+        pps = -(-cap // ps)
+        kvc = KVCacheConfig(page_size=ps,
+                            num_pages=args.batch * pps + 2,
+                            max_pages_per_seq=pps, kv_dtype="bf16")
+        eng = Engine(cfg, params, EngineConfig(
+            max_batch_size=args.batch, spec_tokens=spec, kv=kvc),
+            decode_burst=8, draft=draft)
+        half = steps // 2
+
+        def timed(n):
+            t = time.perf_counter()
+            eng.generate(prompts, SamplingParams(max_new_tokens=n))
+            return time.perf_counter() - t
+
+        for n in (half, steps):   # compile both graph sets
+            timed(n)
+        t_half = min(timed(half) for _ in range(2))
+        t_full = min(timed(steps) for _ in range(2))
+        m = eng.metrics
+        return args.batch * (steps - half) / (t_full - t_half), m
+
+    tps_std, _ = run(0, None, args.steps)
+    tps_spec, m = run(args.spec, (dcfg, dparams), args.steps)
+    acc = m.spec_accepted / max(1, m.spec_steps)
+
+    # per-verify-step token yield at acceptance a: 1 + a*G.
+    # measured spec run emitted (1 + acc*G_eff) per step at tps_spec;
+    # cost ratio per STEP r = (tps_std / tps_spec) * (1 + acc_measured)
+    # ... simpler: tokens/s at acceptance a scales linearly in (1+a*G)
+    # from the measured (1+acc) point.
+    per_step_yield = 1 + acc
+    tps_at = lambda a: tps_spec * (1 + a * args.spec) / per_step_yield
+    # breakeven acceptance: tps_at(a) == tps_std
+    breakeven = (tps_std * per_step_yield / tps_spec - 1) / args.spec
+
+    print(json.dumps({
+        "std_toks_s": round(tps_std, 1),
+        "spec_overhead_floor_toks_s": round(tps_spec, 1),
+        "measured_acceptance": round(acc, 3),
+        "spec_g": args.spec,
+        "breakeven_acceptance": round(breakeven, 3),
+        "projected_toks_s_at_60pct": round(tps_at(0.6), 1),
+        "projected_toks_s_at_80pct": round(tps_at(0.8), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

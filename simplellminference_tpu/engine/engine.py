@@ -60,13 +60,26 @@ class Engine:
 
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
                  tokenizer=None, decode_burst: int = 4,
-                 forward_paged=None):
+                 forward_paged=None, draft=None):
+        """``draft``: optional (draft_cfg, draft_params) pair — a small
+        same-vocabulary model that replaces the prompt-lookup drafter in
+        speculative mode (requires engine_cfg.spec_tokens >= 1). The
+        draft runs a G+1-step greedy rollout per burst step over its own
+        dense per-slot KV arena; the big model verifies the whole window
+        in one forward, so accepted tokens amortize its weight reads."""
         self.cfg = cfg
         self.params = params
         self.ecfg = engine_cfg
         self.tokenizer = tokenizer
         self.burst = decode_burst
         self._fwd = forward_paged or llama.forward_paged
+        self.draft = draft
+        if draft is not None:
+            dcfg = draft[0]
+            assert engine_cfg.spec_tokens >= 1, \
+                "draft-model speculation needs EngineConfig.spec_tokens >= 1"
+            assert dcfg.vocab_size == cfg.vocab_size, \
+                "draft and target must share the token space"
 
         kv = engine_cfg.kv
         self.allocator = PageAllocator(
@@ -182,6 +195,46 @@ class Engine:
             self._dev_hist = None
             self._zero_hist = None
 
+        # draft-model speculation: dense per-slot KV arena for the draft,
+        # indexed by ABSOLUTE position — a rejected draft's stale entries
+        # are masked by kv_len and overwritten by later writes, so
+        # rewinds/preemptions need no rollback. Row b is a trash row for
+        # prefill padding.
+        self._dparams = None
+        self._dcache = None
+        if draft is not None:
+            dcfg, dparams = draft
+            self._dcfg = dcfg
+            self._dparams = dparams
+            cap = kv.max_pages_per_seq * kv.page_size
+            dc_cap = cap + self.spec + 2   # rollout writes up to pos+G
+            dc_cap = -(-dc_cap // 128) * 128
+            from simplellminference_tpu.runtime.kv_cache import DenseKVCache
+            self._dcache = DenseKVCache.create(
+                dcfg.num_layers, b + 1, dc_cap, dcfg.num_kv_heads,
+                dcfg.head_dim,
+                jnp.float32 if dcfg.dtype == "float32" else jnp.bfloat16)
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def _draft_prefill_fn(dpar, dcache, tokens, idx, kv_lens):
+                """Prefill the draft's KV rows for admitted slots.
+
+                tokens [nb, S] (full prompt from position 0 — the draft
+                has no prefix cache); idx [nb] target rows (padding rows
+                point at the trash row b); kv_lens [nb]."""
+                nb, s = tokens.shape
+                sub = DenseKVCache(k=jnp.take(dcache.k, idx, axis=1),
+                                   v=jnp.take(dcache.v, idx, axis=1))
+                positions = jnp.broadcast_to(
+                    jnp.arange(s, dtype=jnp.int32)[None], (nb, s))
+                _, sub = llama.forward(dcfg, dpar, tokens, positions, sub,
+                                       jnp.zeros((nb,), jnp.int32),
+                                       kv_lens, last_token_only=True)
+                return DenseKVCache(k=dcache.k.at[:, idx].set(sub.k),
+                                    v=dcache.v.at[:, idx].set(sub.v))
+
+            self._draft_prefill_fn = _draft_prefill_fn
+
         cfg_ = cfg
         fwd = self._fwd
 
@@ -282,23 +335,32 @@ class Engine:
         spec_g = engine_cfg.spec_tokens
         ngram = engine_cfg.spec_ngram
 
+        use_draft = draft is not None
+        dcfg_ = draft[0] if use_draft else None
+
         @partial(jax.jit, static_argnums=(0,),
-                 donate_argnums=(2, 3, 4, 5, 6))
-        def _spec_burst_fn(steps, params, cache, dev_tok, dev_pos,
-                           dev_counts, dev_hist, ov_tok, ov_pos, ov_counts,
-                           ov_hist, ov_mask, tables, active, key, temp,
-                           top_k, top_p, min_p, rp, fp, pp, seeds):
-            """Speculative burst: each step drafts ``spec_g`` tokens by
-            prompt lookup (latest earlier occurrence of the context's
-            last n-gram), verifies draft+1 positions in ONE forward
-            (weight traffic ~= one decode step), and emits the accepted
-            prefix plus a bonus token. Greedy rows accept by equality
-            with the greedy prediction; stochastic penalty-neutral rows
-            accept by rejection sampling against the shaped distribution
-            (emitted marginals match non-speculative sampling exactly);
-            rows with active penalties fall back to one sampled token
-            per step. Invariant: hist[0..pos] holds the context
-            (hist[pos] == the pending input token)."""
+                 donate_argnums=(3, 4, 5, 6, 7, 8))
+        def _spec_burst_fn(steps, params, dpar, cache, dcache, dev_tok,
+                           dev_pos, dev_counts, dev_hist, ov_tok, ov_pos,
+                           ov_counts, ov_hist, ov_mask, tables, active,
+                           key, temp, top_k, top_p, min_p, rp, fp, pp,
+                           seeds):
+            """Speculative burst: each step drafts ``spec_g`` tokens —
+            by prompt lookup (latest earlier occurrence of the context's
+            last n-gram) or, with a draft model configured, by a greedy
+            G+1-step rollout over the draft's dense KV arena — verifies
+            draft+1 positions in ONE forward (weight traffic ~= one
+            decode step), and emits the accepted prefix plus a bonus
+            token. Greedy rows accept by equality with the greedy
+            prediction; stochastic penalty-neutral rows accept by
+            rejection sampling against the shaped distribution (emitted
+            marginals match non-speculative sampling exactly); rows with
+            active penalties fall back to one sampled token per step.
+            Invariant: hist[0..pos] holds the context (hist[pos] == the
+            pending input token). The draft rollout runs G+1 steps so a
+            full accept leaves no KV gap (the G-th draft token's KV is
+            written by the extra step); rejected drafts' stale entries
+            sit above kv_len and are overwritten on the next pass."""
             bsz = dev_tok.shape[0]
             hl = dev_hist.shape[1]
             tok0 = jnp.where(ov_mask, ov_tok, dev_tok)
@@ -331,9 +393,30 @@ class Engine:
                 ok = found[:, None] & (gat <= pos[:, None])
                 return jnp.where(ok, draft, 0)
 
+            def model_draft(dcache, tok, pos):
+                # greedy G+1-step rollout; pad one trash row so the
+                # batch matches the arena's B+1 rows (row b absorbs
+                # prefill padding and this pad)
+                t0 = jnp.concatenate([tok, jnp.zeros((1,), tok.dtype)])
+                p0 = jnp.concatenate([pos, jnp.zeros((1,), pos.dtype)])
+
+                def dstep(c, _):
+                    dc, t, p = c
+                    lg, dc = llama.forward(dcfg_, dpar, t[:, None],
+                                           p[:, None], dc, p, p + 1)
+                    nt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+                    return (dc, nt, p + 1), nt
+
+                (dcache, _, _), ds = jax.lax.scan(
+                    dstep, (dcache, t0, p0), None, length=spec_g + 1)
+                return ds[:spec_g, :bsz].T, dcache       # [B, G]
+
             def step(carry, _):
-                cache, tok, pos, counts, hist, key = carry
-                draft = find_draft(hist, pos)                 # [B, G]
+                cache, dcache, tok, pos, counts, hist, key = carry
+                if use_draft:
+                    draft, dcache = model_draft(dcache, tok, pos)
+                else:
+                    draft = find_draft(hist, pos)             # [B, G]
                 toks_in = jnp.concatenate([tok[:, None], draft], 1)
                 positions = pos[:, None] + kidx               # [B, G+1]
                 kv_lens = pos + g1
@@ -440,20 +523,20 @@ class Engine:
                     axis=-1)[..., 0]                       # [B, G+1]
                 tok = jnp.where(active, bonus, tok)
                 pos = pos + n_em
-                return (cache, tok, pos, counts, hist, key), (emitted,
-                                                              lps, n_em)
+                return (cache, dcache, tok, pos, counts, hist,
+                        key), (emitted, lps, n_em)
 
-            (cache, tok, pos, counts, hist, _), (ems, elps, nems) = \
-                jax.lax.scan(
-                    step, (cache, tok0, pos0, counts0, hist0, key), None,
-                    length=steps)
+            (cache, dcache, tok, pos, counts, hist, _), \
+                (ems, elps, nems) = jax.lax.scan(
+                    step, (cache, dcache, tok0, pos0, counts0, hist0,
+                           key), None, length=steps)
             # pack (emitted, logprobs, n_emitted) into ONE sync object
             # [B, steps, 2(G+1)+1]
             packed = jnp.concatenate(
                 [ems.transpose(1, 0, 2).astype(jnp.float32),
                  elps.transpose(1, 0, 2),
                  nems.T[..., None].astype(jnp.float32)], axis=-1)
-            return packed, tok, pos, counts, hist, cache
+            return packed, tok, pos, counts, hist, cache, dcache
 
         self._prefill_fn = _prefill_fn
         self._prefill_chunk_fn = _prefill_chunk_fn
@@ -758,6 +841,8 @@ class Engine:
         if cached:
             pending.append((cached,
                             self._prefill_batch(cached, suffixes=True)))
+        if self._dcache is not None:
+            self._draft_prefill_admitted(admitted)
         # one host sync for ALL admitted prefills (not one per request):
         # prefill dispatches queue back-to-back on the device.
         for reqs, packed in pending:
@@ -772,6 +857,33 @@ class Engine:
                     self._hist_host[req.slot, self._pos[req.slot]] = tok_id
                 self._override[req.slot] = True  # fresh state for pipeline
                 self._emit_tokens(req, [tok_id], [float(arr[i, 1])])
+
+    def _draft_prefill_admitted(self, reqs: list[Request]):
+        """One batched draft prefill for a cycle's admits.
+
+        Always the FULL prompt from position 0 — the draft has no prefix
+        cache or chunking (it is small by construction); its dense arena
+        rows for these slots are rebuilt wholesale. Row count quantized
+        to {1, max_batch} like the main prefill (graph reuse); padding
+        rows write the trash row."""
+        n = len(reqs)
+        b = len(self.slots)
+        lens = [r.total_len for r in reqs]
+        cap = self._dcache.max_seq
+        assert max(lens) <= cap, (max(lens), cap)
+        bucket = min(next_power_of_2(max(max(lens), 16)), cap)
+        nb = 1 if n == 1 else b
+        tokens = np.zeros((nb, bucket), np.int32)
+        idx = np.full(nb, b, np.int32)            # default: trash row
+        kv_lens = np.ones(nb, np.int32)
+        for i, r in enumerate(reqs):
+            ids = r.prompt_ids + r.output_ids
+            tokens[i, :len(ids)] = ids
+            idx[i] = r.slot
+            kv_lens[i] = len(ids)
+        self._dcache = self._draft_prefill_fn(
+            self._dparams, self._dcache, jnp.asarray(tokens),
+            jnp.asarray(idx), jnp.asarray(kv_lens))
 
     def _prefill_batch(self, reqs: list[Request],
                        suffixes: bool = False) -> jax.Array:
@@ -1098,12 +1210,29 @@ class Engine:
                 dev_hist = self._dev_hist
                 ov_hist = (jnp.asarray(self._hist_host.copy()) if any_ov
                            else self._get_zero_hist())
+            if self._dcache is None:
+                # lookup mode: inert placeholders (donated and returned
+                # back each burst, so they round-trip without re-upload)
+                if getattr(self, "_dummy_dcache", None) is None:
+                    from simplellminference_tpu.runtime.kv_cache import (
+                        DenseKVCache)
+                    self._dummy_dcache = DenseKVCache(
+                        k=jnp.zeros((1,), jnp.bfloat16),
+                        v=jnp.zeros((1,), jnp.bfloat16))
+                dcache, dpar = self._dummy_dcache, {}
+            else:
+                dcache, dpar = self._dcache, self._dparams
             (packed, self._dev_tok, self._dev_pos,
              self._dev_counts, self._dev_hist,
-             self.cache) = self._spec_burst_fn(
-                self.burst, self.params, self.cache, dev_tok, dev_pos,
-                dev_counts, dev_hist, ov_tok, ov_pos, ov_counts, ov_hist,
-                ov_mask_dev, tables, active, sub, *sampler_args)
+             self.cache, dcache_out) = self._spec_burst_fn(
+                self.burst, self.params, dpar, self.cache, dcache,
+                dev_tok, dev_pos, dev_counts, dev_hist, ov_tok, ov_pos,
+                ov_counts, ov_hist, ov_mask_dev, tables, active, sub,
+                *sampler_args)
+            if self._dcache is None:
+                self._dummy_dcache = dcache_out
+            else:
+                self._dcache = dcache_out
             payload = ("spec", packed, None)
         else:
             (packed, self._dev_tok, self._dev_pos, self._dev_counts,
