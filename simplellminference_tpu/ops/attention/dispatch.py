@@ -129,7 +129,7 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
             paged_flash_prefill)
         return paged_flash_prefill(
             q, pool_k, pool_v, tables, kv_lens, chunk_offset,
-            bq=256 if s % 256 == 0 else 128,
+            bq=512 if s % 512 == 0 else (256 if s % 256 == 0 else 128),
             layer=layer if stacked else None,
             k_scale=pool_ks, v_scale=pool_vs,
             window=cfg.sliding_window)

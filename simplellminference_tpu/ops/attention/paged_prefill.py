@@ -10,9 +10,19 @@ paged_decode.py): per (batch, q-head, q-block) the kernel walks logical
 pages up to the causal frontier with an online-softmax accumulator; pages
 past the frontier clamp to it (no DMA, no compute).
 
+**Multi-page kv blocks**: prefill is MXU-bound, and MXU efficiency is set
+by the kv-block width (the QK output tile and the PV contraction depth) —
+measured on v5e: 37 TFLOPs at kv block 128 vs 136 at 1024 (4x). One page
+per grid step caps the kv block at the page size (128), so the kernel
+gathers G pages per step: the pool rides in G times with page-shifted
+index maps (G independent DMAs — the pages are physically scattered),
+the kernel concatenates them in VMEM and runs ONE [bq, G*ps] score tile.
+Logical key positions stay contiguous across the concatenated block, so
+causal/window masking is unchanged.
+
 Queries sit at ABSOLUTE positions chunk_offset[b] + 0..Sq-1 (per-row,
-page-aligned — batched suffix prefills start at different offsets);
-key position of logical page p's slot j is p*ps + j. Causality and the
+page-aligned — batched suffix prefills start at different offsets); key
+position of logical page p's slot j is p*ps + j. Causality and the
 kv_len bound are enforced in-kernel per element.
 
 Successor (long-context capability) of the reference's dense O(pos)
@@ -32,13 +42,17 @@ NEG_INF = -1e30
 
 
 def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
-                          q_ref, kp_ref, vp_ref, *refs, scale: float,
-                          bq: int, ps: int, quant_kv: bool,
-                          window: int | None = None):
+                          q_ref, *refs, scale: float,
+                          bq: int, ps: int, pages_per_block: int,
+                          quant_kv: bool, window: int | None = None):
+    g = pages_per_block
+    kp_refs, vp_refs = refs[:g], refs[g:2 * g]
     if quant_kv:
-        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        ks_refs, vs_refs = refs[2 * g:3 * g], refs[3 * g:4 * g]
+        o_ref, m_ref, l_ref, acc_ref = refs[4 * g:]
     else:
-        o_ref, m_ref, l_ref, acc_ref = refs
+        ks_refs = vs_refs = ()
+        o_ref, m_ref, l_ref, acc_ref = refs[2 * g:]
     del layer_ref, tables_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     qi = pl.program_id(2)
@@ -46,6 +60,7 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
     np_ = pl.num_programs(3)
     kv_len = lens_ref[bi]
     off = offs_ref[bi]
+    bk = g * ps
 
     @pl.when(pi == 0)
     def _():
@@ -53,27 +68,47 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # run while the page overlaps [0, min(kv_len, q_pos_max + 1))
+    # run while the g-page block overlaps [0, min(kv_len, q_pos_max + 1))
     q_hi = off + qi * bq + bq - 1           # newest query this tile
-    run = (pi * ps <= q_hi) & (pi * ps < kv_len)
+    run = (pi * bk <= q_hi) & (pi * bk < kv_len)
     if window is not None:
-        # page entirely before the oldest query row's window start
-        run = run & (pi * ps + ps - 1 >= off + qi * bq - (window - 1))
+        # block entirely before the oldest query row's window start
+        run = run & (pi * bk + bk - 1 >= off + qi * bq - (window - 1))
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)          # [bq, D]
-        k = kp_ref[0, 0, 0].astype(jnp.float32)      # [ps, D]
-        if quant_kv:
-            k = k * ks_ref[0, 0, 0, 0][:, None]      # [ps, 1]
+        # bf16 (or int8-dequantized-to-bf16) operands + f32 accumulation:
+        # an f32 upcast before the dot forces the MXU's multi-pass f32
+        # path (see flash_prefill.py). INT8-KV pages dequantize per page
+        # slab BEFORE the sublane-axis concat (f32 multiply, bf16 cast) —
+        # Mosaic cannot concatenate the 1-D scale vectors themselves
+        # ("input offsets outside the first tile"), and per-slab dequant
+        # keeps the scales in f32.
+        q = q_ref[0, 0]                              # [bq, D]
+
+        def page_slab(data_refs, scale_refs, j):
+            slab = data_refs[j][0, 0, 0]             # [ps, D]
+            if quant_kv:
+                slab = (slab.astype(jnp.float32)
+                        * scale_refs[j][0, 0, 0, 0][:, None])
+            return slab.astype(q.dtype)
+
+        if g == 1:
+            k = page_slab(kp_refs, ks_refs, 0)       # [bk, D]
+            v = page_slab(vp_refs, vs_refs, 0)
+        else:
+            k = jnp.concatenate(
+                [page_slab(kp_refs, ks_refs, j) for j in range(g)], axis=0)
+            v = jnp.concatenate(
+                [page_slab(vp_refs, vs_refs, j) for j in range(g)], axis=0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [bq, ps]
+            preferred_element_type=jnp.float32) * scale   # [bq, bk]
 
         q_pos = off + qi * bq + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, ps), 0)
-        k_pos = pi * ps + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, ps), 1)
+            jnp.int32, (bq, bk), 0)
+        k_pos = pi * bk + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, bk), 1)
         keep = (k_pos <= q_pos) & (k_pos < kv_len)
         if window is not None:
             keep = keep & (k_pos > q_pos - window)
@@ -85,11 +120,8 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1,
                                                       keepdims=True)
-        v = vp_ref[0, 0, 0].astype(jnp.float32)      # [ps, D]
-        if quant_kv:
-            v = v * vs_ref[0, 0, 0, 0][:, None]
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
+            p.astype(q.dtype), v, preferred_element_type=jnp.float32)
         m_ref[:, :1] = m_new
 
     @pl.when(pi == np_ - 1)
@@ -100,15 +132,17 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "interpret", "window"))
+@functools.partial(jax.jit, static_argnames=("bq", "interpret", "window",
+                                             "pages_per_block"))
 def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
                         v_pool: jax.Array, tables: jax.Array,
                         kv_lens: jax.Array, chunk_offset: jax.Array,
-                        bq: int = 256, interpret: bool = False,
+                        bq: int = 512, interpret: bool = False,
                         layer: jax.Array | None = None,
                         k_scale: jax.Array | None = None,
                         v_scale: jax.Array | None = None,
-                        window: int | None = None) -> jax.Array:
+                        window: int | None = None,
+                        pages_per_block: int | None = None) -> jax.Array:
     """q: [B, Sq, N, D] — row b's queries sit at absolute positions
     chunk_offset[b] + 0..Sq-1 (the current prefill chunk, already written
     to its pages). k/v_pool: [P, kvN, ps, D] or stacked [L, P, kvN, ps, D]
@@ -121,9 +155,14 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     Sq must be a multiple of bq (callers pad; padded rows produce garbage
     that downstream last-token selection discards).
 
+    ``pages_per_block``: logical pages gathered per grid step (the kv
+    block is pages_per_block * ps wide — MXU efficiency knob; default
+    targets a 1024-wide block, the measured v5e knee).
+
     ``window``: sliding-window attention — each query attends only keys
-    with q_pos - k_pos < window; pages entirely outside a tile's window
-    band are skipped via index-map clamping (cost O(Sq · window))."""
+    with q_pos - k_pos < window; page blocks entirely outside a tile's
+    window band are skipped via index-map clamping (cost
+    O(Sq · window))."""
     if k_pool.ndim == 4:
         k_pool = k_pool[None]
         v_pool = v_pool[None]
@@ -144,55 +183,65 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     bq = min(bq, sq)
     assert sq % bq == 0, (sq, bq)
     nq = sq // bq
+    if pages_per_block is None:
+        pages_per_block = max(1, min(1024 // ps, mp))
+    g = min(pages_per_block, mp)
+    n_pblocks = -(-mp // g)
     qT = q.transpose(0, 2, 1, 3)   # [B, N, Sq, D]
 
-    def page_index(i_b, i_h, i_q, i_p, lens_ref, tables_ref, offs_ref,
-                   layer_ref):
-        # clamp past-the-frontier/past-the-end pages to the last one this
-        # tile touches: same physical index -> Pallas skips the DMA and
-        # @pl.when skips the compute.
-        frontier = (offs_ref[i_b] + i_q * bq + bq - 1) // ps
-        last = jnp.maximum(lens_ref[i_b] - 1, 0) // ps
-        hi = jnp.minimum(frontier, last)
-        i_p = jnp.minimum(i_p, hi)
-        if window is not None:
-            # pages before the oldest query row's window start clamp
-            # forward to the window's first page
-            lo = jnp.maximum(offs_ref[i_b] + i_q * bq - (window - 1),
-                             0) // ps
-            i_p = jnp.maximum(i_p, jnp.minimum(lo, hi))
-        pid = tables_ref[i_b, i_p]
-        return (layer_ref[0], jnp.maximum(pid, 0),
-                jax.lax.div(i_h, group), 0, 0)
+    def page_index(j):
+        def index(i_b, i_h, i_q, i_p, lens_ref, tables_ref, offs_ref,
+                  layer_ref):
+            # clamp past-the-frontier/past-the-end pages to the last one
+            # this tile touches: same physical index -> Pallas skips the
+            # DMA and the in-kernel mask kills the columns.
+            frontier = (offs_ref[i_b] + i_q * bq + bq - 1) // ps
+            last = jnp.maximum(lens_ref[i_b] - 1, 0) // ps
+            hi = jnp.minimum(frontier, last)
+            i_pg = jnp.minimum(i_p * g + j, hi)
+            if window is not None:
+                # pages before the oldest query row's window start clamp
+                # forward to the window's first page
+                lo = jnp.maximum(offs_ref[i_b] + i_q * bq - (window - 1),
+                                 0) // ps
+                i_pg = jnp.maximum(i_pg, jnp.minimum(lo, hi))
+            pid = tables_ref[i_b, jnp.minimum(i_pg, mp - 1)]
+            return (layer_ref[0], jnp.maximum(pid, 0),
+                    jax.lax.div(i_h, group), 0, 0)
+        return index
 
-    def scale_index(i_b, i_h, i_q, i_p, lens_ref, tables_ref, offs_ref,
-                    layer_ref):
-        li, pid, hk, _, _ = page_index(i_b, i_h, i_q, i_p, lens_ref,
-                                       tables_ref, offs_ref, layer_ref)
-        return (li, pid, hk, 0, 0)
+    def scale_index(j):
+        pidx = page_index(j)
+
+        def index(*args):
+            li, pid, hk, _, _ = pidx(*args)
+            return (li, pid, hk, 0, 0)
+        return index
 
     q_spec = pl.BlockSpec((1, 1, bq, d),
                           lambda i_b, i_h, i_q, i_p, *pref:
                           (i_b, i_h, i_q, 0))
     # pools blocked per (page, kv head): the (ps, d) block tail equals
-    # the array's last two dims, so Mosaic accepts it directly.
-    in_specs = [
-        q_spec,
-        pl.BlockSpec((1, 1, 1, ps, d), page_index),
-        pl.BlockSpec((1, 1, 1, ps, d), page_index),
-    ]
-    operands = [qT, k_pool, v_pool]
+    # the array's last two dims, so Mosaic accepts it directly. The pool
+    # rides in g times with page-shifted index maps — one DMA per
+    # (physically scattered) page of the kv block.
+    kv_spec = [pl.BlockSpec((1, 1, 1, ps, d), page_index(j))
+               for j in range(g)]
+    in_specs = [q_spec] + kv_spec + kv_spec
+    operands = [qT] + [k_pool] * g + [v_pool] * g
     if quant_kv:
         # scales [L, P, kvN, ps]: dim-split a unit axis so the block tail
         # (1, ps) equals the array's last two dims (free view reshape)
         sshape = (k_scale.shape[0], k_scale.shape[1], kvn, 1, ps)
-        in_specs += [pl.BlockSpec((1, 1, 1, 1, ps), scale_index)] * 2
-        operands += [k_scale.astype(jnp.float32).reshape(sshape),
-                     v_scale.astype(jnp.float32).reshape(sshape)]
+        s_spec = [pl.BlockSpec((1, 1, 1, 1, ps), scale_index(j))
+                  for j in range(g)]
+        in_specs += s_spec + s_spec
+        operands += ([k_scale.astype(jnp.float32).reshape(sshape)] * g
+                     + [v_scale.astype(jnp.float32).reshape(sshape)] * g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, n, nq, mp),
+        grid=(b, n, nq, n_pblocks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d),
                                lambda i_b, i_h, i_q, i_p, *pref:
@@ -206,7 +255,8 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_paged_prefill_kernel, scale=scale, bq=bq,
-                          ps=ps, quant_kv=quant_kv, window=window),
+                          ps=ps, pages_per_block=g, quant_kv=quant_kv,
+                          window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
