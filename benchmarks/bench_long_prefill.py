@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--dense-fallback", action="store_true",
                     help="route chunked attention through gather_dense "
                          "(the r1 path) for comparison")
+    ap.add_argument("--act-quant", action="store_true",
+                    help="W8A8 prefill: per-token int8 activations on "
+                         "the double-rate int8 MXU path")
     args = ap.parse_args()
 
     import bench as bench_mod
@@ -64,6 +67,9 @@ def main():
           "tinyllama": ModelConfig.tinyllama_1_1b}[args.model]
     cfg = mk(max_seq_len=args.prompt_len + args.max_new + 256,
              dtype="bfloat16")
+    if args.act_quant:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, act_quant="int8")
     params = canonicalize_layouts(bench_mod._bench_params(cfg, "int8", None))
     jax.block_until_ready(params)
 
@@ -98,6 +104,7 @@ def main():
 
     print(json.dumps({
         "metric": "ttft_8k_chunked_prefill",
+        "act_quant": bool(args.act_quant),
         "mode": "dense_gather" if args.dense_fallback else "paged_flash",
         "prompt_len": args.prompt_len, "chunk": args.chunk,
         "ttft_s": round(best_ttft, 3), "wall_s": round(best_wall, 3),

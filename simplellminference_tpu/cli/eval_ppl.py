@@ -29,6 +29,10 @@ def main(argv=None):
                     help="also evaluate INT8 group-quant and report delta")
     ap.add_argument("--compare-int4", action="store_true",
                     help="also report int4 group-quant PPL + delta")
+    ap.add_argument("--compare-w8a8", action="store_true",
+                    help="also report INT8-weights + int8-activation "
+                         "(ModelConfig.act_quant) PPL + delta — the "
+                         "quality gate for --act-quant serving")
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
@@ -64,6 +68,15 @@ def main(argv=None):
         result["ppl_int4"] = round(perplexity(cfg, qparams, ids, args.window,
                                               args.stride, progress=True), 4)
         result["delta_int4"] = round(result["ppl_int4"] - result["ppl"], 4)
+    if args.compare_w8a8:
+        import dataclasses
+        qparams = quantize_params(
+            params, QuantConfig(mode="int8", group_size=args.group_size))
+        cfg8 = dataclasses.replace(cfg, act_quant="int8")
+        result["ppl_w8a8"] = round(perplexity(cfg8, qparams, ids,
+                                              args.window, args.stride,
+                                              progress=True), 4)
+        result["delta_w8a8"] = round(result["ppl_w8a8"] - result["ppl"], 4)
     print(json.dumps(result))
 
 

@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8", "int4"])
+    ap.add_argument("--act-quant", action="store_true",
+                    help="W8A8 prefill: per-token int8 activations on "
+                         "the MXU's double-rate int8 path (requires "
+                         "--quant int8; validate quality with eval_ppl)")
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
@@ -105,6 +109,9 @@ def main(argv=None):
         tok = ByteTokenizer()
     load_s = time.perf_counter() - t0
 
+    if args.act_quant:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, act_quant="int8")
     gen = Generator(cfg, params, max_batch=1,
                     max_seq=min(args.max_seq, cfg.max_seq_len))
     prompt_ids = tok.encode(args.prompt)

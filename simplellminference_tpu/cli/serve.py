@@ -21,6 +21,10 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--act-quant", action="store_true",
+                    help="W8A8 prefill: per-token int8 activations on "
+                         "the MXU's double-rate int8 path (requires "
+                         "--quant int8; validate quality with eval_ppl)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--kv-dtype", default="bf16",
@@ -63,6 +67,10 @@ def main(argv=None):
                                          dtype=args.dtype)
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
         tok = ByteTokenizer()
+
+    if args.act_quant:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, act_quant="int8")
 
     ecfg = EngineConfig(
         max_batch_size=args.max_batch,

@@ -69,6 +69,16 @@ class ModelConfig:
     # kernels skip KV blocks outside the window (decode cost becomes
     # O(window) instead of O(context)).
     sliding_window: Optional[int] = None
+    # Activation quantization for the PREFILL matmuls ("int8" | None):
+    # per-token symmetric int8 activations feed the MXU's double-rate
+    # int8 path against the int8 weights (W8A8) — measured 329 vs 184
+    # TFLOPs on the 7B gate_up shape, ~2x prefill compute. Applies only
+    # to compute-bound row counts (>= 256 rows: prefill chunks, never
+    # decode bursts or the LM head) and only to symmetric int8 weights.
+    # Quality: adds per-token activation rounding on top of weight
+    # quantization (standard W8A8-token recipe); validate per checkpoint
+    # with the PPL harness before enabling in production.
+    act_quant: Optional[str] = None
 
     @property
     def q_size(self) -> int:

@@ -138,7 +138,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                                    tp_axis, ring_collectives,
                                    cache_k, cache_v)
     attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]), cfg.rms_norm_eps)
-    qkv = linear(attn_in, lw["wqkv"], layer=li)
+    qkv = linear(attn_in, lw["wqkv"], layer=li,
+                 act_quant=cfg.act_quant)
     if "wqkv_bias" in lw:  # Qwen2-style QKV bias
         qkv = qkv + norm_w(lw["wqkv_bias"]).astype(qkv.dtype)
     q = qkv[..., :n * d].reshape(b, s, n, d)
@@ -187,7 +188,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         attn = matmul_allreduce_ring_quant(attn_in_rows, lw["wo"],
                                            tp_axis, layer=li)
     else:
-        attn = linear(attn_in_rows, lw["wo"], layer=li)
+        attn = linear(attn_in_rows, lw["wo"], layer=li,
+                      act_quant=cfg.act_quant)
         if tp_axis is not None:
             # Row-sharded wo: partial products all-reduce over ICI. (GSPMD
             # inserts this automatically; in the shard_map body it is ours.)
@@ -228,7 +230,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
     ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"]), cfg.rms_norm_eps)
     i = cfg.intermediate_size if tp_axis is None else (
         cfg.intermediate_size // jax.lax.axis_size(tp_axis))
-    gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
+    gate_up = linear(ffn_in, lw["w_gate_up"], layer=li,
+                     act_quant=cfg.act_quant)
     gate, up = gate_up[..., :i], gate_up[..., i:]
     swi = ref_ops.glu_act(gate, up, cfg.hidden_act)
     if tp_axis is not None and ring_collectives and _is_quant(lw["w_down"]):
@@ -237,7 +240,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         down = matmul_allreduce_ring_quant(swi, lw["w_down"], tp_axis,
                                            layer=li)
     else:
-        down = linear(swi, lw["w_down"], layer=li)
+        down = linear(swi, lw["w_down"], layer=li,
+                      act_quant=cfg.act_quant)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
     x = x + down
@@ -434,7 +438,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
         attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
                                   cfg.rms_norm_eps)
-        qkv = linear(attn_in, lw["wqkv"], layer=li)
+        qkv = linear(attn_in, lw["wqkv"], layer=li,
+                 act_quant=cfg.act_quant)
         if "wqkv_bias" in lw:  # Qwen2-style QKV bias
             qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
         q = qkv[..., :n * d].reshape(b, s, n, d)
@@ -482,7 +487,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
 
     def _paged_post_attn(x, attn, pk, pv, pks, pvs, li):
-        attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li)
+        attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li,
+                      act_quant=cfg.act_quant)
         if tp_axis is not None:
             attn = jax.lax.psum(attn, tp_axis)
         x = x + attn
@@ -516,10 +522,11 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                                  cfg.rms_norm_eps)
         i = cfg.intermediate_size if tp_axis is None else (
             cfg.intermediate_size // jax.lax.axis_size(tp_axis))
-        gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
+        gate_up = linear(ffn_in, lw["w_gate_up"], layer=li,
+                         act_quant=cfg.act_quant)
         down = linear(ref_ops.glu_act(gate_up[..., :i], gate_up[..., i:],
                                       cfg.hidden_act),
-                      lw["w_down"], layer=li)
+                      lw["w_down"], layer=li, act_quant=cfg.act_quant)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
         x = x + down

@@ -72,20 +72,58 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Row count above which activation quantization kicks in (when enabled):
+# below it the matmul is weight-bandwidth-bound (decode bursts, LM-head
+# last-token rows) and W8A8 buys nothing; at/above it (prefill) the int8
+# MXU path wins (measured on the 7B gate_up shape: 1.3x at M=128, ~2x at
+# M>=256; breakeven between 64 and 128).
+ACT_QUANT_MIN_ROWS = 128
+
+
+def _act_quant_applies(x: jax.Array, w: "QuantizedWeight",
+                       act_quant: str | None) -> bool:
+    if act_quant is None:
+        return False
+    assert act_quant == "int8", act_quant
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    return (w.bits == 8 and w.zs is None and m >= ACT_QUANT_MIN_ROWS)
+
+
 def linear(x: jax.Array, w: Weight, out_dtype=None,
-           layer: jax.Array | None = None) -> jax.Array:
+           layer: jax.Array | None = None,
+           act_quant: str | None = None) -> jax.Array:
     """y = x @ w. x: [..., K]; w: [K, N] (plain or quantized).
 
     Stacked-layer mode: w may carry a leading L axis ([L, K, N]) with a
     traced ``layer`` index — inside a ``lax.scan`` over layers, the Pallas
     kernel indexes the stacked HBM buffer directly (scalar-prefetched
     layer id) instead of forcing XLA to materialize a per-layer copy.
+
+    ``act_quant="int8"`` (ModelConfig.act_quant): quantize the
+    activations per token and run the W8A8 int8-MXU kernel — applied
+    only to compute-bound shapes (static row count >= ACT_QUANT_MIN_ROWS,
+    i.e. prefill chunks) over symmetric int8 weights.
     """
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QuantizedWeight):
         stacked = w.q.ndim == 3
         if stacked:
             assert layer is not None, "stacked weight needs a layer index"
+        if _act_quant_applies(x, w, act_quant):
+            if _use_pallas():
+                from simplellminference_tpu.ops.matmul import (
+                    quantized_matmul_w8a8)
+                return quantized_matmul_w8a8(
+                    x, w.q, w.scales, out_dtype=out_dtype,
+                    layer=layer if stacked else None)
+            q, s = w.q, w.scales
+            if stacked:
+                q = jax.lax.dynamic_index_in_dim(q, layer, 0, False)
+                s = jax.lax.dynamic_index_in_dim(s, layer, 0, False)
+            return ref_ops.quantized_matmul_w8a8_ref(x, q, s,
+                                                     out_dtype=out_dtype)
         if _use_pallas():
             from simplellminference_tpu.ops.matmul import quantized_matmul
             return quantized_matmul(x, w.q, w.scales, out_dtype=out_dtype,

@@ -174,6 +174,169 @@ def _qmm4_kernel(meta_ref, xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref,
             out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _qmm_w8a8_kernel(meta_ref, x_ref, xs_ref, q_ref, s_ref, out_ref,
+                     acc_ref, *, n_groups: int, group_size: int,
+                     out_dtype, per_channel: bool):
+    """W8A8 variant of _qmm_kernel: int8 activations x int8 weights on the
+    MXU's double-rate int8 path (v5e: 394 TOPS vs 197 bf16 TFLOPs), i32
+    group partials scaled into an f32 accumulator. The per-token
+    activation scale (xs, [bm, 1]) applies once at write-out."""
+    k_step = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # [bm, bk] int8
+    if per_channel:
+        # Pure i32 accumulation — exact, zero per-step VPU cost (the
+        # grouped path pays an i32->f32 convert + scale per group, which
+        # eats ~40% of the int8 MXU gain). |sum| <= K * 127^2 < 2^31 for
+        # K <= 133k: no overflow for any supported shape.
+        acc_ref[:] += jnp.dot(x, q_ref[0],
+                              preferred_element_type=jnp.int32)
+    else:
+        for g in range(n_groups):
+            sl = slice(g * group_size, (g + 1) * group_size)
+            partial = jnp.dot(x[:, sl], q_ref[0, sl, :],
+                              preferred_element_type=jnp.int32)
+            scale_row = s_ref[0, 0, g, :]
+            acc_ref[:] += (partial.astype(jnp.float32)
+                           * scale_row[None, :].astype(jnp.float32))
+
+    @pl.when(k_step == n_k - 1)
+    def _():
+        if per_channel:
+            scale_row = s_ref[0, 0, 0, :]
+            res = (acc_ref[:].astype(jnp.float32) * xs_ref[:]
+                   * scale_row[None, :].astype(jnp.float32))
+        else:
+            res = acc_ref[:] * xs_ref[:]             # [bm, 1] row scales
+        out_ref[:] = res.astype(out_dtype)
+
+
+def quantize_activations_int8(x: jax.Array):
+    """Per-token (last-axis) symmetric int8: returns (xi, xs) with
+    x ~= xi * xs. xs: [..., 1] f32."""
+    xs = (jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+          / 127.0)
+    xs = jnp.maximum(xs, 1e-10)
+    xi = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127
+                  ).astype(jnp.int8)
+    return xi, xs
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                             "bm", "bn", "bk"))
+def quantized_matmul_w8a8(x: jax.Array, q: jax.Array, scales: jax.Array,
+                          out_dtype=jnp.bfloat16, interpret: bool = False,
+                          bm: int | None = None, bn: int = 2048,
+                          bk: int = 512,
+                          layer: jax.Array | None = None) -> jax.Array:
+    """y = quant8(x) @ dequant(q, scales): W8A8 on the int8 MXU path.
+
+    Same contract as :func:`quantized_matmul` (bits=8, symmetric, no
+    n_start/ring support) but the activations are quantized per token
+    (per row, symmetric int8) so both MXU operands are int8 — double
+    matmul throughput on v5e+. This is the PREFILL path: prefill is
+    compute-bound, decode is weight-bandwidth-bound and stays W8A16.
+
+    Accuracy: per-token activation scales x per-group weight scales
+    (W8A8-token; the standard near-lossless recipe minus smoothing).
+    Gate behind ``ModelConfig.act_quant`` and validate per checkpoint.
+    """
+    if q.ndim == 2:
+        q = q[None]
+        scales = scales[None]
+        layer = jnp.zeros((), jnp.int32)
+    assert layer is not None, "stacked weights need a layer index"
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    orig_shape = x.shape
+    _, k, n = q.shape
+    group_size = k // scales.shape[1]
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+
+    xi, xs = quantize_activations_int8(x.reshape(m, k))
+
+    # int8 min tile is (32, 128)
+    if bm is None:
+        bm = _largest_divisor(m, 256, 32) if m >= 32 else 32
+    pad_m = (-m) % bm
+    if pad_m:
+        xi = jnp.pad(xi, ((0, pad_m), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad_m), (0, 0)))
+    m_p = m + pad_m
+
+    bk_eff = _largest_divisor(k, bk, max(group_size, 128))
+
+    def fits(d: int) -> bool:
+        vmem = (2 * bm * bk_eff                # x blocks (int8)
+                + 2 * bk_eff * d               # q blocks (int8)
+                + 2 * scales.shape[1] * d * 4  # scales blocks
+                + 2 * bm * d * 2               # out blocks (bf16)
+                + bm * d * 4 * 2)              # accumulator + i32 partial
+        return vmem <= 13 * 2 ** 20
+
+    bn_eff = _best_tile(n, bn, 128, hard_cap=8192, fits=fits)
+    per_channel = group_size == k
+    if per_channel:
+        n_groups = 1
+    else:
+        if bk_eff % group_size != 0:
+            bk_eff = group_size
+        n_groups = bk_eff // group_size
+
+    grid = (m_p // bm, n // bn_eff, k // bk_eff)
+
+    n_kslabs = 1 if per_channel else k // bk_eff
+    scales4 = scales.reshape(scales.shape[0], n_kslabs, n_groups, n)
+    scales4 = _pin_row_major(scales4, interpret)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk_eff), lambda i, j, kk, mt: (i, kk)),
+            pl.BlockSpec((bm, 1), lambda i, j, kk, mt: (i, 0)),
+            pl.BlockSpec((1, bk_eff, bn_eff),
+                         lambda i, j, kk, mt: (mt[0], kk, j)),
+            pl.BlockSpec((1, 1, n_groups, bn_eff),
+                         (lambda i, j, kk, mt: (mt[0], 0, 0, j))
+                         if per_channel else
+                         (lambda i, j, kk, mt: (mt[0], kk, 0, j))),
+        ],
+        out_specs=pl.BlockSpec((bm, bn_eff), lambda i, j, kk, mt: (i, j)),
+        scratch_shapes=[pltpu.VMEM(
+            (bm, bn_eff), jnp.int32 if per_channel else jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_w8a8_kernel, n_groups=n_groups,
+                          group_size=group_size, out_dtype=out_dtype,
+                          per_channel=per_channel),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_p, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n * k,
+            bytes_accessed=(m_p * k + k * n + scales.size * 4
+                            + m_p * n * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer, xi, xs, q, scales4)
+
+    if pad_m:
+        out = out[:m]
+    return out.reshape(*orig_shape[:-1], n)
+
+
 def _pin_row_major(a: jax.Array, interpret: bool) -> jax.Array:
     """Row-major layout constraint (see scales4 note in quantized_matmul)."""
     if (not interpret and jax.default_backend() == "tpu"

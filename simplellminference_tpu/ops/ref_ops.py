@@ -293,3 +293,24 @@ def quantized_matmul_ref(x: jax.Array, q: jax.Array, scales: jax.Array,
     partial = jnp.einsum("...gk,gkn->...gn", xg, qg)
     out = jnp.einsum("...gn,gn->...n", partial, scales.astype(jnp.float32))
     return out.astype(out_dtype)
+
+
+def quantized_matmul_w8a8_ref(x: jax.Array, q: jax.Array,
+                              scales: jax.Array,
+                              out_dtype=None) -> jax.Array:
+    """Reference for the W8A8 kernel: per-token int8 activations against
+    int8 weights, integer dots, scales applied to the f32 partials
+    (matches ops/matmul.py _qmm_w8a8_kernel; the integer part is exact,
+    so kernel-vs-ref differs only in f32 summation order).
+    """
+    out_dtype = out_dtype or x.dtype
+    from simplellminference_tpu.ops.matmul import quantize_activations_int8
+    k, n = q.shape
+    g = scales.shape[0]
+    gs = k // g
+    xi, xs = quantize_activations_int8(x)
+    xg = xi.astype(jnp.int32).reshape(*x.shape[:-1], g, gs)
+    qg = q.astype(jnp.int32).reshape(g, gs, n)
+    partial = jnp.einsum("...gk,gkn->...gn", xg, qg).astype(jnp.float32)
+    out = jnp.einsum("...gn,gn->...n", partial, scales.astype(jnp.float32))
+    return (out * xs).astype(out_dtype)
