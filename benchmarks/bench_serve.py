@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--repetitive", action="store_true",
                     help="repeating-pattern prompts (speculation-friendly "
                          "workload)")
+    ap.add_argument("--act-quant", action="store_true",
+                    help="W8A8 prefill (ModelConfig.act_quant)")
     ap.add_argument("--shared-prefix", type=int, default=0,
                     help="first N prompt tokens identical across requests "
                          "(system-prompt workload; exercises the prefix "
@@ -70,6 +72,9 @@ def main():
           "qwen2-7b": ModelConfig.qwen2_7b,
           "llama3-3b": ModelConfig.llama3_2_3b}[args.model]
     cfg = mk(dtype="bfloat16")
+    if args.act_quant:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, act_quant="int8")
     params = canonicalize_layouts(
         bench_mod._bench_params(cfg, "int8", None))
     jax.block_until_ready(params)
