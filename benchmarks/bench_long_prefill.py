@@ -29,7 +29,10 @@ def main():
                     choices=["llama2-7b", "tinyllama"])
     ap.add_argument("--prompt-len", type=int, default=8192)
     ap.add_argument("--chunk", type=int, default=1024)
-    ap.add_argument("--page-size", type=int, default=128)
+    # 256-token pages measured best for long prefill (kv block = 4 big
+    # DMAs instead of 8 small ones: TTFT 0.723 -> 0.661 s at 8k) and
+    # decode-neutral (bench_serve 646 tok/s at both 128 and 256).
+    ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--max-new", type=int, default=16)
     ap.add_argument("--dense-fallback", action="store_true",
                     help="route chunked attention through gather_dense "

@@ -34,10 +34,14 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=8192)
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--act-quant", action="store_true")
     args = ap.parse_args()
 
     cfg = ModelConfig.llama2_7b(
         max_seq_len=args.prompt_len + 256, dtype="bfloat16")
+    if args.act_quant:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, act_quant="int8")
     params = canonicalize_layouts(bench_mod._bench_params(cfg, "int8", None))
     jax.block_until_ready(params)
 
