@@ -405,6 +405,9 @@ class EngineConfig:
     # Retained pages are evicted before any preemption under pool
     # pressure — they can never cost a live request its slot.
     prefix_cache_entries: int = 16
+    # Per-request logit_bias capacity: (token, bias) pairs ride as static
+    # [B, max_logit_bias] sampler rows (OpenAI caps the field at 300).
+    max_logit_bias: int = 16
     kv: KVCacheConfig = dataclasses.field(default_factory=KVCacheConfig)
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
     # Mesh geometry: axis name -> size. Absent axes = 1.
@@ -429,6 +432,16 @@ class SamplingParams:
     frequency_penalty: float = 0.0    # OpenAI semantics (per count)
     presence_penalty: float = 0.0     # OpenAI semantics (per presence)
     stop_token_ids: tuple = ()
+    # OpenAI-style stop STRINGS: generation halts when the decoded text
+    # contains any of these; output text is truncated exactly at the
+    # match even across token boundaries (engine/stop.py). Requires the
+    # engine to have a tokenizer. (The reference decodes unconditionally
+    # to max_length, model.cpp:157 — no stop handling of any kind.)
+    stop_strings: tuple = ()
+    # OpenAI logit_bias: ((token_id, bias), ...) added to the raw logits
+    # every step (greedy rows included; -100 effectively bans a token).
+    # Capacity per request is EngineConfig.max_logit_bias.
+    logit_bias: tuple = ()
     # None = nondeterministic (the engine derives a unique per-request
     # seed); set for reproducible sampling independent of batching.
     seed: Optional[int] = None

@@ -48,6 +48,7 @@ from simplellminference_tpu.core.config import (EngineConfig, ModelConfig,
                                                 next_power_of_2)
 from simplellminference_tpu.engine import metrics as metrics_lib
 from simplellminference_tpu.engine.request import Request, RequestState
+from simplellminference_tpu.engine.stop import StopStringMatcher
 from simplellminference_tpu.memory.allocator import PageAllocator
 from simplellminference_tpu.memory.paged_kv import PagedKVCache
 from simplellminference_tpu.models import llama
@@ -151,6 +152,11 @@ class Engine:
         self._freq_p = np.zeros(b, np.float32)
         self._pres_p = np.zeros(b, np.float32)
         self._seed = np.zeros(b, np.uint32)
+        # OpenAI logit_bias: per-slot sparse (token, bias) rows, id -1 =
+        # unused (static [B, K] shape keeps the jitted fns stable)
+        self._nbias = engine_cfg.max_logit_bias
+        self._bias_ids = np.full((b, self._nbias), -1, np.int32)
+        self._bias_vals = np.zeros((b, self._nbias), np.float32)
         # per-slot context token counts (penalty state); rebuilt from
         # prompt+outputs at admit, advanced ON DEVICE during bursts
         self._counts_host = np.zeros((b, cfg.vocab_size), np.float32)
@@ -561,6 +567,23 @@ class Engine:
         req = Request(req_id=next(self._req_ids),
                       prompt_ids=list(prompt_ids), sampling=sampling,
                       on_tokens=on_tokens)
+        if len(sampling.logit_bias) > self._nbias:
+            req.state = RequestState.FAILED
+            req.error = (f"logit_bias has {len(sampling.logit_bias)} "
+                         f"entries; engine capacity is {self._nbias} "
+                         "(EngineConfig.max_logit_bias)")
+            self.metrics.requests_failed += 1
+            req.emit([], finished=True)
+            return req
+        if sampling.stop_strings:
+            if self.tokenizer is None:
+                req.state = RequestState.FAILED
+                req.error = "stop_strings require an engine tokenizer"
+                self.metrics.requests_failed += 1
+                req.emit([], finished=True)
+                return req
+            req.stop_matcher = StopStringMatcher(self.tokenizer,
+                                                 sampling.stop_strings)
         if len(self.waiting) >= self.ecfg.max_queue:
             # backpressure: reject instead of growing without bound (the
             # server maps this to HTTP 429)
@@ -800,6 +823,11 @@ class Engine:
             self._counts_host[slot] = np.bincount(
                 np.asarray(req.prompt_ids + req.output_ids, np.int64),
                 minlength=self.cfg.vocab_size)[:self.cfg.vocab_size]
+            self._bias_ids[slot] = -1
+            self._bias_vals[slot] = 0.0
+            for j, (t, v) in enumerate(req.sampling.logit_bias):
+                self._bias_ids[slot, j] = int(t)
+                self._bias_vals[slot, j] = float(v)
             if self.spec:
                 ids = req.prompt_ids + req.output_ids
                 self._hist_host[slot] = 0
@@ -1011,6 +1039,7 @@ class Engine:
         """Append sampled tokens, applying stop conditions. May finish."""
         accepted = []
         finished = False
+        matcher = req.stop_matcher
         for i, t in enumerate(toks):
             if t in req.sampling.stop_token_ids:
                 finished = True
@@ -1019,10 +1048,21 @@ class Engine:
             if lps is not None:
                 req.output_logprobs.append(float(lps[i]))
             accepted.append(t)
+            if matcher is not None and matcher.push(t):
+                # stop string completed: text is truncated exactly at the
+                # match (may be mid-token); final_text is authoritative
+                req.final_text = matcher.final_text
+                finished = True
+                break
             if req.num_generated >= req.sampling.max_new_tokens:
                 finished = True
                 break
         self.metrics.tokens_generated += len(accepted)
+        if matcher is not None:
+            # stream only tokens that can no longer be part of a stop
+            # match; on a match the held tokens are swallowed and the
+            # exact remaining text rides on req.final_text
+            accepted = matcher.release(finished)
         req.emit(accepted, finished)
         if finished:
             self._finish(req)

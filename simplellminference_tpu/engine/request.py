@@ -42,6 +42,11 @@ class Request:
     # tokens covered by prefix-cache page sharing at the LAST admit
     # (prefill starts there instead of 0); reset on each (re)admission
     cached_len: int = 0
+    # stop-string machinery (set by the engine when sampling.stop_strings
+    # is non-empty): the incremental matcher, and — once a stop string
+    # matched — the authoritative output text truncated at the match
+    stop_matcher: Optional[object] = None
+    final_text: Optional[str] = None
 
     @property
     def num_generated(self) -> int:

@@ -177,7 +177,9 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
            frequency_penalty: Optional[jax.Array] = None,
            presence_penalty: Optional[jax.Array] = None,
            seeds: Optional[jax.Array] = None,
-           seed_pos: Optional[jax.Array] = None) -> jax.Array:
+           seed_pos: Optional[jax.Array] = None,
+           bias_ids: Optional[jax.Array] = None,
+           bias_vals: Optional[jax.Array] = None) -> jax.Array:
     """Batched sampling with per-sequence params, jit-safe (static shapes).
 
     logits: [B, V] fp32; temperature/top_k/top_p/min_p: [B] (temperature
@@ -192,6 +194,10 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     contract; without them all rows share ``key`` with per-element
     noise).
 
+    ``bias_ids``/``bias_vals`` [B, K]: OpenAI-style logit_bias as sparse
+    per-row (token id, bias) pairs, id -1 = unused slot. Added to the raw
+    logits before any shaping, so greedy rows honor it too.
+
     Cost tiers (lax.cond, chosen in-graph per batch): all-greedy batches
     pay one argmax; batches that sample but use NO top-k/top-p/min-p pay
     a sort-free Gumbel-max; only batches with shaping filters pay the
@@ -200,6 +206,14 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     per-(seed, position) Gumbel noise as the fast path.
     """
     b, v = logits.shape
+    if bias_ids is not None:
+        # OpenAI logit_bias: per-row sparse (token, bias) pairs, padded
+        # with id -1. Applied to the raw logits so every tier — greedy
+        # included — sees it (bias -100 bans a token outright).
+        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+        safe = jnp.clip(bias_ids, 0, v - 1)
+        vals = jnp.where(bias_ids >= 0, bias_vals, 0.0).astype(jnp.float32)
+        logits = logits.astype(jnp.float32).at[rows, safe].add(vals)
     if min_p is None:
         min_p = jnp.zeros((b,), jnp.float32)
     neutral = jnp.all(temperature <= 0.0)

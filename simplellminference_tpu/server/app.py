@@ -71,7 +71,10 @@ def _capacity_error(msg: str) -> bool:
 
 
 def _sampling_from(body: dict, tokenizer) -> SamplingParams:
+    stop = body.get("stop")
+    stop_strings = tuple([stop] if isinstance(stop, str) else stop or ())
     return SamplingParams(
+        stop_strings=stop_strings,
         max_new_tokens=int(body.get("max_tokens", 128)),
         temperature=float(body.get("temperature", 0.0)),
         top_k=int(body.get("top_k", 0)),
@@ -128,13 +131,21 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 headers={"Content-Type": "text/event-stream",
                          "Cache-Control": "no-cache"})
             await resp.prepare(request)
+            streamed = ""
             try:
                 while True:
                     ids, finished = await q.get()
                     text = ("".join(detok.push(t) for t in ids)
                             if detok else "")
                     if finished and detok:
-                        text += detok.flush()
+                        if req.final_text is not None:
+                            # stop-string match: the engine's truncated
+                            # text is authoritative (the match may sit
+                            # mid-token, so ids alone can't express it)
+                            text += req.final_text[len(streamed + text):]
+                        else:
+                            text += detok.flush()
+                    streamed += text
                     if chat:
                         payload = {"id": f"{req_id_prefix}-{req.req_id}",
                                    "object": "chat.completion.chunk",
@@ -174,8 +185,15 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
         return req
 
     def _finish_reason(req, sampling):
+        if req.final_text is not None:  # stop-string match
+            return "stop"
         return ("stop" if req.num_generated < sampling.max_new_tokens
                 else "length")
+
+    def _choice_text(req):
+        if req.final_text is not None:
+            return req.final_text
+        return tokenizer.decode(req.output_ids) if tokenizer else None
 
     async def _fanout(prompt_ids, sampling, n):
         """n parallel samples of one prompt (prefix-cache shares pages)."""
@@ -253,8 +271,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             "model": model_id,
             "choices": [{
                 "index": i,
-                "text": (tokenizer.decode(r.output_ids)
-                         if tokenizer else None),
+                "text": _choice_text(r),
                 "token_ids": r.output_ids,
                 **({"logprobs":
                     {"token_logprobs": r.output_logprobs}}
@@ -309,7 +326,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             "choices": [{
                 "index": i,
                 "message": {"role": "assistant",
-                            "content": tokenizer.decode(r.output_ids)},
+                            "content": _choice_text(r)},
                 **({"logprobs": {"content": [
                     {"token_id": t, "logprob": lp}
                     for t, lp in zip(r.output_ids, r.output_logprobs)]}}
