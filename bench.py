@@ -124,7 +124,8 @@ def _engine_decode_time(cfg, params, args, steps: int) -> float:
         max_batch_size=args.batch,
         kv=KVCacheConfig(page_size=ps,
                          num_pages=args.batch * (cap // ps + 1) + 8,
-                         max_pages_per_seq=cap // ps + 1),
+                         max_pages_per_seq=cap // ps + 1,
+                         kv_dtype=args.kv_dtype),
         prefix_cache_entries=0)   # bench prompts are random — no reuse
     eng = Engine(cfg, params, ecfg, decode_burst=args.burst)
     sampling = SamplingParams(max_new_tokens=steps)
@@ -161,6 +162,12 @@ def main():
                          "knee: 719 tok/s vs 715 at 8, flat at 32; "
                          "16 steps = ~0.22 s between scheduler syncs)")
     ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--kv-dtype", default="bf16",
+                    choices=["bf16", "f32", "int8", "fp8"],
+                    help="engine KV-cache storage dtype (int8: per-token-"
+                         "head scales, token-exact on TinyLlama greedy, "
+                         "decode-PPL delta -0.08%% — tests/test_kv_quality"
+                         ".py; halves the KV stream)")
     ap.add_argument("--fused-only", action="store_true",
                     help="report the stripped fused loop as the headline "
                          "(r1 behavior)")
@@ -237,7 +244,12 @@ def main():
     # live context is prompt + 3/4 steps.
     platform = jax.devices()[0].platform
     bw = HBM_BW.get("v5e" if platform == "tpu" else "cpu")
-    kv_elem_bytes = 2
+    # Actual mandatory KV traffic for the configured storage dtype —
+    # the roofline is a lower bound on the bytes THIS workload must
+    # stream (int8 adds 4B/token/head of per-token scales).
+    kv_elem_bytes = {"f32": 4.0, "bf16": 2.0, "fp8": 1.0,
+                     "int8": 1.0 + 4.0 / cfg.head_dim}[
+        args.kv_dtype if not args.fused_only else "bf16"]
     mean_len = args.prompt_len + args.steps * 3 / 4
     kv_bytes = (2 * cfg.num_layers * mean_len * cfg.num_kv_heads *
                 cfg.head_dim * kv_elem_bytes)

@@ -69,6 +69,9 @@ class ModelConfig:
     # kernels skip KV blocks outside the window (decode cost becomes
     # O(window) instead of O(context)).
     sliding_window: Optional[int] = None
+    # Per-head RMSNorm on q and k BEFORE RoPE (Qwen3-style; weights
+    # q_norm/k_norm [head_dim] shared across heads within a layer).
+    qk_norm: bool = False
     # Activation quantization for the PREFILL matmuls ("int8" | None):
     # per-token symmetric int8 activations feed the MXU's double-rate
     # int8 path against the int8 weights (W8A8) — measured 329 vs 184
@@ -146,6 +149,8 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias",
                 d.get("model_type") in ("qwen2", "qwen2_moe")),
+            # Qwen3 replaces the QKV bias with per-head q/k RMSNorm.
+            qk_norm=d.get("model_type") in ("qwen3", "qwen3_moe"),
             model_type=d.get("model_type", "llama"),
             # HF resolves the FFN activation from `hidden_activation`
             # first; stock Gemma checkpoints carry a legacy
@@ -200,7 +205,7 @@ class ModelConfig:
         mt = d.get("model_type", "llama")
         if mt == "mistral":
             return int(w)
-        if mt in ("qwen2", "qwen2_moe"):
+        if mt in ("qwen2", "qwen2_moe", "qwen3", "qwen3_moe"):
             if not d.get("use_sliding_window", False):
                 return None
             mwl = d.get("max_window_layers", 0)

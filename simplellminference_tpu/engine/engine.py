@@ -247,7 +247,7 @@ class Engine:
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_fn(params, cache, tokens, tables, kv_len,
                         key, temp, top_k, top_p, min_p, counts, rp, fp,
-                        pp, seeds):
+                        pp, seeds, bias_i, bias_v):
             s = tokens.shape[1]
             positions = jnp.arange(s, dtype=jnp.int32)[None]
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
@@ -264,7 +264,8 @@ class Engine:
                                       repetition_penalty=rp,
                                       frequency_penalty=fp,
                                       presence_penalty=pp, seeds=seeds,
-                                      seed_pos=kv_len - 1)
+                                      seed_pos=kv_len - 1,
+                                      bias_ids=bias_i, bias_vals=bias_v)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             # ONE host sync object: a second np.asarray would cost another
             # ~25 ms relay round trip per admit/burst
@@ -273,7 +274,8 @@ class Engine:
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
                               chunk_offset, key, temp, top_k, top_p,
-                              min_p, counts, rp, fp, pp, seeds):
+                              min_p, counts, rp, fp, pp, seeds, bias_i,
+                              bias_v):
             # chunk_offset: [B] per-row start position (page-aligned) —
             # batched prefix-cache suffixes start at different offsets
             s = tokens.shape[1]
@@ -288,14 +290,16 @@ class Engine:
                                       repetition_penalty=rp,
                                       frequency_penalty=fp,
                                       presence_penalty=pp, seeds=seeds,
-                                      seed_pos=kv_len - 1)
+                                      seed_pos=kv_len - 1,
+                                      bias_ids=bias_i, bias_vals=bias_v)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             return jnp.stack([tok.astype(jnp.float32), lp], -1), cache
 
         @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4, 5))
         def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
                       ov_tok, ov_pos, ov_counts, ov_mask, tables, active,
-                      key, temp, top_k, top_p, min_p, rp, fp, pp, seeds):
+                      key, temp, top_k, top_p, min_p, rp, fp, pp, seeds,
+                      bias_i, bias_v):
             # Device-carried decode state: dev_tok/dev_pos/dev_counts come
             # back from the PREVIOUS burst (still in flight when the host
             # dispatches this one — the host never waits on them). ov_*
@@ -320,7 +324,9 @@ class Engine:
                                           repetition_penalty=rp,
                                           frequency_penalty=fp,
                                           presence_penalty=pp,
-                                          seeds=seeds, seed_pos=pos)
+                                          seeds=seeds, seed_pos=pos,
+                                          bias_ids=bias_i,
+                                          bias_vals=bias_v)
                 nxt = jnp.where(active, nxt, 0)
                 lp = sampling_ops.token_logprob(logits[:, 0], nxt)
                 counts = jax.lax.cond(
@@ -350,7 +356,7 @@ class Engine:
                            dev_pos, dev_counts, dev_hist, ov_tok, ov_pos,
                            ov_counts, ov_hist, ov_mask, tables, active,
                            key, temp, top_k, top_p, min_p, rp, fp, pp,
-                           seeds):
+                           seeds, bias_i, bias_v):
             """Speculative burst: each step drafts ``spec_g`` tokens —
             by prompt lookup (latest earlier occurrence of the context's
             last n-gram) or, with a draft model configured, by a greedy
@@ -428,10 +434,16 @@ class Engine:
                 kv_lens = pos + g1
                 logits, cache = fwd(cfg_, params, toks_in, positions,
                                     cache, tables, kv_lens, prefill=False)
-                pred = jnp.argmax(logits, -1).astype(jnp.int32)
+                # logit_bias shapes every sampling DECISION (greedy
+                # acceptance must match the biased non-speculative greedy;
+                # rejection sampling must target the biased distribution);
+                # reported logprobs stay on the model's raw logits.
+                logits_b = sampling_ops.apply_logit_bias(logits, bias_i,
+                                                         bias_v)
+                pred = jnp.argmax(logits_b, -1).astype(jnp.int32)
                 key, sub = jax.random.split(key)
                 first = sampling_ops.sample(
-                    logits[:, 0], sub, temp, top_k, top_p, min_p=min_p,
+                    logits_b[:, 0], sub, temp, top_k, top_p, min_p=min_p,
                     counts=counts, repetition_penalty=rp,
                     frequency_penalty=fp, presence_penalty=pp,
                     seeds=seeds, seed_pos=pos)
@@ -460,7 +472,7 @@ class Engine:
                         lambda lg, d: sampling_ops.shaped_token_prob(
                             lg, d, temp, top_k, top_p, min_p),
                         in_axes=(1, 1), out_axes=1)(
-                        logits[:, :spec_g], draft)           # [B, G]
+                        logits_b[:, :spec_g], draft)         # [B, G]
                     # acceptance uniforms keyed by (seed, position) on a
                     # dedicated stream — deterministic per request, never
                     # shared with any categorical draw
@@ -489,7 +501,7 @@ class Engine:
                     # residual p|!=d after a rejection, or the full
                     # shaped p after G straight accepts (no residual)
                     lg_b = jnp.take_along_axis(
-                        logits, n_acc[:, None, None], axis=1)[:, 0]
+                        logits_b, n_acc[:, None, None], axis=1)[:, 0]
                     excl = jnp.where(
                         n_acc < spec_g,
                         jnp.take_along_axis(
@@ -970,13 +982,15 @@ class Engine:
         return packed[:n]
 
     def _samp_extras(self, idx):
-        """(min_p, counts, rep, freq, pres, seeds) rows for the slots."""
+        """(min_p, counts, rep, freq, pres, seeds, bias) slot rows."""
         return (jnp.asarray(self._min_p[idx]),
                 jnp.asarray(self._counts_host[idx]),
                 jnp.asarray(self._rep_p[idx]),
                 jnp.asarray(self._freq_p[idx]),
                 jnp.asarray(self._pres_p[idx]),
-                jnp.asarray(self._seed[idx]))
+                jnp.asarray(self._seed[idx]),
+                jnp.asarray(self._bias_ids[idx]),
+                jnp.asarray(self._bias_vals[idx]))
 
     def _prefill(self, req: Request, start: int = 0) -> jax.Array:
         """B=1 prefill of tokens [start, total) — ``start`` > 0 means the
@@ -1052,6 +1066,7 @@ class Engine:
                 # stop string completed: text is truncated exactly at the
                 # match (may be mid-token); final_text is authoritative
                 req.final_text = matcher.final_text
+                req.final_ids_len = matcher.released_count()
                 finished = True
                 break
             if req.num_generated >= req.sampling.max_new_tokens:
@@ -1206,7 +1221,8 @@ class Engine:
                 jnp.asarray(a.copy())
                 for a in (self._temp, self._top_k, self._top_p,
                           self._min_p, self._rep_p, self._freq_p,
-                          self._pres_p, self._seed))
+                          self._pres_p, self._seed, self._bias_ids,
+                          self._bias_vals))
             self._samp_dirty = False
         active = self._active_dev
         tables = self._tables_dev

@@ -86,12 +86,24 @@ class StopStringMatcher:
             self._released = len(self._ids)
             return out
         safe = len(self.text) - self._hold_chars()
+        if self._detok.has_pending:
+            # The detokenizer is holding back a partial UTF-8 sequence:
+            # its completion may BEGIN a stop string (e.g. stop "é" whose
+            # first byte arrived mid-token), so every token whose visible
+            # end touches the pending region is unsafe — releasing it
+            # would stream chars a later match excludes from final_text.
+            safe = min(safe, len(self.text) - 1)
         n = self._released
         while n < len(self._ids) and self._tok_ends[n] <= safe:
             n += 1
         out = self._ids[self._released:n]
         self._released = n
         return out
+
+    def released_count(self) -> int:
+        """Count of ids handed out by release() — on a match, the ids
+        whose decoded text lies entirely within ``final_text``."""
+        return self._released
 
     def released_chars(self) -> int:
         """Chars of self.text covered by tokens returned from release()."""

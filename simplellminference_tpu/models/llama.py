@@ -118,7 +118,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     # (column-parallel under TP: the fused QKV kernel needs no collective
     # — n/kvn are already shard-local and the cache shards on kv heads)
     if (li is not None and kv_layer is None and s == 1
-            and cache_k is not None and _use_fused_kernels()):
+            and cache_k is not None and "q_norm" not in lw
+            and _use_fused_kernels()):
         from simplellminference_tpu.ops import qkv_fused
         if qkv_fused.fused_qkv_available(lw, cfg, b, s, cache_k,
                                          n_heads=n, kv_heads=kvn):
@@ -145,6 +146,10 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     q = qkv[..., :n * d].reshape(b, s, n, d)
     k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
     v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
+
+    if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
+        q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"]), cfg.rms_norm_eps)
+        k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"]), cfg.rms_norm_eps)
 
     q = ref_ops.apply_rope(q, sin, cos)
     k = ref_ops.apply_rope(k, sin, cos)
@@ -414,7 +419,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
 
     use_fqkv = False
-    if (not prefill and s == 1 and not quant_kv
+    if (not prefill and s == 1 and not quant_kv and "q_norm" not in lw
             and _use_fused_kernels()):
         from simplellminference_tpu.ops import qkv_fused
         use_fqkv = qkv_fused.fused_qkv_available(lw, cfg, b, s, cache.k,
@@ -445,6 +450,11 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         q = qkv[..., :n * d].reshape(b, s, n, d)
         k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
         v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
+        if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
+            q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
+                                cfg.rms_norm_eps)
+            k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
+                                cfg.rms_norm_eps)
         q = ref_ops.apply_rope(q, sin, cos)
         k = ref_ops.apply_rope(k, sin, cos)
 
@@ -599,6 +609,9 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     if cfg.attention_bias:
         params["layers"]["wqkv_bias"] = w(keys[9],
                                           (L, (n + 2 * kvn) * d), 0.02)
+    if cfg.qk_norm:  # Qwen3: per-head q/k RMSNorm weights
+        params["layers"]["q_norm"] = jnp.ones((L, d), dtype)
+        params["layers"]["k_norm"] = jnp.ones((L, d), dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(keys[8], (h, v), 0.02)
     return params

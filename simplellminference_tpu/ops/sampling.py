@@ -41,6 +41,25 @@ def apply_penalties(logits: jax.Array, counts: jax.Array,
     return lf
 
 
+def apply_logit_bias(logits: jax.Array, bias_ids: jax.Array,
+                     bias_vals: jax.Array) -> jax.Array:
+    """OpenAI-style logit_bias: sparse per-row (token id, bias) pairs,
+    id -1 = unused slot. logits [B, V] or [B, S, V]; bias_ids/bias_vals
+    [B, K]. Added to the raw logits before any shaping, so greedy rows
+    honor it too (bias -100 bans a token outright)."""
+    v = logits.shape[-1]
+    b = bias_ids.shape[0]
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    safe = jnp.clip(bias_ids, 0, v - 1)
+    vals = jnp.where(bias_ids >= 0, bias_vals, 0.0).astype(jnp.float32)
+    lf = logits.astype(jnp.float32)
+    if lf.ndim == 2:
+        return lf.at[rows, safe].add(vals)
+    # [B, S, V]: the same per-row bias applies at every window position
+    return lf.at[rows[..., None], jnp.arange(lf.shape[1])[None, :, None],
+                 safe[:, None, :]].add(vals[:, None, :])
+
+
 def _row_keys(key, seeds, seed_pos):
     """Per-row PRNG keys: fold (seed, position) into a FIXED base so a
     request's draws depend only on its own (seed, token index) — batch
@@ -207,13 +226,7 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     """
     b, v = logits.shape
     if bias_ids is not None:
-        # OpenAI logit_bias: per-row sparse (token, bias) pairs, padded
-        # with id -1. Applied to the raw logits so every tier — greedy
-        # included — sees it (bias -100 bans a token outright).
-        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
-        safe = jnp.clip(bias_ids, 0, v - 1)
-        vals = jnp.where(bias_ids >= 0, bias_vals, 0.0).astype(jnp.float32)
-        logits = logits.astype(jnp.float32).at[rows, safe].add(vals)
+        logits = apply_logit_bias(logits, bias_ids, bias_vals)
     if min_p is None:
         min_p = jnp.zeros((b,), jnp.float32)
     neutral = jnp.all(temperature <= 0.0)

@@ -39,6 +39,9 @@ def _layer_specs() -> dict[str, P]:
     return {
         "input_norm": P(None, None),
         "post_norm": P(None, None),
+        # Qwen3 per-head q/k RMSNorm [L, D]: head_dim is never sharded.
+        "q_norm": P(None, None),
+        "k_norm": P(None, None),
         "wqkv": P(None, None, m),
         "wqkv_bias": P(None, m),       # column-sharded like wqkv's N
         "wo": P(None, m, None),

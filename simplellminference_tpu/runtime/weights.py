@@ -97,6 +97,9 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
             "model.layers.{i}.self_attn.q_proj.bias",
             "model.layers.{i}.self_attn.k_proj.bias",
             "model.layers.{i}.self_attn.v_proj.bias")
+    if cfg.qk_norm:  # Qwen3: per-head q/k RMSNorm before RoPE
+        m["layers/q_norm"] = "model.layers.{i}.self_attn.q_norm.weight"
+        m["layers/k_norm"] = "model.layers.{i}.self_attn.k_norm.weight"
     return m
 
 

@@ -71,10 +71,32 @@ def _capacity_error(msg: str) -> bool:
 
 
 def _sampling_from(body: dict, tokenizer) -> SamplingParams:
+    """Build SamplingParams from a request body.
+
+    Raises ValueError on malformed client fields — handlers turn that
+    into a 400 (not a 500 from an uncaught TypeError).
+    """
     stop = body.get("stop")
-    stop_strings = tuple([stop] if isinstance(stop, str) else stop or ())
+    if isinstance(stop, str):
+        stop_strings = (stop,)
+    elif stop is None:
+        stop_strings = ()
+    elif isinstance(stop, list) and all(isinstance(s, str) for s in stop):
+        stop_strings = tuple(stop)
+    else:
+        raise ValueError("'stop' must be a string or an array of strings")
+    bias = body.get("logit_bias") or {}
+    if not isinstance(bias, dict):
+        raise ValueError("'logit_bias' must be an object mapping "
+                         "token ids to bias values")
+    try:
+        logit_bias = tuple((int(t), float(v)) for t, v in bias.items())
+    except (TypeError, ValueError):
+        raise ValueError("'logit_bias' keys must be token ids and "
+                         "values numbers")
     return SamplingParams(
         stop_strings=stop_strings,
+        logit_bias=logit_bias,
         max_new_tokens=int(body.get("max_tokens", 128)),
         temperature=float(body.get("temperature", 0.0)),
         top_k=int(body.get("top_k", 0)),
@@ -195,6 +217,19 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             return req.final_text
         return tokenizer.decode(req.output_ids) if tokenizer else None
 
+    def _choice_ids(req):
+        """Output ids consistent with the (possibly stop-truncated) text:
+        on a stop-string match, ids at/after the match are swallowed —
+        clients consuming token_ids must not see stop-string content."""
+        if req.final_ids_len is not None:
+            return req.output_ids[:req.final_ids_len]
+        return req.output_ids
+
+    def _choice_logprobs(req):
+        if req.final_ids_len is not None:
+            return req.output_logprobs[:req.final_ids_len]
+        return req.output_logprobs
+
     async def _fanout(prompt_ids, sampling, n):
         """n parallel samples of one prompt (prefix-cache shares pages)."""
         import dataclasses as _dc
@@ -244,7 +279,10 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                     {"error": "server has no tokenizer; send token ids"},
                     status=400)
             prompt_ids = tokenizer.encode(prompt)
-        sampling = _sampling_from(body, tokenizer)
+        try:
+            sampling = _sampling_from(body, tokenizer)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
         stream = bool(body.get("stream", False))
         n = max(int(body.get("n", 1)), 1)
         if stream and n > 1:
@@ -272,9 +310,9 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             "choices": [{
                 "index": i,
                 "text": _choice_text(r),
-                "token_ids": r.output_ids,
+                "token_ids": _choice_ids(r),
                 **({"logprobs":
-                    {"token_logprobs": r.output_logprobs}}
+                    {"token_logprobs": _choice_logprobs(r)}}
                    if want_lp else {}),
                 "finish_reason": _finish_reason(r, sampling),
             } for i, r in enumerate(reqs)],
@@ -299,7 +337,10 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 {"error": "server has no tokenizer"}, status=400)
         prompt = render_chat(messages, chat_template)
         prompt_ids = tokenizer.encode(prompt)
-        sampling = _sampling_from(body, tokenizer)
+        try:
+            sampling = _sampling_from(body, tokenizer)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
         stream = bool(body.get("stream", False))
         n = max(int(body.get("n", 1)), 1)
         if stream and n > 1:
@@ -329,7 +370,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                             "content": _choice_text(r)},
                 **({"logprobs": {"content": [
                     {"token_id": t, "logprob": lp}
-                    for t, lp in zip(r.output_ids, r.output_logprobs)]}}
+                    for t, lp in zip(_choice_ids(r), _choice_logprobs(r))]}}
                    if body.get("logprobs") else {}),
                 "finish_reason": _finish_reason(r, sampling),
             } for i, r in enumerate(reqs)],

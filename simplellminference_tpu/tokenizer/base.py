@@ -32,6 +32,9 @@ class StreamingDetokenizer:
         self._tok = tokenizer
         self._ids: list[int] = []
         self._emitted = 0  # chars of decoded text already returned
+        #: True while a trailing partial UTF-8 sequence is held back —
+        #: the stream's visible text currently lags the true text.
+        self.has_pending = False
 
     def push(self, token_id: int) -> str:
         """Add one token; return newly-safe text (possibly empty)."""
@@ -44,6 +47,7 @@ class StreamingDetokenizer:
             safe_end -= 1
         new = text[self._emitted:safe_end]
         self._emitted = safe_end
+        self.has_pending = safe_end < len(text)
         return new
 
     def flush(self) -> str:
@@ -51,8 +55,10 @@ class StreamingDetokenizer:
         text = self._tok.decode(self._ids)
         new = text[self._emitted:]
         self._emitted = len(text)
+        self.has_pending = False
         return new
 
     def reset(self):
         self._ids.clear()
         self._emitted = 0
+        self.has_pending = False

@@ -592,3 +592,40 @@ def test_engine_persistent_prefix_divergent_suffix(model):
     # after the 24 system tokens -> exactly the 3 system pages share
     assert r.cached_len == 24
     assert eng.metrics.prefix_cache_persistent_hits == 1
+
+
+def test_engine_logit_bias_bans_and_forces_tokens(model):
+    """logit_bias must actually reach the device sampler (advisor r2:
+    it was validated at admit but never threaded into sample())."""
+    cfg, params = model
+    prompts = [[1, 2, 3, 4, 5]]
+    ref = dense_reference(cfg, params, prompts, 6)[0]
+    banned = ref[0]
+    eng = make_engine(cfg, params)
+    got = eng.generate(prompts, SamplingParams(
+        max_new_tokens=6, logit_bias=((banned, -1e9),)))
+    assert banned not in got[0], "banned token still sampled"
+    # a huge positive bias forces the token every step (greedy rows
+    # honor the bias too)
+    forced = (ref[0] + 7) % cfg.vocab_size
+    eng2 = make_engine(cfg, params)
+    got2 = eng2.generate(prompts, SamplingParams(
+        max_new_tokens=4, logit_bias=((forced, 1e9),)))
+    assert got2[0] == [forced] * 4
+
+
+def test_engine_logit_bias_is_per_request(model):
+    """Bias rows are slot-scoped: a biased and an unbiased request in
+    the same batch must not contaminate each other."""
+    cfg, params = model
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = dense_reference(cfg, params, prompts, 6)
+    forced = 11
+    eng = make_engine(cfg, params)
+    r0 = eng.add_request(prompt_ids=prompts[0], sampling=SamplingParams(
+        max_new_tokens=6, logit_bias=((forced, 1e9),)))
+    r1 = eng.add_request(prompt_ids=prompts[1],
+                         sampling=SamplingParams(max_new_tokens=6))
+    eng.run()
+    assert r0.output_ids == [forced] * 6
+    assert r1.output_ids == want[1]

@@ -231,3 +231,69 @@ def test_server_stop_streaming_deltas_reassemble(model):
         assert text == full[:cut]
 
     run_with_client(make_app(cfg, params), go)
+
+
+# ---------------- round-3 advisor findings ----------------
+
+
+def test_matcher_holds_tokens_behind_partial_utf8(model):
+    """A stop string beginning with a multi-byte char that straddles
+    tokens: the token carrying the first byte must NOT be released —
+    a later match would otherwise exclude content that already streamed
+    (and released token ids would contain stop-string bytes)."""
+    tok = ByteTokenizer()                 # token id == raw byte value
+    b1, b2 = "é".encode("utf-8")          # 0xc3, 0xa9
+    m = StopStringMatcher(tok, ("é",))
+    a_id = ord("a")
+    assert not m.push(a_id)
+    assert m.release(finished=False) == [a_id]
+    # first byte of é: detokenizer holds it back as a partial sequence
+    assert not m.push(b1)
+    assert m.release(finished=False) == []   # byte token must be held
+    assert m.push(b2)                        # é completes -> match
+    assert m.final_text == "a"
+    assert m.released_count() == 1           # only the 'a' token
+    assert m.release(finished=True) == []
+
+
+def test_server_nonstream_token_ids_truncated_at_stop(model):
+    """Non-stream responses must not leak stop-string content through
+    token_ids/logprobs (they are truncated to the released prefix)."""
+    cfg, params = model
+    full, _ = _greedy_text(cfg, params, [1, 2, 3, 4, 5])
+    stop = full[2:4]
+    cut = full.find(stop)
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": [1, 2, 3, 4, 5], "max_tokens": 24, "stop": stop,
+            "logprobs": True})
+        assert r.status == 200
+        body = await r.json()
+        choice = body["choices"][0]
+        assert choice["text"] == full[:cut]
+        ids = choice["token_ids"]
+        # the returned ids decode to a prefix of the truncated text
+        from simplellminference_tpu.tokenizer.base import (
+            StreamingDetokenizer)
+        d = StreamingDetokenizer(ByteTokenizer())
+        decoded = "".join(d.push(t) for t in ids)
+        assert choice["text"].startswith(decoded)
+        assert stop not in decoded
+        assert len(choice["logprobs"]["token_logprobs"]) == len(ids)
+
+    run_with_client(make_app(cfg, params), go)
+
+
+def test_server_bad_stop_type_is_400(model):
+    cfg, params = model
+
+    async def go(client):
+        for bad in (5, {"x": 1}, [1, 2], ["ok", 3]):
+            r = await client.post("/v1/completions", json={
+                "prompt": [1, 2, 3], "max_tokens": 4, "stop": bad})
+            assert r.status == 400, f"stop={bad!r} -> {r.status}"
+            body = await r.json()
+            assert "stop" in body["error"]
+
+    run_with_client(make_app(cfg, params), go)
