@@ -72,6 +72,26 @@ class ModelConfig:
     # Per-head RMSNorm on q and k BEFORE RoPE (Qwen3-style; weights
     # q_norm/k_norm [head_dim] shared across heads within a layer).
     qk_norm: bool = False
+    # Gemma-2-style "sandwich" norms: RMSNorm the attention output
+    # (post_attention_layernorm) and the FFN output
+    # (post_feedforward_layernorm) BEFORE their residual adds; the
+    # pre-FFN norm then loads from pre_feedforward_layernorm.
+    sandwich_norms: bool = False
+    # Attention-score soft capping (Gemma-2): s = cap * tanh(s / cap)
+    # before masking/softmax. None = off.
+    attn_logit_softcap: Optional[float] = None
+    # Final-logit soft capping (Gemma-2): applied to the LM-head output.
+    final_logit_softcap: Optional[float] = None
+    # Attention score scale = query_pre_attn_scalar**-0.5 when set
+    # (Gemma-2; e.g. 27B uses hidden/num_heads != head_dim). None =
+    # head_dim**-0.5.
+    query_pre_attn_scalar: Optional[float] = None
+    # Per-layer attention type ("sliding_attention" | "full_attention"),
+    # one entry per layer (Gemma-2 alternates). None = uniform
+    # (sliding_window applies to every layer when set). The layer scan
+    # runs over the pattern's period, so the stacked-layer kernels still
+    # apply (p compiled sub-bodies, L/p scan steps).
+    layer_types: Optional[tuple] = None
     # Activation quantization for the PREFILL matmuls ("int8" | None):
     # per-token symmetric int8 activations feed the MXU's double-rate
     # int8 path against the int8 weights (W8A8) — measured 329 vs 184
@@ -117,6 +137,41 @@ class ModelConfig:
             object.__setattr__(
                 self, "rope_scaling",
                 tuple(sorted((k, v) for k, v in self.rope_scaling)))
+        if isinstance(self.layer_types, list):
+            object.__setattr__(self, "layer_types",
+                               tuple(self.layer_types))
+        if self.layer_types is not None:
+            if len(self.layer_types) != self.num_layers:
+                raise ValueError(
+                    f"layer_types has {len(self.layer_types)} entries for "
+                    f"{self.num_layers} layers")
+            bad = set(self.layer_types) - {"sliding_attention",
+                                           "full_attention"}
+            if bad:
+                raise ValueError(f"unknown layer_types {sorted(bad)}")
+            if ("sliding_attention" in self.layer_types
+                    and not self.sliding_window):
+                raise ValueError("layer_types has sliding_attention but "
+                                 "sliding_window is unset")
+
+    @property
+    def layer_windows(self) -> tuple:
+        """Per-layer attention window (None = full causal)."""
+        if self.layer_types is None:
+            return (self.sliding_window,) * self.num_layers
+        return tuple(self.sliding_window if t == "sliding_attention"
+                     else None for t in self.layer_types)
+
+    def window_pattern(self) -> tuple[int, tuple]:
+        """(period p, per-sublayer windows) — the smallest repeating
+        window pattern. The layer scan runs L/p steps of p sub-bodies so
+        alternating sliding/full stacks (Gemma-2) keep the one-trace
+        stacked-layer design."""
+        wins = self.layer_windows
+        for p in range(1, len(wins) + 1):
+            if len(wins) % p == 0 and wins == wins[:p] * (len(wins) // p):
+                return p, wins[:p]
+        return len(wins), wins  # unreachable (p = L always matches)
 
     @property
     def rope_scaling_dict(self) -> Optional[dict]:
@@ -151,6 +206,19 @@ class ModelConfig:
                 d.get("model_type") in ("qwen2", "qwen2_moe")),
             # Qwen3 replaces the QKV bias with per-head q/k RMSNorm.
             qk_norm=d.get("model_type") in ("qwen3", "qwen3_moe"),
+            # Gemma-2: sandwich norms, logit soft caps, query scale,
+            # alternating sliding/full attention layers.
+            sandwich_norms=d.get("model_type") == "gemma2",
+            attn_logit_softcap=d.get("attn_logit_softcapping"),
+            final_logit_softcap=d.get("final_logit_softcapping"),
+            query_pre_attn_scalar=(
+                float(d["query_pre_attn_scalar"])
+                if d.get("query_pre_attn_scalar") is not None else None),
+            # keep layer_types only when it actually mixes attention
+            # kinds (many HF configs carry an all-full list)
+            layer_types=(tuple(d["layer_types"])
+                         if d.get("layer_types")
+                         and len(set(d["layer_types"])) > 1 else None),
             model_type=d.get("model_type", "llama"),
             # HF resolves the FFN activation from `hidden_activation`
             # first; stock Gemma checkpoints carry a legacy
@@ -161,7 +229,8 @@ class ModelConfig:
             or ("gelu_pytorch_tanh" if d.get("model_type") == "gemma"
                 else d.get("hidden_act") or "silu"),
             embed_scale=(float(d["hidden_size"]) ** 0.5
-                         if d.get("model_type") == "gemma" else 1.0),
+                         if d.get("model_type") in ("gemma", "gemma2")
+                         else 1.0),
             # Mixtral: num_local_experts/num_experts_per_tok; dense
             # checkpoints carry neither.
             num_experts=d.get("num_local_experts",
@@ -204,6 +273,10 @@ class ModelConfig:
             return None
         mt = d.get("model_type", "llama")
         if mt == "mistral":
+            return int(w)
+        if mt == "gemma2":
+            # applies to the sliding_attention layers of layer_types
+            # (alternating; the full layers ignore it)
             return int(w)
         if mt in ("qwen2", "qwen2_moe", "qwen3", "qwen3_moe"):
             if not d.get("use_sliding_window", False):
@@ -447,6 +520,11 @@ class SamplingParams:
     # every step (greedy rows included; -100 effectively bans a token).
     # Capacity per request is EngineConfig.max_logit_bias.
     logit_bias: tuple = ()
+    # Minimum tokens to generate before stop_token_ids / stop_strings
+    # may end the request (max_new_tokens still caps it). vLLM-style.
+    min_tokens: int = 0
+    # Ignore stop token ids entirely (benchmarks, fixed-length evals).
+    ignore_eos: bool = False
     # None = nondeterministic (the engine derives a unique per-request
     # seed); set for reproducible sampling independent of batching.
     seed: Optional[int] = None

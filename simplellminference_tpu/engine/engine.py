@@ -1055,7 +1055,9 @@ class Engine:
         finished = False
         matcher = req.stop_matcher
         for i, t in enumerate(toks):
-            if t in req.sampling.stop_token_ids:
+            if (t in req.sampling.stop_token_ids
+                    and not req.sampling.ignore_eos
+                    and req.num_generated >= req.sampling.min_tokens):
                 finished = True
                 break
             req.output_ids.append(t)

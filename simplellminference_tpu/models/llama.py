@@ -82,7 +82,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                   kv_lens: Optional[jax.Array], prefill_from_zero: bool,
                   tp_axis: Optional[str] = None,
                   ring_collectives: bool = False,
-                  kv_layer: Optional[jax.Array] = None):
+                  kv_layer: Optional[jax.Array] = None,
+                  window=dispatch._UNSET):
     """One decoder layer. x: [B, S, H]. Returns (x', cache_k', cache_v').
 
     ``lw`` is the FULL stacked layer-params subtree ([L, ...] leaves) and
@@ -134,7 +135,7 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                 interpret=FORCE_FUSED_INTERPRET)
             attn = dispatch.attention_cached(
                 cfg, q2[:, None], cache_k, cache_v, mask, kv_lens,
-                prefill_from_zero, layer=li)
+                prefill_from_zero, layer=li, window=window)
             return _post_attention(cfg, lw, li, x, attn, b, s, h, n, d,
                                    tp_axis, ring_collectives,
                                    cache_k, cache_v)
@@ -165,13 +166,13 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
         if s > 1 and prefill_from_zero:
             # Batched prefill from slot 0: the fresh k/v ARE the cache
             # prefix — plain causal self-attention, no cache read-back.
-            attn = dispatch.attention(cfg, q, k, v, mask)
+            attn = dispatch.attention(cfg, q, k, v, mask, window=window)
         else:
             attn = dispatch.attention_cached(cfg, q, cache_k, cache_v, mask,
                                              kv_lens, prefill_from_zero,
-                                             layer=kv_li)
+                                             layer=kv_li, window=window)
     else:
-        attn = dispatch.attention(cfg, q, k, v, mask)
+        attn = dispatch.attention(cfg, q, k, v, mask, window=window)
     return _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
                            ring_collectives, cache_k, cache_v)
 
@@ -199,6 +200,9 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
             # Row-sharded wo: partial products all-reduce over ICI. (GSPMD
             # inserts this automatically; in the shard_map body it is ours.)
             attn = jax.lax.psum(attn, tp_axis)
+    if "post_attn_norm" in lw:  # Gemma-2: norm the attn output pre-residual
+        attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"]),
+                               cfg.rms_norm_eps)
     x = x + attn
 
     # --- FFN block (reference: model.cpp:93-128) ---
@@ -214,8 +218,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         from simplellminference_tpu.ops import ffn_fused
         i_loc = cfg.intermediate_size if tp_axis is None else (
             cfg.intermediate_size // jax.lax.axis_size(tp_axis))
-        if cfg.hidden_act == "silu" and ffn_fused.fused_ffn_available(
-                lw, h, i_loc, b * s):
+        if (cfg.hidden_act == "silu" and "post_ffn_norm" not in lw
+                and ffn_fused.fused_ffn_available(lw, h, i_loc, b * s)):
             # decode hot path: rmsnorm+gate_up+SwiGLU+down+residual as ONE
             # pallas call — no inter-matmul DMA ramp/drain, no XLA fusion
             # boundaries (ops/ffn_fused.py).
@@ -249,6 +253,9 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
                       act_quant=cfg.act_quant)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
+    if "post_ffn_norm" in lw:  # Gemma-2: norm the FFN output pre-residual
+        down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"]),
+                               cfg.rms_norm_eps)
     x = x + down
     return x, cache_k, cache_v
 
@@ -290,6 +297,12 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     lw["_input_norm3"] = lw["input_norm"][:, None, :]
     lw["_post_norm3"] = lw["post_norm"][:, None, :]
 
+    # Alternating sliding/full stacks (Gemma-2 layer_types): scan over
+    # the pattern's period — p compiled sub-bodies per step, each with
+    # its own static window, over the same stacked-layer weights.
+    period, wins = cfg.window_pattern()
+    steps = jnp.arange(cfg.num_layers // period, dtype=jnp.int32) * period
+
     if cache is not None:
         if offsets is None:
             offsets = positions[:, 0]
@@ -297,41 +310,43 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             kv_lens = offsets + s
         if s > 1 and prefill_from_zero:
             # Fresh k/v are the whole prefix: plain causal self-attention.
-            mask = ref_ops.causal_mask(
-                s, s, window=cfg.sliding_window)[None, None]     # [1,1,S,S]
+            masks = {w: ref_ops.causal_mask(s, s, window=w)[None, None]
+                     for w in set(wins)}                         # [1,1,S,S]
         else:
             sk = cache.max_seq
             # Keys live at absolute cache slots 0..sk-1; attend where
             # key_pos <= query_pos and key_pos < kv_len (written region).
             key_pos = jnp.arange(sk)[None, None, None, :]        # [1,1,1,Sk]
             q_pos = positions[:, None, :, None]                  # [B,1,S,1]
-            mask = ((key_pos <= q_pos)
+            base = ((key_pos <= q_pos)
                     & (key_pos < kv_lens[:, None, None, None]))
-            if cfg.sliding_window is not None:
-                mask = mask & (key_pos > q_pos - cfg.sliding_window)
+            masks = {w: base if w is None
+                     else base & (key_pos > q_pos - w) for w in set(wins)}
 
-        def body(carry, li):
+        def body(carry, base_li):
             x, ck, cv = carry
-            x, ck, cv = decoder_layer(cfg, lw, li, x, sin, cos, ck, cv,
-                                      offsets, mask, kv_lens,
-                                      prefill_from_zero)
+            for j, w in enumerate(wins):
+                x, ck, cv = decoder_layer(cfg, lw, base_li + j, x, sin,
+                                          cos, ck, cv, offsets, masks[w],
+                                          kv_lens, prefill_from_zero,
+                                          window=w)
             return (x, ck, cv), None
 
         (x, new_k, new_v), _ = jax.lax.scan(
-            body, (x, cache.k, cache.v),
-            jnp.arange(cfg.num_layers, dtype=jnp.int32))
+            body, (x, cache.k, cache.v), steps)
         cache = DenseKVCache(k=new_k, v=new_v)
     else:
-        mask = ref_ops.causal_mask(
-            s, s, window=cfg.sliding_window)[None, None]         # [1,1,S,S]
+        masks = {w: ref_ops.causal_mask(s, s, window=w)[None, None]
+                 for w in set(wins)}                             # [1,1,S,S]
 
-        def body(x, li):
-            x, _, _ = decoder_layer(cfg, lw, li, x, sin, cos, None, None,
-                                    None, mask, None, False)
+        def body(x, base_li):
+            for j, w in enumerate(wins):
+                x, _, _ = decoder_layer(cfg, lw, base_li + j, x, sin, cos,
+                                        None, None, None, masks[w], None,
+                                        False, window=w)
             return x, None
 
-        x, _ = jax.lax.scan(body, x,
-                            jnp.arange(cfg.num_layers, dtype=jnp.int32))
+        x, _ = jax.lax.scan(body, x, steps)
 
     if last_token_only and s > 1:
         last = (kv_lens - 1 - offsets if kv_lens is not None
@@ -347,6 +362,9 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
                          preferred_element_type=jnp.float32)
     else:
         logits = linear(x, lm_head, out_dtype=jnp.float32)
+    if cfg.final_logit_softcap:  # Gemma-2 final-logit soft cap
+        logits = cfg.final_logit_softcap * jnp.tanh(
+            logits / cfg.final_logit_softcap)
     return logits.astype(jnp.float32), cache
 
 
@@ -357,6 +375,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                   chunk_offset: Optional[jax.Array] = None,
                   tp_axis: Optional[str] = None,
                   vocab_shard: Optional[int] = None,
+                  lora_idx: Optional[jax.Array] = None,
                   ) -> tuple[jax.Array, Any]:
     """Forward pass over the paged KV cache (engine path).
 
@@ -400,15 +419,20 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
     chunked = prefill and chunk_offset is not None
     spec = (not prefill) and s > 1  # speculative-decoding verify window
-    if chunked or spec:
-        mask = None  # built against the gathered cache inside the layer
-    elif prefill:
-        mask = ref_ops.causal_mask(
-            s, s, window=cfg.sliding_window)[None, None]
+    period, wins = cfg.window_pattern()
+    if chunked or spec or not prefill:
+        masks = {w: None for w in set(wins)}  # masking happens in-kernel
     else:
-        mask = None
+        masks = {w: ref_ops.causal_mask(s, s, window=w)[None, None]
+                 for w in set(wins)}
 
     quant_kv = cache.k_scale is not None
+    # Multi-LoRA: params["lora"] stacks every live adapter; lora_idx [B]
+    # selects each row's (0 = none). Applied additively after each base
+    # projection (runtime/lora.py).
+    lora_t = params.get("lora") if lora_idx is not None else None
+    if lora_t is not None:
+        from simplellminference_tpu.runtime import lora as lora_lib
     lw = dict(params["layers"])
     # hoist the fused kernels' [L,H]->[L,1,H] norm reshapes out of the
     # layer scan (inside it, XLA re-lays the arrays out per layer step)
@@ -420,12 +444,13 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
     use_fqkv = False
     if (not prefill and s == 1 and not quant_kv and "q_norm" not in lw
+            and not (lora_t and "wqkv" in lora_t)
             and _use_fused_kernels()):
         from simplellminference_tpu.ops import qkv_fused
         use_fqkv = qkv_fused.fused_qkv_available(lw, cfg, b, s, cache.k,
                                                  n_heads=n, kv_heads=kvn)
 
-    def body(carry, li):
+    def sub_body(carry, li, window, mask):
         x, pk, pv, pks, pvs = carry
         if use_fqkv:
             # decode hot path: rmsnorm + qkv dequant-matmul + RoPE +
@@ -439,12 +464,15 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 tables=tables, interpret=FORCE_FUSED_INTERPRET)
             attn = dispatch.attention_paged(
                 cfg, q2[:, None], pk, pv, tables, kv_lens, None, None,
-                layer=li)
+                layer=li, window=window)
             return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
         attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
                                   cfg.rms_norm_eps)
         qkv = linear(attn_in, lw["wqkv"], layer=li,
                  act_quant=cfg.act_quant)
+        if lora_t is not None:
+            qkv = lora_lib.apply_lora(lora_t, lora_idx, "wqkv", attn_in,
+                                      li, qkv)
         if "wqkv_bias" in lw:  # Qwen2-style QKV bias
             qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
         q = qkv[..., :n * d].reshape(b, s, n, d)
@@ -467,7 +495,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 pk, pv, k, v, tables, positions[:, 0], li, *scale_args)
             attn = dispatch.attention_paged(
                 cfg, q, pk, pv, tables, kv_lens,
-                *((nks, nvs) if quant_kv else (None, None)), layer=li)
+                *((nks, nvs) if quant_kv else (None, None)), layer=li,
+                window=window)
         elif chunked:
             ps = pk.shape[3]
             pk, pv, nks, nvs = pkv.write_prefill_stacked(
@@ -480,27 +509,36 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             # CPU/GSPMD fallback inside the dispatcher).
             attn = dispatch.attention_paged_prefill(
                 cfg, q, pk, pv, tables, kv_lens, chunk_offset,
-                *((nks, nvs) if quant_kv else (None, None)), layer=li)
+                *((nks, nvs) if quant_kv else (None, None)), layer=li,
+                window=window)
         elif prefill:
             pk, pv, nks, nvs = pkv.write_prefill_stacked(
                 pk, pv, k, v, tables, li, *scale_args)
-            attn = dispatch.attention(cfg, q, k, v, mask)
+            attn = dispatch.attention(cfg, q, k, v, mask, window=window)
         else:
             pk, pv, nks, nvs = pkv.write_decode_stacked(
                 pk, pv, k[:, 0], v[:, 0], tables, positions[:, 0], li,
                 *scale_args)
             attn = dispatch.attention_paged(
                 cfg, q, pk, pv, tables, kv_lens,
-                *((nks, nvs) if quant_kv else (None, None)), layer=li)
+                *((nks, nvs) if quant_kv else (None, None)), layer=li,
+                window=window)
         if quant_kv:
             pks, pvs = nks, nvs
         return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
 
     def _paged_post_attn(x, attn, pk, pv, pks, pvs, li):
-        attn = linear(attn.reshape(b, s, n * d), lw["wo"], layer=li,
+        attn_rows = attn.reshape(b, s, n * d)
+        attn = linear(attn_rows, lw["wo"], layer=li,
                       act_quant=cfg.act_quant)
+        if lora_t is not None:
+            attn = lora_lib.apply_lora(lora_t, lora_idx, "wo", attn_rows,
+                                       li, attn)
         if tp_axis is not None:
             attn = jax.lax.psum(attn, tp_axis)
+        if "post_attn_norm" in lw:  # Gemma-2 pre-residual attn norm
+            attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"], li),
+                                   cfg.rms_norm_eps)
         x = x + attn
 
         if cfg.num_experts:
@@ -509,12 +547,15 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                                      cfg.rms_norm_eps)
             x = x + moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
             return (x, pk, pv, pks, pvs), None
-        if _use_fused_kernels():
+        lora_ffn = lora_t and ("w_gate_up" in lora_t
+                               or "w_down" in lora_t)
+        if _use_fused_kernels() and not lora_ffn:
             from simplellminference_tpu.ops import ffn_fused
             i_loc = cfg.intermediate_size if tp_axis is None else (
                 cfg.intermediate_size // jax.lax.axis_size(tp_axis))
-            if cfg.hidden_act == "silu" and ffn_fused.fused_ffn_available(
-                    lw, cfg.hidden_size, i_loc, b * s):
+            if (cfg.hidden_act == "silu" and "post_ffn_norm" not in lw
+                    and ffn_fused.fused_ffn_available(
+                        lw, cfg.hidden_size, i_loc, b * s)):
                 gu, dn = lw["w_gate_up"], lw["w_down"]
                 xf = x.reshape(b * s, cfg.hidden_size)
                 xo = ffn_fused.fused_ffn(
@@ -534,19 +575,35 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             cfg.intermediate_size // jax.lax.axis_size(tp_axis))
         gate_up = linear(ffn_in, lw["w_gate_up"], layer=li,
                          act_quant=cfg.act_quant)
-        down = linear(ref_ops.glu_act(gate_up[..., :i], gate_up[..., i:],
-                                      cfg.hidden_act),
-                      lw["w_down"], layer=li, act_quant=cfg.act_quant)
+        if lora_t is not None:
+            gate_up = lora_lib.apply_lora(lora_t, lora_idx, "w_gate_up",
+                                          ffn_in, li, gate_up)
+        swi = ref_ops.glu_act(gate_up[..., :i], gate_up[..., i:],
+                              cfg.hidden_act)
+        down = linear(swi, lw["w_down"], layer=li,
+                      act_quant=cfg.act_quant)
+        if lora_t is not None:
+            down = lora_lib.apply_lora(lora_t, lora_idx, "w_down", swi,
+                                       li, down)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
+        if "post_ffn_norm" in lw:  # Gemma-2 pre-residual FFN norm
+            down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"], li),
+                                   cfg.rms_norm_eps)
         x = x + down
         return (x, pk, pv, pks, pvs), None
+
+    def body(carry, base_li):
+        for j, w in enumerate(wins):
+            carry, _ = sub_body(carry, base_li + j, w, masks[w])
+        return carry, None
 
     carry0 = (x, cache.k, cache.v,
               cache.k_scale if quant_kv else None,
               cache.v_scale if quant_kv else None)
+    steps = jnp.arange(cfg.num_layers // period, dtype=jnp.int32) * period
     (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
-        body, carry0, jnp.arange(cfg.num_layers, dtype=jnp.int32))
+        body, carry0, steps)
     cache = PagedKVCache(k=new_k, v=new_v,
                          k_scale=new_ks if quant_kv else None,
                          v_scale=new_vs if quant_kv else None)
@@ -563,6 +620,9 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                          preferred_element_type=jnp.float32)
     else:
         logits = linear(x, lm_head, out_dtype=jnp.float32)
+    if cfg.final_logit_softcap:  # Gemma-2 final-logit soft cap
+        logits = cfg.final_logit_softcap * jnp.tanh(
+            logits / cfg.final_logit_softcap)
     return logits.astype(jnp.float32), cache
 
 
@@ -612,6 +672,9 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     if cfg.qk_norm:  # Qwen3: per-head q/k RMSNorm weights
         params["layers"]["q_norm"] = jnp.ones((L, d), dtype)
         params["layers"]["k_norm"] = jnp.ones((L, d), dtype)
+    if cfg.sandwich_norms:  # Gemma-2 pre-residual output norms
+        params["layers"]["post_attn_norm"] = jnp.ones((L, h), dtype)
+        params["layers"]["post_ffn_norm"] = jnp.ones((L, h), dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(keys[8], (h, v), 0.02)
     return params

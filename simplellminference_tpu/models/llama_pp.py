@@ -115,6 +115,13 @@ def make_pp_forward(cfg: ModelConfig, mesh: Mesh, params: Params,
     """
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
+    if cfg.layer_types is not None:
+        # the per-stage scan applies ONE static window to every local
+        # layer; alternating sliding/full stacks (Gemma-2) would silently
+        # mis-mask — use TP (llama_tp) for those models.
+        raise ValueError("pipeline parallelism does not support "
+                         "alternating layer_types (Gemma-2-style); "
+                         "use tensor parallelism")
     assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
     l_loc = cfg.num_layers // pp
     assert cfg.vocab_size % tp == 0, (cfg.vocab_size, tp)

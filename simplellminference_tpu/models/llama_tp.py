@@ -134,43 +134,49 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
     sin, cos = ref_ops.rope_tables_for(cfg, positions)
     lw = params["layers"]
 
+    # Alternating sliding/full stacks (Gemma-2): same period-scan as
+    # llama.forward — p sub-bodies with static windows per scan step.
+    period, wins = cfg.window_pattern()
+    steps = jnp.arange(cfg.num_layers // period, dtype=jnp.int32) * period
+
     if cache_k is not None:
         if s > 1 and prefill_from_zero:
-            mask = ref_ops.causal_mask(
-                s, s, window=cfg.sliding_window)[None, None]
+            masks = {w: ref_ops.causal_mask(s, s, window=w)[None, None]
+                     for w in set(wins)}
         else:
             sk = cache_k.shape[3]
             key_pos = jnp.arange(sk)[None, None, None, :]
             q_pos = positions[:, None, :, None]
-            mask = ((key_pos <= q_pos)
+            base = ((key_pos <= q_pos)
                     & (key_pos < kv_lens[:, None, None, None]))
-            if cfg.sliding_window is not None:
-                mask = mask & (key_pos > q_pos - cfg.sliding_window)
+            masks = {w: base if w is None
+                     else base & (key_pos > q_pos - w) for w in set(wins)}
 
-        def body(carry, li):
+        def body(carry, base_li):
             x, ck, cv = carry
-            x, ck, cv = llama.decoder_layer(
-                cfg, lw, li, x, sin, cos, ck, cv, offsets, mask, kv_lens,
-                prefill_from_zero, tp_axis=MODEL_AXIS,
-                ring_collectives=ring_collectives)
+            for j, w in enumerate(wins):
+                x, ck, cv = llama.decoder_layer(
+                    cfg, lw, base_li + j, x, sin, cos, ck, cv, offsets,
+                    masks[w], kv_lens, prefill_from_zero,
+                    tp_axis=MODEL_AXIS, ring_collectives=ring_collectives,
+                    window=w)
             return (x, ck, cv), None
 
         (x, cache_k, cache_v), _ = jax.lax.scan(
-            body, (x, cache_k, cache_v),
-            jnp.arange(cfg.num_layers, dtype=jnp.int32))
+            body, (x, cache_k, cache_v), steps)
     else:
-        mask = ref_ops.causal_mask(
-            s, s, window=cfg.sliding_window)[None, None]
+        masks = {w: ref_ops.causal_mask(s, s, window=w)[None, None]
+                 for w in set(wins)}
 
-        def body(x, li):
-            x, _, _ = llama.decoder_layer(
-                cfg, lw, li, x, sin, cos, None, None, None, mask, None,
-                False, tp_axis=MODEL_AXIS,
-                ring_collectives=ring_collectives)
+        def body(x, base_li):
+            for j, w in enumerate(wins):
+                x, _, _ = llama.decoder_layer(
+                    cfg, lw, base_li + j, x, sin, cos, None, None, None,
+                    masks[w], None, False, tp_axis=MODEL_AXIS,
+                    ring_collectives=ring_collectives, window=w)
             return x, None
 
-        x, _ = jax.lax.scan(body, x,
-                            jnp.arange(cfg.num_layers, dtype=jnp.int32))
+        x, _ = jax.lax.scan(body, x, steps)
 
     if last_token_only and s > 1:
         last = (kv_lens - 1 - offsets if kv_lens is not None
@@ -185,6 +191,9 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
                          preferred_element_type=jnp.float32)
     else:
         logits = linear(x, lm_head, out_dtype=jnp.float32)
+    if cfg.final_logit_softcap:  # Gemma-2 final-logit soft cap
+        logits = cfg.final_logit_softcap * jnp.tanh(
+            logits / cfg.final_logit_softcap)
     return logits.astype(jnp.float32), cache_k, cache_v
 
 

@@ -51,7 +51,7 @@ def _register_builtin():
         # QKV bias via cfg.attention_bias; mixtral swaps the dense FFN
         # for the sparse-MoE block via cfg.num_experts).
         aliases=("mistral", "tinyllama", "qwen2", "gemma", "mixtral",
-                 "qwen2_moe", "qwen3", "qwen3_moe"),
+                 "qwen2_moe", "qwen3", "qwen3_moe", "gemma2"),
     )
 
 

@@ -55,22 +55,40 @@ def _use_flash() -> bool:
     return False
 
 
+_UNSET = object()
+
+
+def _attn_opts(cfg: ModelConfig, window):
+    """(window, sm_scale, logit_cap) for one attention call.
+
+    ``window`` defaults to cfg.sliding_window; alternating sliding/full
+    stacks (Gemma-2 layer_types) override it per layer. sm_scale comes
+    from query_pre_attn_scalar (Gemma-2), logit_cap from
+    attn_logit_softcap."""
+    w = cfg.sliding_window if window is _UNSET else window
+    sm = (None if cfg.query_pre_attn_scalar is None
+          else cfg.query_pre_attn_scalar ** -0.5)
+    return w, sm, cfg.attn_logit_softcap
+
+
 def attention(cfg: ModelConfig, q: jax.Array, k: jax.Array, v: jax.Array,
-              mask: jax.Array) -> jax.Array:
+              mask: jax.Array, window=_UNSET) -> jax.Array:
     """Self-attention, no cache. q: [B, S, N, D]; k/v: [B, S, kvN, D]."""
+    window, sm, cap = _attn_opts(cfg, window)
     s = q.shape[1]
     if _use_flash() and s > 1 and s % 128 == 0 and q.shape[-1] in (64, 128, 256):
         from simplellminference_tpu.ops.attention.flash_prefill import (
             flash_prefill)
-        return flash_prefill(q, k, v, causal=True,
-                             window=cfg.sliding_window)
-    return ref_ops.attention(q, k, v, mask)
+        return flash_prefill(q, k, v, causal=True, window=window,
+                             sm_scale=sm, logit_cap=cap)
+    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap)
 
 
 def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
                      cv: jax.Array, mask: jax.Array, kv_lens: jax.Array,
                      prefill_from_zero: bool,
-                     layer: jax.Array | None = None) -> jax.Array:
+                     layer: jax.Array | None = None,
+                     window=_UNSET) -> jax.Array:
     """Attention against the cache.
 
     q: [B, S, N, D]; ck/cv: [B, kvN, Smax, D], or the full stacked arena
@@ -80,6 +98,7 @@ def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
     Generator's batched prefill), making the computation plain causal
     self-attention over cache[:, :, :S].
     """
+    window, sm, cap = _attn_opts(cfg, window)
     b, s, n, d = q.shape
     stacked = ck.ndim == 5
     smax = ck.shape[3] if stacked else ck.shape[2]
@@ -89,19 +108,21 @@ def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
                 flash_decode)
             return flash_decode(q[:, 0], ck, cv, kv_lens,
                                 layer=layer if stacked else None,
-                                window=cfg.sliding_window)[:, None]
+                                window=window, sm_scale=sm,
+                                logit_cap=cap)[:, None]
         if (s > 1 and prefill_from_zero and s % 128 == 0 and not stacked):
             from simplellminference_tpu.ops.attention.flash_prefill import (
                 flash_prefill)
             return flash_prefill(q, ck[:, :, :s], cv[:, :, :s],
                                  causal=True, kv_layout="bnsd",
-                                 window=cfg.sliding_window)
+                                 window=window, sm_scale=sm,
+                                 logit_cap=cap)
     if stacked:
         ck = jax.lax.dynamic_index_in_dim(ck, layer, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv, layer, 0, keepdims=False)
     k = ck.transpose(0, 2, 1, 3)
     v = cv.transpose(0, 2, 1, 3)
-    return ref_ops.attention(q, k, v, mask)
+    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap)
 
 
 def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
@@ -110,7 +131,8 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
                             chunk_offset: jax.Array,
                             pool_ks: jax.Array | None = None,
                             pool_vs: jax.Array | None = None,
-                            layer: jax.Array | None = None) -> jax.Array:
+                            layer: jax.Array | None = None,
+                            window=_UNSET) -> jax.Array:
     """Chunked-prefill attention THROUGH the page tables: row b's queries
     sit at absolute positions chunk_offset[b] + 0..S-1 and attend to all
     cached positions < kv_len[b] up to the causal frontier.
@@ -120,6 +142,7 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
     masked reference attention."""
     import jax.numpy as jnp
 
+    window, sm, cap = _attn_opts(cfg, window)
     b, s, n, d = q.shape
     stacked = pool_k.ndim == 5
     ps = pool_k.shape[3] if stacked else pool_k.shape[2]
@@ -132,7 +155,7 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
             bq=512 if s % 512 == 0 else (256 if s % 256 == 0 else 128),
             layer=layer if stacked else None,
             k_scale=pool_ks, v_scale=pool_vs,
-            window=cfg.sliding_window)
+            window=window, sm_scale=sm, logit_cap=cap)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
         pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
@@ -149,18 +172,19 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
              + jnp.arange(s, dtype=jnp.int32)[None])         # [B, S]
     mask = ((key_pos <= q_pos[:, None, :, None])
             & (key_pos < kv_lens[:, None, None, None]))
-    if cfg.sliding_window is not None:
-        mask = mask & (key_pos > q_pos[:, None, :, None]
-                       - cfg.sliding_window)
+    if window is not None:
+        mask = mask & (key_pos > q_pos[:, None, :, None] - window)
     return ref_ops.attention(q, ck.transpose(0, 2, 1, 3),
-                             cv.transpose(0, 2, 1, 3), mask)
+                             cv.transpose(0, 2, 1, 3), mask,
+                             scale=sm, logit_cap=cap)
 
 
 def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                     pool_v: jax.Array, tables: jax.Array,
                     kv_lens: jax.Array, pool_ks: jax.Array | None = None,
                     pool_vs: jax.Array | None = None,
-                    layer: jax.Array | None = None) -> jax.Array:
+                    layer: jax.Array | None = None,
+                    window=_UNSET) -> jax.Array:
     """Paged decode attention. q: [B, 1, N, D]; pools: [P, kvN, ps, D] or
     stacked [L, P, kvN, ps, D] with a traced ``layer`` index.
 
@@ -170,6 +194,7 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
     """
     import jax.numpy as jnp
 
+    window, sm, cap = _attn_opts(cfg, window)
     b, s, n, d = q.shape
     stacked = pool_k.ndim == 5
     ps = pool_k.shape[3] if stacked else pool_k.shape[2]
@@ -182,7 +207,8 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                                       layer=layer if stacked else None,
                                       k_scale=pool_ks,
                                       v_scale=pool_vs,
-                                      window=cfg.sliding_window)[:, None]
+                                      window=window, sm_scale=sm,
+                                      logit_cap=cap)[:, None]
         # speculative verify window: rows s of each sequence sit at
         # positions kv_len - s .. kv_len - 1 (in-window causal masking
         # happens in-kernel; KV page traffic == one decode step)
@@ -191,7 +217,8 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
         return paged_flash_verify(q, pool_k, pool_v, tables, kv_lens,
                                   layer=layer if stacked else None,
                                   k_scale=pool_ks, v_scale=pool_vs,
-                                  window=cfg.sliding_window)
+                                  window=window, sm_scale=sm,
+                                  logit_cap=cap)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
         pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
@@ -205,19 +232,17 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
     if s == 1:
         mask = (key_pos[None, None, None, :]
                 < kv_lens[:, None, None, None])
-        if cfg.sliding_window is not None:
+        if window is not None:
             mask = mask & (key_pos[None, None, None, :]
-                           >= kv_lens[:, None, None, None]
-                           - cfg.sliding_window)
+                           >= kv_lens[:, None, None, None] - window)
     else:
         q_pos = (kv_lens[:, None] - s
                  + jnp.arange(s, dtype=jnp.int32)[None])      # [B, S]
         mask = (key_pos[None, None, None, :]
                 <= q_pos[:, None, :, None])
-        if cfg.sliding_window is not None:
+        if window is not None:
             mask = mask & (key_pos[None, None, None, :]
-                           > q_pos[:, None, :, None]
-                           - cfg.sliding_window)
+                           > q_pos[:, None, :, None] - window)
     k = ck.transpose(0, 2, 1, 3)
     v = cv.transpose(0, 2, 1, 3)
-    return ref_ops.attention(q, k, v, mask)
+    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap)

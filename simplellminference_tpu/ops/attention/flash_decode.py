@@ -39,7 +39,8 @@ NEG_INF = -1e30
 
 def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *, scale: float, bk: int,
-                   group: int, hb: int, window: int | None):
+                   group: int, hb: int, window: int | None,
+                   logit_cap: float | None):
     del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     ki = pl.program_id(2)
@@ -66,6 +67,8 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
+        if logit_cap:  # Gemma-2 attention soft cap
+            s = logit_cap * jnp.tanh(s * (1.0 / logit_cap))
         s = s.reshape(rows, bk)
         k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         keep = k_pos < kv_len
@@ -96,14 +99,17 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("bk", "interpret",
                                              "rows_target", "max_kv",
-                                             "window"))
+                                             "window", "sm_scale",
+                                             "logit_cap"))
 def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                  kv_lens: jax.Array, bk: int | None = None,
                  interpret: bool = False,
                  layer: jax.Array | None = None,
                  rows_target: int = 16,
                  max_kv: int | None = None,
-                 window: int | None = None) -> jax.Array:
+                 window: int | None = None,
+                 sm_scale: float | None = None,
+                 logit_cap: float | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D] — or the full stacked
     arena [L, B, kvN, Smax, D] with a traced ``layer`` index. kv_lens: [B]
     -> out [B, N, D]; attends to cache slots [0, kv_len) per sequence.
@@ -126,7 +132,7 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     b, n, d = q.shape
     _, _, kvn, smax, _ = k_cache.shape
     group = n // kvn
-    scale = d ** -0.5
+    scale = d ** -0.5 if sm_scale is None else sm_scale
     if bk is None:
         # Cost = ceil(len/bk)*bk slots transferred + ~per-grid-step
         # overhead: small bk wastes less transfer on the partial last
@@ -185,7 +191,8 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, bk=bk,
-                          group=group, hb=hb, window=window),
+                          group=group, hb=hb, window=window,
+                          logit_cap=logit_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),

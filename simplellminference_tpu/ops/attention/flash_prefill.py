@@ -25,7 +25,7 @@ NEG_INF = -1e30
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                   scale: float, bq: int, bk: int, causal: bool,
-                  window: int | None):
+                  window: int | None, logit_cap: float | None):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -55,6 +55,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [bq, bk]
+        if logit_cap:  # Gemma-2 attention soft cap (before masking)
+            s = logit_cap * jnp.tanh(s * (1.0 / logit_cap))
 
         if causal:
             q_pos = qi * bq + jax.lax.broadcasted_iota(
@@ -86,12 +88,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("causal", "bq", "bk",
                                              "kv_layout", "interpret",
-                                             "window"))
+                                             "window", "sm_scale",
+                                             "logit_cap"))
 def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
                   causal: bool = True, bq: int = 512, bk: int = 1024,
                   kv_layout: str = "bsnd",
                   interpret: bool = False,
-                  window: int | None = None) -> jax.Array:
+                  window: int | None = None,
+                  sm_scale: float | None = None,
+                  logit_cap: float | None = None) -> jax.Array:
     """q: [B, Sq, N, D]; k/v: [B, Sk, kvN, D] (kv_layout="bsnd") or
     [B, kvN, Sk, D] (kv_layout="bnsd", the KV-cache layout — no transpose
     of the cache needed) -> [B, Sq, N, D].
@@ -114,7 +119,7 @@ def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
         _, kvn, sk, _ = k.shape
         kT, vT = k, v
     group = n // kvn
-    scale = d ** -0.5
+    scale = d ** -0.5 if sm_scale is None else sm_scale
 
     # Big kv blocks are the MXU-efficiency knob (the QK output tile and
     # PV contraction): measured 37 TFLOPs at bk=256 vs 136 at bk=1024 on
@@ -145,7 +150,8 @@ def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, bq=bq, bk=bk,
-                          causal=causal, window=window),
+                          causal=causal, window=window,
+                          logit_cap=logit_cap),
         grid=(b, n, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d),

@@ -23,6 +23,7 @@ NEG_INF = -1e30
 
 def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
                   *refs, scale: float, ps: int, group: int, hb: int,
+                  logit_cap: float | None,
                   quant_kv: bool, wins: int = 1,
                   window: int | None = None):
     if quant_kv:
@@ -58,6 +59,8 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # [HB, G*W, ps]
+        if logit_cap:  # Gemma-2 attention soft cap
+            s = logit_cap * jnp.tanh(s * (1.0 / logit_cap))
         s = s.reshape(rows, ps)
         k_pos = pi * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # multi-row verify windows (speculative decoding): query row with
@@ -93,14 +96,17 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
             hb, group * wins, 1)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "window"))
+@functools.partial(jax.jit, static_argnames=("interpret", "window",
+                                             "sm_scale", "logit_cap"))
 def paged_flash_verify(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        tables: jax.Array, kv_lens: jax.Array,
                        interpret: bool = False,
                        layer: jax.Array | None = None,
                        k_scale: jax.Array | None = None,
                        v_scale: jax.Array | None = None,
-                       window: int | None = None) -> jax.Array:
+                       window: int | None = None,
+                       sm_scale: float | None = None,
+                       logit_cap: float | None = None) -> jax.Array:
     """Multi-row decode windows (speculative verify): q [B, S, N, D]
     where row s sits at position kv_len - S + s (in-window causal).
     Same page-table flash kernel as :func:`paged_flash_decode` with the
@@ -112,12 +118,14 @@ def paged_flash_verify(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     out = paged_flash_decode(qp, k_pool, v_pool, tables, kv_lens,
                              interpret=interpret, layer=layer,
                              k_scale=k_scale, v_scale=v_scale,
-                             wins=s, window=window)
+                             wins=s, window=window, sm_scale=sm_scale,
+                             logit_cap=logit_cap)
     return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "wins",
-                                             "window"))
+                                             "window", "sm_scale",
+                                             "logit_cap"))
 def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        tables: jax.Array, kv_lens: jax.Array,
                        interpret: bool = False,
@@ -125,7 +133,9 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        k_scale: jax.Array | None = None,
                        v_scale: jax.Array | None = None,
                        wins: int = 1,
-                       window: int | None = None) -> jax.Array:
+                       window: int | None = None,
+                       sm_scale: float | None = None,
+                       logit_cap: float | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_pool: [P, kvN, ps, D] — or the stacked pools
     [L, P, kvN, ps, D] with a traced ``layer`` index (scalar-prefetched,
     zero-copy reads from inside a scan over layers); tables: [B, MP] int32
@@ -157,7 +167,7 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     _, p, kvn, ps, _ = k_pool.shape
     _, mp = tables.shape
     group = n // kvn
-    scale = d ** -0.5
+    scale = d ** -0.5 if sm_scale is None else sm_scale
 
     # Pack kv heads per grid step (a page holds all heads): fills the VPU
     # sublanes at group=1 and turns 4 KB page DMAs into 32 KB ones.
@@ -224,7 +234,7 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     out = pl.pallas_call(
         functools.partial(_paged_kernel, scale=scale, ps=ps,
                           group=group // wins, hb=hb, quant_kv=quant_kv,
-                          wins=wins, window=window),
+                          wins=wins, window=window, logit_cap=logit_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),

@@ -44,7 +44,8 @@ NEG_INF = -1e30
 def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
                           q_ref, *refs, scale: float,
                           bq: int, ps: int, pages_per_block: int,
-                          quant_kv: bool, window: int | None = None):
+                          quant_kv: bool, window: int | None = None,
+                          logit_cap: float | None = None):
     g = pages_per_block
     kp_refs, vp_refs = refs[:g], refs[g:2 * g]
     if quant_kv:
@@ -104,6 +105,8 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [bq, bk]
+        if logit_cap:  # Gemma-2 attention soft cap
+            s = logit_cap * jnp.tanh(s * (1.0 / logit_cap))
 
         q_pos = off + qi * bq + jax.lax.broadcasted_iota(
             jnp.int32, (bq, bk), 0)
@@ -133,7 +136,8 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "interpret", "window",
-                                             "pages_per_block"))
+                                             "pages_per_block", "sm_scale",
+                                             "logit_cap"))
 def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
                         v_pool: jax.Array, tables: jax.Array,
                         kv_lens: jax.Array, chunk_offset: jax.Array,
@@ -142,7 +146,9 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
                         k_scale: jax.Array | None = None,
                         v_scale: jax.Array | None = None,
                         window: int | None = None,
-                        pages_per_block: int | None = None) -> jax.Array:
+                        pages_per_block: int | None = None,
+                        sm_scale: float | None = None,
+                        logit_cap: float | None = None) -> jax.Array:
     """q: [B, Sq, N, D] — row b's queries sit at absolute positions
     chunk_offset[b] + 0..Sq-1 (the current prefill chunk, already written
     to its pages). k/v_pool: [P, kvN, ps, D] or stacked [L, P, kvN, ps, D]
@@ -178,7 +184,7 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     _, p, kvn, ps, _ = k_pool.shape
     _, mp = tables.shape
     group = n // kvn
-    scale = d ** -0.5
+    scale = d ** -0.5 if sm_scale is None else sm_scale
 
     bq = min(bq, sq)
     assert sq % bq == 0, (sq, bq)
@@ -256,7 +262,7 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     out = pl.pallas_call(
         functools.partial(_paged_prefill_kernel, scale=scale, bq=bq,
                           ps=ps, pages_per_block=g, quant_kv=quant_kv,
-                          window=window),
+                          window=window, logit_cap=logit_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(

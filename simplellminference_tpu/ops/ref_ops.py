@@ -136,12 +136,15 @@ def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               mask: jax.Array | None = None,
-              scale: float | None = None) -> jax.Array:
+              scale: float | None = None,
+              logit_cap: float | None = None) -> jax.Array:
     """Dense reference attention with fp32 softmax.
 
     q: [B, Sq, N, D]; k/v: [B, Sk, kvN, D]; mask: broadcastable to
     [B, N, Sq, Sk] (True = attend). GQA via head-group expansion
     (reference: mha_kernel.cpp:36-77 computes this per-head serially).
+    ``logit_cap``: Gemma-2 score soft cap — cap * tanh(s / cap) before
+    masking/softmax.
     """
     n_rep = q.shape[2] // k.shape[2]
     k = repeat_kv(k, n_rep)
@@ -150,6 +153,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
         scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqnd,bknd->bnqk", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
+    if logit_cap:
+        logits = logit_cap * jnp.tanh(logits / logit_cap)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
     probs = jax.nn.softmax(logits, axis=-1)

@@ -42,6 +42,9 @@ def _layer_specs() -> dict[str, P]:
         # Qwen3 per-head q/k RMSNorm [L, D]: head_dim is never sharded.
         "q_norm": P(None, None),
         "k_norm": P(None, None),
+        # Gemma-2 sandwich norms [L, H]: replicated like the other norms.
+        "post_attn_norm": P(None, None),
+        "post_ffn_norm": P(None, None),
         "wqkv": P(None, None, m),
         "wqkv_bias": P(None, m),       # column-sharded like wqkv's N
         "wo": P(None, m, None),

@@ -100,6 +100,16 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
     if cfg.qk_norm:  # Qwen3: per-head q/k RMSNorm before RoPE
         m["layers/q_norm"] = "model.layers.{i}.self_attn.q_norm.weight"
         m["layers/k_norm"] = "model.layers.{i}.self_attn.k_norm.weight"
+    if cfg.sandwich_norms:
+        # Gemma-2: post_attention_layernorm norms the attention OUTPUT
+        # (our post_attn_norm); the pre-FFN norm (our post_norm role)
+        # loads from pre_feedforward_layernorm instead.
+        m["layers/post_attn_norm"] = (
+            "model.layers.{i}.post_attention_layernorm.weight")
+        m["layers/post_norm"] = (
+            "model.layers.{i}.pre_feedforward_layernorm.weight")
+        m["layers/post_ffn_norm"] = (
+            "model.layers.{i}.post_feedforward_layernorm.weight")
     return m
 
 
@@ -147,7 +157,7 @@ def params_from_fetcher(cfg: ModelConfig,
         t = jnp.asarray(fetch(name))
         if path in _TRANSPOSED:
             t = t.T
-        if cfg.model_type == "gemma" and path.endswith("norm"):
+        if cfg.model_type in ("gemma", "gemma2") and path.endswith("norm"):
             # Gemma RMSNorm multiplies by (1 + w); fold the +1 into the
             # stored weight so the standard rmsnorm applies unchanged.
             t = t.astype(jnp.float32) + 1.0

@@ -98,6 +98,8 @@ def _sampling_from(body: dict, tokenizer) -> SamplingParams:
         stop_strings=stop_strings,
         logit_bias=logit_bias,
         max_new_tokens=int(body.get("max_tokens", 128)),
+        min_tokens=int(body.get("min_tokens", 0)),
+        ignore_eos=bool(body.get("ignore_eos", False)),
         temperature=float(body.get("temperature", 0.0)),
         top_k=int(body.get("top_k", 0)),
         top_p=float(body.get("top_p", 1.0)),

@@ -629,3 +629,22 @@ def test_engine_logit_bias_is_per_request(model):
     eng.run()
     assert r0.output_ids == [forced] * 6
     assert r1.output_ids == want[1]
+
+
+def test_engine_min_tokens_and_ignore_eos(model):
+    """min_tokens suppresses stop_token_ids until the floor is reached;
+    ignore_eos disables them entirely (vLLM semantics)."""
+    cfg, params = model
+    prompts = [[1, 2, 3]]
+    ref = dense_reference(cfg, params, prompts, 12)[0]
+    stop = ref[4]  # would stop at the 5th generated token
+    eng = make_engine(cfg, params)
+    got = eng.generate(prompts, SamplingParams(
+        max_new_tokens=12, stop_token_ids=(stop,), min_tokens=8))
+    # the 5th-token stop is suppressed; the next occurrence (if any)
+    # past min_tokens may stop it, otherwise it runs to max
+    assert len(got[0]) >= 8
+    assert got[0][:8] == ref[:8]
+    got2 = eng.generate(prompts, SamplingParams(
+        max_new_tokens=12, stop_token_ids=(stop,), ignore_eos=True))
+    assert got2[0] == ref

@@ -190,3 +190,93 @@ def test_paged_flash_prefill_stacked_layer(rng):
         want = _paged_ref(q, pk[li], pv[li], tables, kv_lens, offs)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-3, atol=2e-3)
+
+
+# ---------------- Gemma-2 soft cap + custom scale ----------------
+
+
+def test_flash_prefill_logit_cap_and_scale(rng):
+    b, s, n, kvn, d = 1, 256, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32) * 3
+    k = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32) * 3
+    v = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    got = flash_prefill(q, k, v, causal=True, bq=128, bk=128,
+                        interpret=True, sm_scale=24.0 ** -0.5,
+                        logit_cap=50.0)
+    mask = np.asarray(ref_ops.causal_mask(s, s))[None, None]
+    want = ref_ops.attention(q, k, v, jnp.asarray(mask),
+                             scale=24.0 ** -0.5, logit_cap=50.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    # and the cap actually changes the output
+    plain = flash_prefill(q, k, v, causal=True, bq=128, bk=128,
+                          interpret=True)
+    assert not np.allclose(np.asarray(got), np.asarray(plain), atol=1e-3)
+
+
+def test_flash_decode_logit_cap(rng):
+    b, n, kvn, d, smax = 2, 4, 2, 64, 256
+    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32) * 3
+    ck = jnp.asarray(rng.standard_normal((b, kvn, smax, d)), jnp.float32) * 3
+    cv = jnp.asarray(rng.standard_normal((b, kvn, smax, d)), jnp.float32)
+    kv_lens = jnp.asarray([200, 77], jnp.int32)
+    got = flash_decode(q, ck, cv, kv_lens, bk=128, interpret=True,
+                       sm_scale=24.0 ** -0.5, logit_cap=30.0)
+    mask = (jnp.arange(smax)[None, None, None, :]
+            < kv_lens[:, None, None, None])
+    want = ref_ops.attention(q[:, None], ck.transpose(0, 2, 1, 3),
+                             cv.transpose(0, 2, 1, 3), mask,
+                             scale=24.0 ** -0.5, logit_cap=30.0)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_paged_decode_and_prefill_logit_cap(rng):
+    from simplellminference_tpu.ops.attention.paged_decode import (
+        paged_flash_decode)
+    from simplellminference_tpu.ops.attention.paged_prefill import (
+        paged_flash_prefill)
+    b, s, n, kvn, d, ps, mp = 2, 128, 4, 2, 64, 16, 8
+    p = b * mp + 1
+    pool_k = jnp.asarray(rng.standard_normal((p, kvn, ps, d)),
+                         jnp.float32) * 3
+    pool_v = jnp.asarray(rng.standard_normal((p, kvn, ps, d)), jnp.float32)
+    tables = jnp.asarray(
+        (rng.permutation(p - 1)[: b * mp] + 1).reshape(b, mp), jnp.int32)
+    kv_lens = jnp.asarray([100, 60], jnp.int32)
+    # decode
+    qd = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32) * 3
+    got = paged_flash_decode(qd, pool_k, pool_v, tables, kv_lens,
+                             interpret=True, sm_scale=24.0 ** -0.5,
+                             logit_cap=50.0)
+    want = _paged_ref(qd[:, None], pool_k, pool_v, tables, kv_lens,
+                      kv_lens - 1)[:, 0]
+    # _paged_ref has no cap: recompute with capped ref directly
+    from simplellminference_tpu.memory.paged_kv import gather_dense
+    ck, cv = gather_dense(pool_k, pool_v, tables)
+    mask = (jnp.arange(ck.shape[2])[None, None, None, :]
+            < kv_lens[:, None, None, None])
+    want = ref_ops.attention(qd[:, None], ck.transpose(0, 2, 1, 3),
+                             cv.transpose(0, 2, 1, 3), mask,
+                             scale=24.0 ** -0.5, logit_cap=50.0)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    # chunked prefill
+    qp = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32) * 3
+    offs = jnp.zeros((b,), jnp.int32)
+    lens2 = jnp.asarray([100, 60], jnp.int32)
+    got2 = paged_flash_prefill(qp, pool_k, pool_v, tables, lens2, offs,
+                               bq=128, interpret=True,
+                               sm_scale=24.0 ** -0.5, logit_cap=50.0)
+    key_pos = jnp.arange(ck.shape[2])[None, None, None, :]
+    q_pos = offs[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    mask2 = ((key_pos <= q_pos[:, None, :, None])
+             & (key_pos < lens2[:, None, None, None]))
+    want2 = ref_ops.attention(qp, ck.transpose(0, 2, 1, 3),
+                              cv.transpose(0, 2, 1, 3), mask2,
+                              scale=24.0 ** -0.5, logit_cap=50.0)
+    for i in range(b):
+        valid = int(lens2[i])
+        np.testing.assert_allclose(np.asarray(got2[i, :valid]),
+                                   np.asarray(want2[i, :valid]),
+                                   rtol=2e-3, atol=2e-3)

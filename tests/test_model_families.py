@@ -181,3 +181,105 @@ def test_gemma_legacy_hidden_act_resolution():
     cfg3 = ModelConfig.from_hf_dict(
         {**d, "model_type": "llama", "hidden_act": "silu"})
     assert cfg3.hidden_act == "silu"
+
+
+def test_qwen3_matches_hf():
+    """Qwen3: per-head q/k RMSNorm before RoPE, no QKV bias, explicit
+    head_dim decoupled from hidden_size/num_heads."""
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=48, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=1000000.0, tie_word_embeddings=False)
+    torch.manual_seed(4)
+    hf = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    # random q/k norm weights (ones would mask a head-mapping bug)
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            layer.self_attn.q_norm.weight.mul_(0).add_(
+                torch.rand_like(layer.self_attn.q_norm.weight) + 0.5)
+            layer.self_attn.k_norm.weight.mul_(0).add_(
+                torch.rand_like(layer.self_attn.k_norm.weight) + 0.5)
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.qk_norm and not cfg.attention_bias
+    assert cfg.head_dim == 48
+    assert get_model_family("qwen3").name == "llama"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert params["layers"]["q_norm"].shape == (2, 48)
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens)
+
+
+def test_qwen3_paged_engine_matches_dense():
+    """The paged serving forward must apply the q/k norms identically to
+    the dense forward (and the fused-QKV megakernel must NOT be selected
+    for qk_norm models)."""
+    cfg = ModelConfig.tiny_test(qk_norm=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    # perturb the norms away from ones so a dropped norm changes tokens
+    params["layers"]["q_norm"] = params["layers"]["q_norm"] * 1.5
+    params["layers"]["k_norm"] = params["layers"]["k_norm"] * 0.7
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 8)
+    got = _engine_generate(cfg, params, prompts, 8)
+    assert got == want
+
+
+def _gemma2_cfg(**kw):
+    base = dict(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=True,
+        hidden_activation="gelu_pytorch_tanh",
+        query_pre_attn_scalar=24.0, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, sliding_window=4,
+        attn_implementation="eager")
+    base.update(kw)
+    return transformers.Gemma2Config(**base)
+
+
+def test_gemma2_matches_hf():
+    """Gemma-2: sandwich norms, attn/final logit soft caps,
+    query_pre_attn_scalar score scale, ALTERNATING sliding/full layers
+    (window 4 < seq 8 so the sliding mask actually bites)."""
+    hf_cfg = _gemma2_cfg()
+    torch.manual_seed(6)
+    hf = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.sandwich_norms and cfg.attn_logit_softcap == 50.0
+    assert cfg.final_logit_softcap == 30.0
+    assert cfg.query_pre_attn_scalar == 24.0
+    assert cfg.layer_types is not None and cfg.sliding_window == 4
+    assert cfg.window_pattern() == (2, (4, None))
+    assert abs(cfg.embed_scale - 128.0 ** 0.5) < 1e-9
+    assert get_model_family("gemma2").name == "llama"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert params["layers"]["post_attn_norm"].shape == (4, 128)
+    tokens = np.array([[2, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_gemma2_paged_engine_matches_dense():
+    """The paged serving path must apply every Gemma-2 piece (sandwich
+    norms, soft caps, alternating windows) identically to the dense
+    path — including decode steps where the sliding window trims the
+    paged attention reads."""
+    cfg = ModelConfig.tiny_test(
+        num_layers=4, sandwich_norms=True, attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, query_pre_attn_scalar=24.0,
+        sliding_window=6,
+        layer_types=("sliding_attention", "full_attention") * 2,
+        hidden_act="gelu_pytorch_tanh")
+    params = llama.init_params(cfg, jax.random.PRNGKey(7))
+    # perturb the sandwich norms so dropping one changes tokens
+    params["layers"]["post_attn_norm"] = (
+        params["layers"]["post_attn_norm"] * 1.3)
+    params["layers"]["post_ffn_norm"] = (
+        params["layers"]["post_ffn_norm"] * 0.6)
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8, 9], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 10)
+    got = _engine_generate(cfg, params, prompts, 10)
+    assert got == want
