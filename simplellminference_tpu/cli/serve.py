@@ -38,6 +38,11 @@ def main(argv=None):
                          "pools over the model mesh axis)")
     ap.add_argument("--spec-tokens", type=int, default=0,
                     help="speculative decoding draft length (0 = off)")
+    ap.add_argument("--lora", action="append", default=[],
+                    metavar="NAME=DIR",
+                    help="load a HF PEFT LoRA adapter (repeatable); "
+                         "requests select it via the 'lora' field or by "
+                         "using NAME as the OpenAI model id")
     args = ap.parse_args(argv)
 
     import jax
@@ -80,8 +85,18 @@ def main(argv=None):
                          num_pages=args.num_pages,
                          max_pages_per_seq=args.max_pages_per_seq,
                          kv_dtype=args.kv_dtype))
+    loras = None
+    if args.lora:
+        from simplellminference_tpu.runtime.lora import load_peft_adapter
+        loras = {}
+        for spec in args.lora:
+            name, _, path = spec.partition("=")
+            if not path:
+                ap.error(f"--lora expects NAME=DIR, got {spec!r}")
+            loras[name] = load_peft_adapter(cfg, path)
+        print(f"loaded LoRA adapters: {sorted(loras)}", file=sys.stderr)
     engine = Engine(cfg, params, ecfg, tokenizer=tok,
-                    decode_burst=args.decode_burst)
+                    decode_burst=args.decode_burst, loras=loras)
     chat_template = None
     model_id = "local"
     if getattr(args, "model_dir", None):

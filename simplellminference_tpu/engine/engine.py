@@ -61,7 +61,7 @@ class Engine:
 
     def __init__(self, cfg: ModelConfig, params, engine_cfg: EngineConfig,
                  tokenizer=None, decode_burst: int = 4,
-                 forward_paged=None, draft=None):
+                 forward_paged=None, draft=None, loras=None):
         """``draft``: optional (draft_cfg, draft_params) pair — a small
         same-vocabulary model that replaces the prompt-lookup drafter in
         speculative mode (requires engine_cfg.spec_tokens >= 1). The
@@ -127,6 +127,20 @@ class Engine:
                 v_scale=(jax.device_put(self.cache.v_scale, scale_sh)
                          if self.cache.v_scale is not None else None))
 
+        # Multi-LoRA serving: stack named adapters into params["lora"]
+        # ([A, L, K, R] per target) — each slot selects its adapter by
+        # index at decode time (runtime/lora.py; index 0 = none).
+        self.lora_index: dict[str, int] = {}
+        self.has_lora = bool(loras)
+        if loras:
+            if self.mesh is not None:
+                raise ValueError("LoRA adapters are not supported with "
+                                 "tensor-parallel serving yet")
+            from simplellminference_tpu.runtime import lora as lora_lib
+            tree, self.lora_index = lora_lib.stack_adapters(
+                cfg, loras, dtype=jnp.dtype(cfg.dtype))
+            self.params = {**self.params, "lora": tree}
+
         b = engine_cfg.max_batch_size
         self.slots: list[Optional[Request]] = [None] * b
         self.waiting: deque[Request] = deque()
@@ -160,6 +174,9 @@ class Engine:
         # per-slot context token counts (penalty state); rebuilt from
         # prompt+outputs at admit, advanced ON DEVICE during bursts
         self._counts_host = np.zeros((b, cfg.vocab_size), np.float32)
+        self._lora_idx = np.zeros(b, np.int32)   # 0 = no adapter
+        self._lora_dev = None
+        self._lora_dirty = True
         self._key = jax.random.PRNGKey(0)
         self._detok: dict[int, StreamingDetokenizer] = {}
 
@@ -243,16 +260,18 @@ class Engine:
 
         cfg_ = cfg
         fwd = self._fwd
+        use_lora = self.has_lora   # static: threads lora_idx into fwd
 
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_fn(params, cache, tokens, tables, kv_len,
                         key, temp, top_k, top_p, min_p, counts, rp, fp,
-                        pp, seeds, bias_i, bias_v):
+                        pp, seeds, bias_i, bias_v, lidx=None):
             s = tokens.shape[1]
+            lkw = {"lora_idx": lidx} if use_lora else {}
             positions = jnp.arange(s, dtype=jnp.int32)[None]
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
                                 tables, kv_len, prefill=True,
-                                last_token_only=True)
+                                last_token_only=True, **lkw)
             # first token sampled in-graph: no separate sampling dispatch
             # (~25 ms through the tunnel) per admitted request.
             # seed_pos keys by the CONSUMED input token's position
@@ -275,16 +294,17 @@ class Engine:
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
                               chunk_offset, key, temp, top_k, top_p,
                               min_p, counts, rp, fp, pp, seeds, bias_i,
-                              bias_v):
+                              bias_v, lidx=None):
             # chunk_offset: [B] per-row start position (page-aligned) —
             # batched prefix-cache suffixes start at different offsets
             s = tokens.shape[1]
+            lkw = {"lora_idx": lidx} if use_lora else {}
             positions = (chunk_offset[:, None]
                          + jnp.arange(s, dtype=jnp.int32)[None])
             logits, cache = fwd(cfg_, params, tokens, positions, cache,
                                 tables, kv_len, prefill=True,
                                 last_token_only=True,
-                                chunk_offset=chunk_offset)
+                                chunk_offset=chunk_offset, **lkw)
             tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
                                       top_p, min_p=min_p, counts=counts,
                                       repetition_penalty=rp,
@@ -299,7 +319,8 @@ class Engine:
         def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
                       ov_tok, ov_pos, ov_counts, ov_mask, tables, active,
                       key, temp, top_k, top_p, min_p, rp, fp, pp, seeds,
-                      bias_i, bias_v):
+                      bias_i, bias_v, lidx=None):
+            lkw = {"lora_idx": lidx} if use_lora else {}
             # Device-carried decode state: dev_tok/dev_pos/dev_counts come
             # back from the PREVIOUS burst (still in flight when the host
             # dispatches this one — the host never waits on them). ov_*
@@ -316,7 +337,7 @@ class Engine:
                 kv_lens = pos + 1
                 logits, cache = fwd(cfg_, params, tok[:, None],
                                     pos[:, None], cache, tables, kv_lens,
-                                    prefill=False)
+                                    prefill=False, **lkw)
                 key, sub = jax.random.split(key)
                 nxt = sampling_ops.sample(logits[:, 0], sub, temp, top_k,
                                           top_p, min_p=min_p,
@@ -356,7 +377,7 @@ class Engine:
                            dev_pos, dev_counts, dev_hist, ov_tok, ov_pos,
                            ov_counts, ov_hist, ov_mask, tables, active,
                            key, temp, top_k, top_p, min_p, rp, fp, pp,
-                           seeds, bias_i, bias_v):
+                           seeds, bias_i, bias_v, lidx=None):
             """Speculative burst: each step drafts ``spec_g`` tokens —
             by prompt lookup (latest earlier occurrence of the context's
             last n-gram) or, with a draft model configured, by a greedy
@@ -432,8 +453,10 @@ class Engine:
                 toks_in = jnp.concatenate([tok[:, None], draft], 1)
                 positions = pos[:, None] + kidx               # [B, G+1]
                 kv_lens = pos + g1
+                lkw = {"lora_idx": lidx} if use_lora else {}
                 logits, cache = fwd(cfg_, params, toks_in, positions,
-                                    cache, tables, kv_lens, prefill=False)
+                                    cache, tables, kv_lens, prefill=False,
+                                    **lkw)
                 # logit_bias shapes every sampling DECISION (greedy
                 # acceptance must match the biased non-speculative greedy;
                 # rejection sampling must target the biased distribution);
@@ -566,7 +589,7 @@ class Engine:
     def add_request(self, prompt_ids: Optional[Sequence[int]] = None,
                     prompt: Optional[str] = None,
                     sampling: SamplingParams = SamplingParams(),
-                    on_tokens=None) -> Request:
+                    on_tokens=None, lora: Optional[str] = None) -> Request:
         if prompt_ids is None:
             if prompt is None or self.tokenizer is None:
                 raise ValueError("need prompt_ids, or prompt + tokenizer")
@@ -578,7 +601,14 @@ class Engine:
                    "stop_token_ids": (self.tokenizer.eos_id,)})
         req = Request(req_id=next(self._req_ids),
                       prompt_ids=list(prompt_ids), sampling=sampling,
-                      on_tokens=on_tokens)
+                      on_tokens=on_tokens, lora=lora)
+        if lora is not None and lora not in self.lora_index:
+            req.state = RequestState.FAILED
+            req.error = (f"unknown LoRA adapter {lora!r}; loaded: "
+                         f"{sorted(self.lora_index) or 'none'}")
+            self.metrics.requests_failed += 1
+            req.emit([], finished=True)
+            return req
         if len(sampling.logit_bias) > self._nbias:
             req.state = RequestState.FAILED
             req.error = (f"logit_bias has {len(sampling.logit_bias)} "
@@ -704,7 +734,9 @@ class Engine:
         cap = req.total_len - 1  # at least one token must prefill
         for cand in self.slots:
             if cand is None or cand.state != RequestState.RUNNING \
-                    or cand.slot in exclude:
+                    or cand.slot in exclude or cand.lora != req.lora:
+                # (LoRA changes the k/v projections — pages written under
+                # a different adapter are not this request's prefix)
                 continue
             n = 0
             for a, b in zip(req.prompt_ids, cand.prompt_ids):
@@ -726,12 +758,15 @@ class Engine:
         best_key, best_h, best = (), -1, 0
         cap = ((req.total_len - 1) // ps) * ps  # >=1 token must prefill
         for key, h in self._prefix_store.items():
-            m = min(len(key), cap)
+            lora_name, toks = key
+            if lora_name != req.lora:  # adapter-specific KV pages
+                continue
+            m = min(len(toks), cap)
             # longest COMMON page-aligned prefix — an entry whose
             # trailing pages diverge (system prompt + different user
             # text) still shares its matching leading pages
             common = 0
-            for a, b_ in zip(req.prompt_ids[:m], key):
+            for a, b_ in zip(req.prompt_ids[:m], toks):
                 if a != b_:
                     break
                 common += 1
@@ -748,7 +783,7 @@ class Engine:
         h = self._prefix_store.pop(key)
         self.allocator.prefix_release(h)
         self.metrics.prefix_cache_evictions += 1
-        metrics_lib.log_event("prefix_evicted", tokens=len(key))
+        metrics_lib.log_event("prefix_evicted", tokens=len(key[1]))
         return True
 
     def _retain_prefix(self, req: Request):
@@ -762,7 +797,7 @@ class Engine:
         n = (len(req.prompt_ids) // ps) * ps
         if n <= 0:
             return
-        key = tuple(req.prompt_ids[:n])
+        key = (req.lora, tuple(req.prompt_ids[:n]))
         if key in self._prefix_store:
             self._prefix_store[key] = self._prefix_store.pop(key)  # LRU
             return
@@ -835,6 +870,9 @@ class Engine:
             self._counts_host[slot] = np.bincount(
                 np.asarray(req.prompt_ids + req.output_ids, np.int64),
                 minlength=self.cfg.vocab_size)[:self.cfg.vocab_size]
+            self._lora_idx[slot] = self.lora_index.get(req.lora, 0) \
+                if req.lora is not None else 0
+            self._lora_dirty = True
             self._bias_ids[slot] = -1
             self._bias_vals[slot] = 0.0
             for j, (t, v) in enumerate(req.sampling.logit_bias):
@@ -969,7 +1007,9 @@ class Engine:
         idx = np.asarray(slots + [0] * (nb - n))
         samp = (sub, jnp.asarray(self._temp[idx]),
                 jnp.asarray(self._top_k[idx]),
-                jnp.asarray(self._top_p[idx]), *self._samp_extras(idx))
+                jnp.asarray(self._top_p[idx]), *self._samp_extras(idx),
+                jnp.asarray(self._lora_idx[idx]) if self.has_lora
+                else None)
         if suffixes:
             packed, self.cache = self._prefill_chunk_fn(
                 self.params, self.cache, jnp.asarray(tokens),
@@ -1015,7 +1055,9 @@ class Engine:
                 jnp.asarray(self._temp[idx]),
                 jnp.asarray(self._top_k[idx]),
                 jnp.asarray(self._top_p[idx]),
-                *self._samp_extras(idx))
+                *self._samp_extras(idx),
+                jnp.asarray(self._lora_idx[idx]) if self.has_lora
+                else None)
         chunk = self.ecfg.prefill_chunk
         use_chunks = chunk and chunk > 0 and todo > chunk \
             and chunk % self.ecfg.kv.page_size == 0
@@ -1229,6 +1271,10 @@ class Engine:
         active = self._active_dev
         tables = self._tables_dev
         sampler_args = self._samp_dev
+        if self.has_lora and (self._lora_dirty or self._lora_dev is None):
+            self._lora_dev = jnp.asarray(self._lora_idx.copy())
+            self._lora_dirty = False
+        lidx = self._lora_dev if self.has_lora else None
         # every sampling draw is keyed by per-row (seed, position) folds
         # — the burst's key argument is inert, so one constant suffices
         # (no per-burst split dispatch)
@@ -1286,7 +1332,7 @@ class Engine:
                 self.burst, self.params, dpar, self.cache, dcache,
                 dev_tok, dev_pos, dev_counts, dev_hist, ov_tok, ov_pos,
                 ov_counts, ov_hist, ov_mask_dev, tables, active, sub,
-                *sampler_args)
+                *sampler_args, lidx)
             if self._dcache is None:
                 self._dummy_dcache = dcache_out
             else:
@@ -1297,7 +1343,7 @@ class Engine:
              self.cache) = self._burst_fn(
                 self.burst, self.params, self.cache, dev_tok, dev_pos,
                 dev_counts, ov_tok, ov_pos, ov_counts,
-                ov_mask_dev, tables, active, sub, *sampler_args)
+                ov_mask_dev, tables, active, sub, *sampler_args, lidx)
             payload = ("std", packed, None)
         self._override[:] = False
         self.metrics.decode_bursts += 1

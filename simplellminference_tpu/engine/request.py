@@ -47,6 +47,8 @@ class Request:
     # matched — the authoritative output text truncated at the match
     stop_matcher: Optional[object] = None
     final_text: Optional[str] = None
+    # LoRA adapter name (must be registered with the engine); None = base
+    lora: Optional[str] = None
     # on a stop-string match: count of output_ids whose decoded text lies
     # entirely within final_text (ids past it decode stop-string content
     # and must not reach clients that consume token_ids)

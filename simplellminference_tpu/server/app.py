@@ -47,11 +47,12 @@ class EngineWorker:
             with self._lock:
                 self.engine.step()
 
-    def submit(self, prompt_ids, sampling: SamplingParams, on_tokens):
+    def submit(self, prompt_ids, sampling: SamplingParams, on_tokens,
+               lora=None):
         with self._lock:
             req = self.engine.add_request(prompt_ids=prompt_ids,
                                           sampling=sampling,
-                                          on_tokens=on_tokens)
+                                          on_tokens=on_tokens, lora=lora)
         self._wake.set()
         return req
 
@@ -128,14 +129,24 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
         return web.json_response(engine.metrics.summary())
 
     async def models(_request):
-        return web.json_response({
-            "object": "list",
-            "data": [{"id": model_id, "object": "model",
-                      "owned_by": "simplellminference_tpu"}],
-        })
+        data = [{"id": model_id, "object": "model",
+                 "owned_by": "simplellminference_tpu"}]
+        for name in sorted(getattr(engine, "lora_index", {})):
+            data.append({"id": name, "object": "model",
+                         "owned_by": "simplellminference_tpu",
+                         "parent": model_id, "lora": True})
+        return web.json_response({"object": "list", "data": data})
+
+    def _lora_from(body: dict):
+        """Adapter name: explicit 'lora' field, or an OpenAI 'model'
+        that names a loaded adapter (multi-LoRA serving idiom)."""
+        lora = body.get("lora")
+        if lora is None and body.get("model") in engine.lora_index:
+            lora = body["model"]
+        return lora
 
     async def _run_one(prompt_ids, sampling, request, stream, req_id_prefix,
-                       chat: bool):
+                       chat: bool, lora=None):
         """Single-sequence path shared by both endpoints."""
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
@@ -147,7 +158,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
         # step blocks for a full JAX dispatch) — keep them off the event
         # loop so /health and other streams stay live.
         req = await loop.run_in_executor(None, worker.submit, prompt_ids,
-                                         sampling, on_tokens)
+                                         sampling, on_tokens, lora)
         detok = StreamingDetokenizer(tokenizer) if tokenizer else None
 
         if stream:
@@ -232,7 +243,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             return req.output_logprobs[:req.final_ids_len]
         return req.output_logprobs
 
-    async def _fanout(prompt_ids, sampling, n):
+    async def _fanout(prompt_ids, sampling, n, lora=None):
         """n parallel samples of one prompt (prefix-cache shares pages)."""
         import dataclasses as _dc
 
@@ -252,7 +263,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                     sampling, seed=sampling.seed + i)
                 reqs.append(await loop.run_in_executor(
                     None, worker.submit, list(prompt_ids), s_i,
-                    on_tokens))
+                    on_tokens, lora))
             for _ in range(n):
                 await done.get()
         except asyncio.CancelledError:
@@ -286,6 +297,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
         except ValueError as e:
             return web.json_response({"error": str(e)}, status=400)
         stream = bool(body.get("stream", False))
+        lora = _lora_from(body)
         n = max(int(body.get("n", 1)), 1)
         if stream and n > 1:
             return web.json_response(
@@ -293,12 +305,12 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
 
         if stream:
             return await _run_one(prompt_ids, sampling, request, True,
-                                  "cmpl", chat=False)
+                                  "cmpl", chat=False, lora=lora)
         if n == 1:
             reqs = [await _run_one(prompt_ids, sampling, request, False,
-                                   "cmpl", chat=False)]
+                                   "cmpl", chat=False, lora=lora)]
         else:
-            reqs = await _fanout(prompt_ids, sampling, n)
+            reqs = await _fanout(prompt_ids, sampling, n, lora=lora)
         errs = [r.error for r in reqs if r.error]
         if errs:
             status = 429 if _capacity_error(errs[0]) else 400
@@ -344,6 +356,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
         except ValueError as e:
             return web.json_response({"error": str(e)}, status=400)
         stream = bool(body.get("stream", False))
+        lora = _lora_from(body)
         n = max(int(body.get("n", 1)), 1)
         if stream and n > 1:
             return web.json_response(
@@ -351,12 +364,12 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
 
         if stream:
             return await _run_one(prompt_ids, sampling, request, True,
-                                  "chatcmpl", chat=True)
+                                  "chatcmpl", chat=True, lora=lora)
         if n == 1:
             reqs = [await _run_one(prompt_ids, sampling, request, False,
-                                   "chatcmpl", chat=True)]
+                                   "chatcmpl", chat=True, lora=lora)]
         else:
-            reqs = await _fanout(prompt_ids, sampling, n)
+            reqs = await _fanout(prompt_ids, sampling, n, lora=lora)
         errs = [r.error for r in reqs if r.error]
         if errs:
             status = 429 if _capacity_error(errs[0]) else 400

@@ -157,3 +157,53 @@ def test_tp_paged_engine_uses_fused_megakernels(monkeypatch):
     assert calls["qkv"] > 0, "fused QKV megakernel not selected under TP"
     assert calls["ffn"] > 0, "fused FFN megakernel not selected under TP"
     assert got == base
+
+
+def test_tp_gemma2_alternating_windows_match():
+    """The TP body's period-scan (Gemma-2 alternating sliding/full
+    layers + sandwich norms + soft caps) must match the single-device
+    forward — prefill with cache AND a decode step where the window
+    trims attention."""
+    cfg = ModelConfig.tiny_test(
+        num_heads=8, num_kv_heads=4, head_dim=32, hidden_size=256,
+        intermediate_size=512, vocab_size=256, num_layers=4,
+        dtype="float32", sandwich_norms=True, attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, query_pre_attn_scalar=24.0,
+        sliding_window=4,
+        layer_types=("sliding_attention", "full_attention") * 2,
+        hidden_act="gelu_pytorch_tanh")
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    params["layers"]["post_attn_norm"] = (
+        params["layers"]["post_attn_norm"] * 1.3)
+    params["layers"]["post_ffn_norm"] = (
+        params["layers"]["post_ffn_norm"] * 0.6)
+    mesh = mesh_lib.build_mesh(mesh_lib.MeshConfig(data=2, model=4))
+    tp_params, fwd = llama_tp.make_tp_forward(cfg, mesh, params)
+    tp_params = sharding.shard_params(cfg, tp_params, mesh)
+    tokens = jnp.asarray(
+        np.random.default_rng(3).integers(0, 256, (2, 8)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (2, 8))
+
+    def new_cache():
+        return DenseKVCache.create(cfg.num_layers, 2, 64, cfg.num_kv_heads,
+                                   cfg.head_dim, jnp.float32)
+
+    offs = jnp.zeros((2,), jnp.int32)
+    lens = jnp.asarray([8, 8], jnp.int32)
+    ref, refc = llama.forward(cfg, params, tokens, positions, new_cache(),
+                              offs, lens)
+    tpc = sharding.shard_kv_cache(new_cache(), mesh, cfg.num_kv_heads)
+    got, gotc = fwd(tp_params, tokens, positions, tpc, offs, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # decode at position 8: sliding layers see only the last 4 slots
+    tok = jnp.argmax(ref[:, 7], -1).astype(jnp.int32)[:, None]
+    pos = jnp.full((2, 1), 8, jnp.int32)
+    ref2, _ = llama.forward(cfg, params, tok, pos, refc,
+                            jnp.asarray([8, 8], jnp.int32),
+                            jnp.asarray([9, 9], jnp.int32))
+    got2, _ = fwd(tp_params, tok, pos, gotc,
+                  jnp.asarray([8, 8], jnp.int32),
+                  jnp.asarray([9, 9], jnp.int32))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)

@@ -283,3 +283,26 @@ def test_gemma2_paged_engine_matches_dense():
     want = _generator_generate(cfg, params, prompts, 10)
     got = _engine_generate(cfg, params, prompts, 10)
     assert got == want
+
+
+def test_window_pattern_and_layer_types_validation():
+    cfg = ModelConfig.tiny_test()
+    assert cfg.window_pattern() == (1, (None,))
+    cfg = ModelConfig.tiny_test(sliding_window=8)
+    assert cfg.window_pattern() == (1, (8,))
+    cfg = ModelConfig.tiny_test(
+        num_layers=4, sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"] * 2)  # list ok
+    assert cfg.window_pattern() == (2, (8, None))
+    assert cfg.layer_windows == (8, None, 8, None)
+    hash(cfg)  # jit static arg requirement
+    with pytest.raises(ValueError, match="entries"):
+        ModelConfig.tiny_test(num_layers=4, sliding_window=8,
+                              layer_types=("sliding_attention",) * 3)
+    with pytest.raises(ValueError, match="sliding_window is unset"):
+        ModelConfig.tiny_test(num_layers=2,
+                              layer_types=("sliding_attention",
+                                           "full_attention"))
+    with pytest.raises(ValueError, match="unknown layer_types"):
+        ModelConfig.tiny_test(num_layers=2, sliding_window=4,
+                              layer_types=("sliding_attention", "bogus"))
