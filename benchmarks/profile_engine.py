@@ -42,6 +42,8 @@ def main():
                     help="steady-state bursts to profile")
     ap.add_argument("--pages", type=int, default=128)
     ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--kv-dtype", default="bf16",
+                    choices=["bf16", "f32", "int8", "fp8"])
     args = ap.parse_args()
 
     import bench as bench_mod
@@ -62,6 +64,7 @@ def main():
     ecfg = EngineConfig(
         max_batch_size=args.batch,
         kv=KVCacheConfig(
+            kv_dtype=args.kv_dtype,
             page_size=args.page_size, num_pages=args.pages,
             # TIGHT table width: every extra column is a clamped (dead)
             # grid step in the paged attention kernel (~3 us each)

@@ -92,6 +92,19 @@ class ModelConfig:
     # runs over the pattern's period, so the stacked-layer kernels still
     # apply (p compiled sub-bodies, L/p scan steps).
     layer_types: Optional[tuple] = None
+    # --- Multi-head Latent Attention (DeepSeek-V2/V3) ---
+    # kv_lora_rank non-None switches the attention block to MLA: K/V
+    # derive from a compressed per-token latent (kv_lora_rank wide) plus
+    # a shared rope key (qk_rope_head_dim). head_dim then holds the
+    # PADDED cache lane dim (k 192 / v 128 both pad to 256 so the flash
+    # kernels' (8,128)-tiled pools apply); the real dims live below and
+    # query_pre_attn_scalar carries the true 1/sqrt(192) score scale.
+    # DeepSeek RoPE is INTERLEAVED (complex pairs), not half-split.
+    kv_lora_rank: Optional[int] = None
+    q_lora_rank: Optional[int] = None     # None = direct q_proj
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
     # Activation quantization for the PREFILL matmuls ("int8" | None):
     # per-token symmetric int8 activations feed the MXU's double-rate
     # int8 path against the int8 weights (W8A8) — measured 329 vs 184
@@ -102,6 +115,16 @@ class ModelConfig:
     # quantization (standard W8A8-token recipe); validate per checkpoint
     # with the PPL harness before enabling in production.
     act_quant: Optional[str] = None
+
+    @property
+    def mla(self) -> bool:
+        """Multi-head Latent Attention (DeepSeek-V2/V3)."""
+        return self.kv_lora_rank is not None
+
+    @property
+    def qk_head_dim(self) -> int:
+        """True MLA query/key dim (nope + rope parts)."""
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
 
     @property
     def q_size(self) -> int:
@@ -254,6 +277,33 @@ class ModelConfig:
             raise ValueError(
                 "mixed dense/sparse MoE layer stacks (decoder_sparse_step"
                 " != 1 or mlp_only_layers) are not supported")
+        if d.get("model_type") in ("deepseek_v2", "deepseek_v3"):
+            # MLA: real q/k dim = nope + rope; the cache lane dim pads to
+            # a flash-kernel-tileable width and query_pre_attn_scalar
+            # carries the true score scale.
+            nope = int(d.get("qk_nope_head_dim", 128))
+            rope_d = int(d.get("qk_rope_head_dim", 64))
+            vd = int(d.get("v_head_dim", 128))
+            m = max(nope + rope_d, vd)
+            if m > 256:
+                raise ValueError(f"MLA head dims too wide to pad ({m})")
+            kw.update(
+                kv_lora_rank=int(d["kv_lora_rank"]),
+                q_lora_rank=(int(d["q_lora_rank"])
+                             if d.get("q_lora_rank") else None),
+                qk_nope_head_dim=nope, qk_rope_head_dim=rope_d,
+                v_head_dim=vd,
+                head_dim=64 if m <= 64 else (128 if m <= 128 else 256),
+                num_kv_heads=d["num_attention_heads"],  # naive MLA cache
+                query_pre_attn_scalar=float(nope + rope_d),
+            )
+            if d.get("n_routed_experts") and (
+                    d.get("first_k_dense_replace", 0)
+                    < d["num_hidden_layers"]):
+                raise ValueError(
+                    "DeepSeek MoE layers (n_routed_experts set) are not "
+                    "supported yet — dense-FFN DeepSeek configs only "
+                    "(first_k_dense_replace >= num_hidden_layers)")
         kw.update(overrides)
         return cls(**kw)
 

@@ -140,20 +140,27 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                                    tp_axis, ring_collectives,
                                    cache_k, cache_v)
     attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]), cfg.rms_norm_eps)
-    qkv = linear(attn_in, lw["wqkv"], layer=li,
-                 act_quant=cfg.act_quant)
-    if "wqkv_bias" in lw:  # Qwen2-style QKV bias
-        qkv = qkv + norm_w(lw["wqkv_bias"]).astype(qkv.dtype)
-    q = qkv[..., :n * d].reshape(b, s, n, d)
-    k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
-    v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
+    if cfg.mla:
+        # DeepSeek MLA: latent-compressed K/V + shared rope key
+        # (models/mla.py) — rope applied inside, padded to head_dim
+        from simplellminference_tpu.models import mla as mla_mod
+        q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
+                                  act_quant=cfg.act_quant)
+    else:
+        qkv = linear(attn_in, lw["wqkv"], layer=li,
+                     act_quant=cfg.act_quant)
+        if "wqkv_bias" in lw:  # Qwen2-style QKV bias
+            qkv = qkv + norm_w(lw["wqkv_bias"]).astype(qkv.dtype)
+        q = qkv[..., :n * d].reshape(b, s, n, d)
+        k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+        v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
 
-    if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
-        q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"]), cfg.rms_norm_eps)
-        k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"]), cfg.rms_norm_eps)
+        if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
+            q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"]), cfg.rms_norm_eps)
+            k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"]), cfg.rms_norm_eps)
 
-    q = ref_ops.apply_rope(q, sin, cos)
-    k = ref_ops.apply_rope(k, sin, cos)
+        q = ref_ops.apply_rope(q, sin, cos)
+        k = ref_ops.apply_rope(k, sin, cos)
 
     if cache_k is not None:
         if cache_k.ndim == 5:
@@ -185,7 +192,10 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         return w if li is None else jax.lax.dynamic_index_in_dim(
             w, li, 0, keepdims=False)
 
-    attn_in_rows = attn.reshape(b, s, n * d)
+    if cfg.mla and cfg.v_head_dim < d:
+        # naive-MLA pads v to the cache lane dim; drop the zero columns
+        attn = attn.reshape(b, s, n, d)[..., :cfg.v_head_dim]
+    attn_in_rows = attn.reshape(b, s, -1)
     if tp_axis is not None and ring_collectives and _is_quant(lw["wo"]):
         # Ring-fused dequant+matmul+all-reduce: each ring step computes one
         # output window while the previous partial rides the ICI.
@@ -468,23 +478,30 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
         attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
                                   cfg.rms_norm_eps)
-        qkv = linear(attn_in, lw["wqkv"], layer=li,
-                 act_quant=cfg.act_quant)
-        if lora_t is not None:
-            qkv = lora_lib.apply_lora(lora_t, lora_idx, "wqkv", attn_in,
-                                      li, qkv)
-        if "wqkv_bias" in lw:  # Qwen2-style QKV bias
-            qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
-        q = qkv[..., :n * d].reshape(b, s, n, d)
-        k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
-        v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
-        if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
-            q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
-                                cfg.rms_norm_eps)
-            k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
-                                cfg.rms_norm_eps)
-        q = ref_ops.apply_rope(q, sin, cos)
-        k = ref_ops.apply_rope(k, sin, cos)
+        if cfg.mla:
+            # DeepSeek MLA (models/mla.py): rope applied inside,
+            # q/k/v padded to the pool lane dim
+            from simplellminference_tpu.models import mla as mla_mod
+            q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
+                                      act_quant=cfg.act_quant)
+        else:
+            qkv = linear(attn_in, lw["wqkv"], layer=li,
+                         act_quant=cfg.act_quant)
+            if lora_t is not None:
+                qkv = lora_lib.apply_lora(lora_t, lora_idx, "wqkv",
+                                          attn_in, li, qkv)
+            if "wqkv_bias" in lw:  # Qwen2-style QKV bias
+                qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
+            q = qkv[..., :n * d].reshape(b, s, n, d)
+            k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+            v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
+            if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
+                q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
+                                    cfg.rms_norm_eps)
+                k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
+                                    cfg.rms_norm_eps)
+            q = ref_ops.apply_rope(q, sin, cos)
+            k = ref_ops.apply_rope(k, sin, cos)
 
         scale_args = (pks, pvs) if quant_kv else (None, None)
         if spec:
@@ -528,7 +545,9 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
 
     def _paged_post_attn(x, attn, pk, pv, pks, pvs, li):
-        attn_rows = attn.reshape(b, s, n * d)
+        if cfg.mla and cfg.v_head_dim < d:
+            attn = attn.reshape(b, s, n, d)[..., :cfg.v_head_dim]
+        attn_rows = attn.reshape(b, s, -1)
         attn = linear(attn_rows, lw["wo"], layer=li,
                       act_quant=cfg.act_quant)
         if lora_t is not None:
@@ -655,13 +674,34 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             "w_gate_up": w(keys[5], (L, h, 2 * i)),
             "w_down": w(keys[7], (L, i, h)),
         }
+    if cfg.mla:  # DeepSeek MLA projections (models/mla.py)
+        qk = cfg.qk_head_dim
+        attn_w = {
+            "kv_a": w(keys[1], (L, h, cfg.kv_lora_rank
+                                + cfg.qk_rope_head_dim)),
+            "kv_a_norm": jnp.ones((L, cfg.kv_lora_rank), dtype),
+            "kv_b": w(keys[11], (L, cfg.kv_lora_rank,
+                                 n * (cfg.qk_nope_head_dim
+                                      + cfg.v_head_dim))),
+            "wo": w(keys[4], (L, n * cfg.v_head_dim, h)),
+        }
+        if cfg.q_lora_rank:
+            attn_w["q_a"] = w(keys[2], (L, h, cfg.q_lora_rank))
+            attn_w["q_a_norm"] = jnp.ones((L, cfg.q_lora_rank), dtype)
+            attn_w["q_b"] = w(keys[3], (L, cfg.q_lora_rank, n * qk))
+        else:
+            attn_w["q_proj"] = w(keys[2], (L, h, n * qk))
+    else:
+        attn_w = {
+            "wqkv": w(keys[1], (L, h, (n + 2 * kvn) * d)),
+            "wo": w(keys[4], (L, n * d, h)),
+        }
     params: Params = {
         "embed": w(keys[0], (v, h), 0.02),
         "layers": {
             "input_norm": jnp.ones((L, h), dtype),
             "post_norm": jnp.ones((L, h), dtype),
-            "wqkv": w(keys[1], (L, h, (n + 2 * kvn) * d)),
-            "wo": w(keys[4], (L, n * d, h)),
+            **attn_w,
             **ffn,
         },
         "final_norm": jnp.ones((h,), dtype),

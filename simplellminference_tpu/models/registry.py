@@ -51,7 +51,8 @@ def _register_builtin():
         # QKV bias via cfg.attention_bias; mixtral swaps the dense FFN
         # for the sparse-MoE block via cfg.num_experts).
         aliases=("mistral", "tinyllama", "qwen2", "gemma", "mixtral",
-                 "qwen2_moe", "qwen3", "qwen3_moe", "gemma2"),
+                 "qwen2_moe", "qwen3", "qwen3_moe", "gemma2",
+                 "deepseek_v2", "deepseek_v3"),
     )
 
 

@@ -103,8 +103,13 @@ def rope_tables(positions: jax.Array, head_dim: int, theta: float,
 
 
 def rope_tables_for(cfg, positions: jax.Array, dtype=jnp.float32):
-    """rope_tables driven by a ModelConfig (theta + scaling)."""
-    return rope_tables(positions, cfg.head_dim, cfg.rope_theta, dtype,
+    """rope_tables driven by a ModelConfig (theta + scaling).
+
+    MLA (DeepSeek): tables cover only the rope part of the key
+    (qk_rope_head_dim) and are consumed INTERLEAVED
+    (:func:`apply_rope_interleaved`)."""
+    d = cfg.qk_rope_head_dim if cfg.mla else cfg.head_dim
+    return rope_tables(positions, d, cfg.rope_theta, dtype,
                        rope_scaling=cfg.rope_scaling)
 
 
@@ -123,6 +128,24 @@ def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     r1 = xf1 * cos - xf2 * sin
     r2 = xf2 * cos + xf1 * sin
     return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+
+
+def apply_rope_interleaved(x: jax.Array, sin: jax.Array,
+                           cos: jax.Array) -> jax.Array:
+    """Interleaved (GPT-NeoX-original / DeepSeek-style) rotation: pairs
+    (2i, 2i+1) form the complex components — NOT the half-split layout.
+
+    x: [B, S, N, D]; sin/cos: [B, S, D/2]. Matches DeepSeek's
+    torch.view_as_complex application (modeling_deepseek_v2
+    apply_rotary_emb), where freq index i rotates lanes (2i, 2i+1).
+    """
+    x0 = x[..., 0::2].astype(jnp.float32)
+    x1 = x[..., 1::2].astype(jnp.float32)
+    sin = sin[..., None, :]  # [B, S, 1, D/2]
+    cos = cos[..., None, :]
+    r0 = x0 * cos - x1 * sin
+    r1 = x0 * sin + x1 * cos
+    return jnp.stack([r0, r1], axis=-1).reshape(x.shape).astype(x.dtype)
 
 
 def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:

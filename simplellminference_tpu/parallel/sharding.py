@@ -45,6 +45,15 @@ def _layer_specs() -> dict[str, P]:
         # Gemma-2 sandwich norms [L, H]: replicated like the other norms.
         "post_attn_norm": P(None, None),
         "post_ffn_norm": P(None, None),
+        # DeepSeek MLA: per-head expansions column-shard on heads; the
+        # shared latent projections and their norms replicate.
+        "q_proj": P(None, None, m),
+        "q_a": P(None, None, None),
+        "q_a_norm": P(None, None),
+        "q_b": P(None, None, m),
+        "kv_a": P(None, None, None),
+        "kv_a_norm": P(None, None),
+        "kv_b": P(None, None, m),
         "wqkv": P(None, None, m),
         "wqkv_bias": P(None, m),       # column-sharded like wqkv's N
         "wo": P(None, m, None),

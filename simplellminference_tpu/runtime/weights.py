@@ -44,7 +44,9 @@ _HF_LLAMA_MAP: dict[str, Any] = {
 # projection matrices. Embedding/norms keep HF orientation.
 _TRANSPOSED = {"lm_head", "layers/wqkv", "layers/wo", "layers/w_gate_up",
                "layers/w_down", "layers/router", "layers/shared_gate_up",
-               "layers/shared_down", "layers/shared_gate"}
+               "layers/shared_down", "layers/shared_gate",
+               "layers/q_proj", "layers/q_a", "layers/q_b",
+               "layers/kv_a", "layers/kv_b"}
 
 # Tuple entries for these paths concatenate along the CONTRACTION (row)
 # axis after transpose — per-expert w_down blocks stack rows [E*Ie, H].
@@ -55,7 +57,8 @@ _ROW_CONCAT = {"layers/w_down"}
 # BASELINE PPL budget is met).
 _QUANTIZABLE = {"layers/wqkv", "layers/wo", "layers/w_gate_up",
                 "layers/w_down", "layers/shared_gate_up",
-                "layers/shared_down"}
+                "layers/shared_down",
+                "layers/q_proj", "layers/q_b", "layers/kv_b"}
 
 
 def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
@@ -100,6 +103,21 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
     if cfg.qk_norm:  # Qwen3: per-head q/k RMSNorm before RoPE
         m["layers/q_norm"] = "model.layers.{i}.self_attn.q_norm.weight"
         m["layers/k_norm"] = "model.layers.{i}.self_attn.k_norm.weight"
+    if cfg.mla:  # DeepSeek MLA: latent KV + optional low-rank queries
+        del m["layers/wqkv"]
+        m["layers/kv_a"] = (
+            "model.layers.{i}.self_attn.kv_a_proj_with_mqa.weight")
+        m["layers/kv_a_norm"] = (
+            "model.layers.{i}.self_attn.kv_a_layernorm.weight")
+        m["layers/kv_b"] = "model.layers.{i}.self_attn.kv_b_proj.weight"
+        if cfg.q_lora_rank:
+            m["layers/q_a"] = "model.layers.{i}.self_attn.q_a_proj.weight"
+            m["layers/q_a_norm"] = (
+                "model.layers.{i}.self_attn.q_a_layernorm.weight")
+            m["layers/q_b"] = "model.layers.{i}.self_attn.q_b_proj.weight"
+        else:
+            m["layers/q_proj"] = (
+                "model.layers.{i}.self_attn.q_proj.weight")
     if cfg.sandwich_norms:
         # Gemma-2: post_attention_layernorm norms the attention OUTPUT
         # (our post_attn_norm); the pre-FFN norm (our post_norm role)

@@ -306,3 +306,84 @@ def test_window_pattern_and_layer_types_validation():
     with pytest.raises(ValueError, match="unknown layer_types"):
         ModelConfig.tiny_test(num_layers=2, sliding_window=4,
                               layer_types=("sliding_attention", "bogus"))
+
+
+def _deepseek_cfg(klass, **kw):
+    base = dict(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, n_routed_experts=None,
+        q_lora_rank=None, kv_lora_rank=64, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32,
+        # all layers dense: HF builds MoE for layer_idx >= this
+        first_k_dense_replace=2,
+        attn_implementation="eager", attention_bias=False)
+    base.update(kw)
+    return klass(**base)
+
+
+def test_deepseek_v2_mla_matches_hf():
+    """DeepSeek-V2 MLA (direct q_proj, Lite-style): compressed KV latent,
+    shared interleaved-rope key, padded naive cache."""
+    hf_cfg = _deepseek_cfg(transformers.DeepseekV2Config)
+    torch.manual_seed(8)
+    hf = transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.mla and cfg.q_lora_rank is None
+    assert cfg.qk_head_dim == 48 and cfg.head_dim == 64  # padded lanes
+    assert cfg.query_pre_attn_scalar == 48.0
+    assert get_model_family("deepseek_v2").name == "llama"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert "kv_a" in params["layers"] and "q_proj" in params["layers"]
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_deepseek_v2_q_lora_matches_hf():
+    """Full-size V2 style: low-rank queries (q_a -> norm -> q_b)."""
+    hf_cfg = _deepseek_cfg(transformers.DeepseekV2Config, q_lora_rank=48)
+    torch.manual_seed(9)
+    hf = transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.q_lora_rank == 48
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert "q_b" in params["layers"]
+    tokens = np.array([[2, 7, 11, 199, 23, 5]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_deepseek_mla_paged_engine_matches_dense():
+    """The paged serving path (padded pools, flash kernels on TPU) must
+    decode MLA models exactly like the dense path."""
+    cfg = ModelConfig.from_hf_dict(
+        _deepseek_cfg(transformers.DeepseekV2Config).to_dict(),
+        dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(11))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 8)
+    got = _engine_generate(cfg, params, prompts, 8)
+    assert got == want
+
+
+def test_deepseek_moe_config_rejected():
+    with pytest.raises(ValueError, match="DeepSeek MoE"):
+        ModelConfig.from_hf_dict(
+            _deepseek_cfg(transformers.DeepseekV2Config,
+                          n_routed_experts=8,
+                          first_k_dense_replace=1).to_dict())
+
+
+def test_deepseek_v3_mla_matches_hf():
+    """DeepSeek-V3 shares the MLA attention; dense-FFN config golden."""
+    hf_cfg = _deepseek_cfg(transformers.DeepseekV3Config, q_lora_rank=48)
+    torch.manual_seed(12)
+    hf = transformers.DeepseekV3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.mla and cfg.model_type == "deepseek_v3"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[3, 8, 13, 201, 29, 6, 88]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
