@@ -63,6 +63,18 @@ class ModelConfig:
     # sparse experts, weighted by sigmoid(x @ shared_expert_gate).
     # None = no shared expert (Mixtral).
     shared_expert_intermediate_size: Optional[int] = None
+    # Shared-expert weighting: Qwen2-MoE gates it by
+    # sigmoid(x @ shared_expert_gate); DeepSeek's shared experts are
+    # unweighted (always fully on).
+    shared_expert_gate: bool = True
+    # DeepSeek: multiply the (optionally normalized) top-k router
+    # weights by this factor (routed_scaling_factor).
+    routed_scaling_factor: float = 1.0
+    # DeepSeek: the first k layers use the DENSE FFN (intermediate_size
+    # wide); only layers >= k are sparse-MoE. Their weights live in a
+    # separate stacked group (params["dense_layers"]) so both stacks
+    # stay scannable.
+    first_k_dense: int = 0
     # Sliding-window attention (Mistral-style): each query attends only
     # to keys within the last `sliding_window` positions, i.e. keys with
     # q_pos - k_pos < window. None = full causal attention. The flash
@@ -163,6 +175,16 @@ class ModelConfig:
         if isinstance(self.layer_types, list):
             object.__setattr__(self, "layer_types",
                                tuple(self.layer_types))
+        if self.first_k_dense:
+            if not (0 < self.first_k_dense < self.num_layers):
+                raise ValueError(
+                    f"first_k_dense={self.first_k_dense} out of range "
+                    f"for {self.num_layers} layers")
+            if not self.num_experts:
+                raise ValueError("first_k_dense requires a MoE config")
+            if self.layer_types is not None:
+                raise ValueError("first_k_dense with alternating "
+                                 "layer_types is not supported")
         if self.layer_types is not None:
             if len(self.layer_types) != self.num_layers:
                 raise ValueError(
@@ -278,6 +300,32 @@ class ModelConfig:
                 "mixed dense/sparse MoE layer stacks (decoder_sparse_step"
                 " != 1 or mlp_only_layers) are not supported")
         if d.get("model_type") in ("deepseek_v2", "deepseek_v3"):
+            # DeepSeek MoE: greedy softmax routing with a scaling factor,
+            # unweighted shared experts, dense first-k layers.
+            if d.get("n_routed_experts"):
+                if d.get("model_type") == "deepseek_v3" or \
+                        d.get("topk_method", "greedy") != "greedy" or \
+                        d.get("scoring_func", "softmax") != "softmax":
+                    raise ValueError(
+                        "only softmax/greedy DeepSeek routing is "
+                        "supported (V2/V2-Lite); V3's grouped sigmoid "
+                        "routing is not implemented yet")
+                if d.get("moe_layer_freq", 1) != 1:
+                    raise ValueError("moe_layer_freq != 1 unsupported")
+                kw.update(
+                    num_experts=int(d["n_routed_experts"]),
+                    num_experts_per_tok=int(d["num_experts_per_tok"]),
+                    moe_intermediate_size=int(d["moe_intermediate_size"]),
+                    norm_topk_prob=bool(d.get("norm_topk_prob", False)),
+                    routed_scaling_factor=float(
+                        d.get("routed_scaling_factor", 1.0)),
+                    first_k_dense=int(d.get("first_k_dense_replace", 0)),
+                    shared_expert_gate=False,
+                    shared_expert_intermediate_size=(
+                        int(d["moe_intermediate_size"])
+                        * int(d["n_shared_experts"])
+                        if d.get("n_shared_experts") else None),
+                )
             # MLA: real q/k dim = nope + rope; the cache lane dim pads to
             # a flash-kernel-tileable width and query_pre_attn_scalar
             # carries the true score scale.
@@ -297,13 +345,10 @@ class ModelConfig:
                 num_kv_heads=d["num_attention_heads"],  # naive MLA cache
                 query_pre_attn_scalar=float(nope + rope_d),
             )
-            if d.get("n_routed_experts") and (
-                    d.get("first_k_dense_replace", 0)
-                    < d["num_hidden_layers"]):
-                raise ValueError(
-                    "DeepSeek MoE layers (n_routed_experts set) are not "
-                    "supported yet — dense-FFN DeepSeek configs only "
-                    "(first_k_dense_replace >= num_hidden_layers)")
+            if kw.get("first_k_dense", 0) >= d["num_hidden_layers"]:
+                # every layer dense: plain dense-FFN model
+                kw.update(num_experts=0, first_k_dense=0,
+                          shared_expert_intermediate_size=None)
         kw.update(overrides)
         return cls(**kw)
 

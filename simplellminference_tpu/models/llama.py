@@ -311,7 +311,18 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     # the pattern's period — p compiled sub-bodies per step, each with
     # its own static window, over the same stacked-layer weights.
     period, wins = cfg.window_pattern()
-    steps = jnp.arange(cfg.num_layers // period, dtype=jnp.int32) * period
+    # DeepSeek first-k-dense layers: their own stacked group, scanned
+    # BEFORE the main (sparse) stack; cache layers 0..kd-1 are theirs.
+    kd = cfg.first_k_dense
+    steps = jnp.arange((cfg.num_layers - kd) // period,
+                       dtype=jnp.int32) * period
+    if kd:
+        import dataclasses as _dc
+        cfgd = _dc.replace(cfg, num_experts=0, first_k_dense=0)
+        lwd = dict(params["dense_layers"])
+        lwd["_input_norm3"] = lwd["input_norm"][:, None, :]
+        lwd["_post_norm3"] = lwd["post_norm"][:, None, :]
+        dsteps = jnp.arange(kd, dtype=jnp.int32)
 
     if cache is not None:
         if offsets is None:
@@ -336,14 +347,26 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
         def body(carry, base_li):
             x, ck, cv = carry
             for j, w in enumerate(wins):
-                x, ck, cv = decoder_layer(cfg, lw, base_li + j, x, sin,
+                li = base_li + j
+                x, ck, cv = decoder_layer(cfg, lw, li, x, sin,
                                           cos, ck, cv, offsets, masks[w],
                                           kv_lens, prefill_from_zero,
-                                          window=w)
+                                          window=w,
+                                          kv_layer=li + kd if kd else None)
             return (x, ck, cv), None
 
-        (x, new_k, new_v), _ = jax.lax.scan(
-            body, (x, cache.k, cache.v), steps)
+        carry0 = (x, cache.k, cache.v)
+        if kd:
+            def dense_body(carry, li):
+                x, ck, cv = carry
+                x, ck, cv = decoder_layer(cfgd, lwd, li, x, sin, cos, ck,
+                                          cv, offsets, masks[wins[0]],
+                                          kv_lens, prefill_from_zero,
+                                          window=wins[0])
+                return (x, ck, cv), None
+
+            carry0, _ = jax.lax.scan(dense_body, carry0, dsteps)
+        (x, new_k, new_v), _ = jax.lax.scan(body, carry0, steps)
         cache = DenseKVCache(k=new_k, v=new_v)
     else:
         masks = {w: ref_ops.causal_mask(s, s, window=w)[None, None]
@@ -356,6 +379,14 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
                                         False, window=w)
             return x, None
 
+        if kd:
+            def dense_body(x, li):
+                x, _, _ = decoder_layer(cfgd, lwd, li, x, sin, cos, None,
+                                        None, None, masks[wins[0]], None,
+                                        False, window=wins[0])
+                return x, None
+
+            x, _ = jax.lax.scan(dense_body, x, dsteps)
         x, _ = jax.lax.scan(body, x, steps)
 
     if last_token_only and s > 1:
@@ -443,184 +474,204 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     lora_t = params.get("lora") if lora_idx is not None else None
     if lora_t is not None:
         from simplellminference_tpu.runtime import lora as lora_lib
-    lw = dict(params["layers"])
-    # hoist the fused kernels' [L,H]->[L,1,H] norm reshapes out of the
-    # layer scan (inside it, XLA re-lays the arrays out per layer step)
-    lw["_input_norm3"] = lw["input_norm"][:, None, :]
-    lw["_post_norm3"] = lw["post_norm"][:, None, :]
+    def make_group(lw_src, experts: int, kv_off: int, n_loc: int):
+        """Scan body over ONE stacked layer group. DeepSeek's
+        first_k_dense layers live in their own stack
+        (params["dense_layers"], experts=0) scanned before the main
+        group; ``kv_off`` maps the group-local layer index to the
+        global KV-pool layer (weights index locally)."""
+        n = n_loc
+        lw = dict(lw_src)
+        # hoist the fused kernels' [L,H]->[L,1,H] norm reshapes out of the
+        # layer scan (inside it, XLA re-lays the arrays out per layer step)
+        lw["_input_norm3"] = lw["input_norm"][:, None, :]
+        lw["_post_norm3"] = lw["post_norm"][:, None, :]
 
-    def norm_w(w, li):
-        return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        def norm_w(w, li):
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
 
-    use_fqkv = False
-    if (not prefill and s == 1 and not quant_kv and "q_norm" not in lw
-            and not (lora_t and "wqkv" in lora_t)
-            and _use_fused_kernels()):
-        from simplellminference_tpu.ops import qkv_fused
-        use_fqkv = qkv_fused.fused_qkv_available(lw, cfg, b, s, cache.k,
-                                                 n_heads=n, kv_heads=kvn)
-
-    def sub_body(carry, li, window, mask):
-        x, pk, pv, pks, pvs = carry
-        if use_fqkv:
-            # decode hot path: rmsnorm + qkv dequant-matmul + RoPE +
-            # paged KV append as ONE pallas call (ops/qkv_fused.py)
+        use_fqkv = False
+        if (not prefill and s == 1 and not quant_kv and "q_norm" not in lw
+                and not (lora_t and "wqkv" in lora_t) and kv_off == 0
+                and _use_fused_kernels()):
+            # kv_off > 0 would decouple the weight and cache indices the
+            # fused kernel couples in-kernel
             from simplellminference_tpu.ops import qkv_fused
-            w = lw["wqkv"]
-            q2, pk, pv = qkv_fused.fused_qkv_append(
-                x[:, 0], lw["_input_norm3"], w.q, w.scales,
-                sin[:, 0], cos[:, 0], pk, pv, li, positions[:, 0],
-                n_heads=n, kv_heads=kvn, eps=cfg.rms_norm_eps,
-                tables=tables, interpret=FORCE_FUSED_INTERPRET)
-            attn = dispatch.attention_paged(
-                cfg, q2[:, None], pk, pv, tables, kv_lens, None, None,
-                layer=li, window=window)
+            use_fqkv = qkv_fused.fused_qkv_available(lw, cfg, b, s, cache.k,
+                                                     n_heads=n, kv_heads=kvn)
+
+        def sub_body(carry, li, window, mask):
+            x, pk, pv, pks, pvs = carry
+            kli = li + kv_off if kv_off else li
+            if use_fqkv:
+                # decode hot path: rmsnorm + qkv dequant-matmul + RoPE +
+                # paged KV append as ONE pallas call (ops/qkv_fused.py)
+                from simplellminference_tpu.ops import qkv_fused
+                w = lw["wqkv"]
+                q2, pk, pv = qkv_fused.fused_qkv_append(
+                    x[:, 0], lw["_input_norm3"], w.q, w.scales,
+                    sin[:, 0], cos[:, 0], pk, pv, kli, positions[:, 0],
+                    n_heads=n, kv_heads=kvn, eps=cfg.rms_norm_eps,
+                    tables=tables, interpret=FORCE_FUSED_INTERPRET)
+                attn = dispatch.attention_paged(
+                    cfg, q2[:, None], pk, pv, tables, kv_lens, None, None,
+                    layer=kli, window=window)
+                return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
+            attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
+                                      cfg.rms_norm_eps)
+            if cfg.mla:
+                # DeepSeek MLA (models/mla.py): rope applied inside,
+                # q/k/v padded to the pool lane dim
+                from simplellminference_tpu.models import mla as mla_mod
+                q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
+                                          act_quant=cfg.act_quant)
+            else:
+                qkv = linear(attn_in, lw["wqkv"], layer=li,
+                             act_quant=cfg.act_quant)
+                if lora_t is not None:
+                    qkv = lora_lib.apply_lora(lora_t, lora_idx, "wqkv",
+                                              attn_in, li, qkv)
+                if "wqkv_bias" in lw:  # Qwen2-style QKV bias
+                    qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
+                q = qkv[..., :n * d].reshape(b, s, n, d)
+                k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+                v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
+                if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
+                    q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
+                                        cfg.rms_norm_eps)
+                    k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
+                                        cfg.rms_norm_eps)
+                q = ref_ops.apply_rope(q, sin, cos)
+                k = ref_ops.apply_rope(k, sin, cos)
+
+            scale_args = (pks, pvs) if quant_kv else (None, None)
+            if spec:
+                # speculative verify: write the T-token span at each row's
+                # position, attend via the multi-window paged flash kernel
+                # (same page traffic as one decode step)
+                pk, pv, nks, nvs = pkv.write_span_stacked(
+                    pk, pv, k, v, tables, positions[:, 0], kli,
+                    *scale_args)
+                attn = dispatch.attention_paged(
+                    cfg, q, pk, pv, tables, kv_lens,
+                    *((nks, nvs) if quant_kv else (None, None)),
+                    layer=kli, window=window)
+            elif chunked:
+                ps = pk.shape[3]
+                pk, pv, nks, nvs = pkv.write_prefill_stacked(
+                    pk, pv, k, v, tables, kli, *scale_args,
+                    page_offset=chunk_offset // ps)
+                # Attend the window's queries to everything cached so far
+                # (including the just-written chunk) THROUGH the page tables
+                # — the paged flash prefill kernel on TPU; no dense
+                # materialization of the prefix (gather_dense only as the
+                # CPU/GSPMD fallback inside the dispatcher).
+                attn = dispatch.attention_paged_prefill(
+                    cfg, q, pk, pv, tables, kv_lens, chunk_offset,
+                    *((nks, nvs) if quant_kv else (None, None)),
+                    layer=kli, window=window)
+            elif prefill:
+                pk, pv, nks, nvs = pkv.write_prefill_stacked(
+                    pk, pv, k, v, tables, kli, *scale_args)
+                attn = dispatch.attention(cfg, q, k, v, mask, window=window)
+            else:
+                pk, pv, nks, nvs = pkv.write_decode_stacked(
+                    pk, pv, k[:, 0], v[:, 0], tables, positions[:, 0],
+                    kli, *scale_args)
+                attn = dispatch.attention_paged(
+                    cfg, q, pk, pv, tables, kv_lens,
+                    *((nks, nvs) if quant_kv else (None, None)),
+                    layer=kli, window=window)
+            if quant_kv:
+                pks, pvs = nks, nvs
             return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
-        attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
-                                  cfg.rms_norm_eps)
-        if cfg.mla:
-            # DeepSeek MLA (models/mla.py): rope applied inside,
-            # q/k/v padded to the pool lane dim
-            from simplellminference_tpu.models import mla as mla_mod
-            q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
-                                      act_quant=cfg.act_quant)
-        else:
-            qkv = linear(attn_in, lw["wqkv"], layer=li,
-                         act_quant=cfg.act_quant)
+
+        def _paged_post_attn(x, attn, pk, pv, pks, pvs, li):
+            if cfg.mla and cfg.v_head_dim < d:
+                attn = attn.reshape(b, s, n, d)[..., :cfg.v_head_dim]
+            attn_rows = attn.reshape(b, s, -1)
+            attn = linear(attn_rows, lw["wo"], layer=li,
+                          act_quant=cfg.act_quant)
             if lora_t is not None:
-                qkv = lora_lib.apply_lora(lora_t, lora_idx, "wqkv",
-                                          attn_in, li, qkv)
-            if "wqkv_bias" in lw:  # Qwen2-style QKV bias
-                qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
-            q = qkv[..., :n * d].reshape(b, s, n, d)
-            k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
-            v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
-            if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
-                q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
-                                    cfg.rms_norm_eps)
-                k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
-                                    cfg.rms_norm_eps)
-            q = ref_ops.apply_rope(q, sin, cos)
-            k = ref_ops.apply_rope(k, sin, cos)
+                attn = lora_lib.apply_lora(lora_t, lora_idx, "wo", attn_rows,
+                                           li, attn)
+            if tp_axis is not None:
+                attn = jax.lax.psum(attn, tp_axis)
+            if "post_attn_norm" in lw:  # Gemma-2 pre-residual attn norm
+                attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"], li),
+                                       cfg.rms_norm_eps)
+            x = x + attn
 
-        scale_args = (pks, pvs) if quant_kv else (None, None)
-        if spec:
-            # speculative verify: write the T-token span at each row's
-            # position, attend via the multi-window paged flash kernel
-            # (same page traffic as one decode step)
-            pk, pv, nks, nvs = pkv.write_span_stacked(
-                pk, pv, k, v, tables, positions[:, 0], li, *scale_args)
-            attn = dispatch.attention_paged(
-                cfg, q, pk, pv, tables, kv_lens,
-                *((nks, nvs) if quant_kv else (None, None)), layer=li,
-                window=window)
-        elif chunked:
-            ps = pk.shape[3]
-            pk, pv, nks, nvs = pkv.write_prefill_stacked(
-                pk, pv, k, v, tables, li, *scale_args,
-                page_offset=chunk_offset // ps)
-            # Attend the window's queries to everything cached so far
-            # (including the just-written chunk) THROUGH the page tables
-            # — the paged flash prefill kernel on TPU; no dense
-            # materialization of the prefix (gather_dense only as the
-            # CPU/GSPMD fallback inside the dispatcher).
-            attn = dispatch.attention_paged_prefill(
-                cfg, q, pk, pv, tables, kv_lens, chunk_offset,
-                *((nks, nvs) if quant_kv else (None, None)), layer=li,
-                window=window)
-        elif prefill:
-            pk, pv, nks, nvs = pkv.write_prefill_stacked(
-                pk, pv, k, v, tables, li, *scale_args)
-            attn = dispatch.attention(cfg, q, k, v, mask, window=window)
-        else:
-            pk, pv, nks, nvs = pkv.write_decode_stacked(
-                pk, pv, k[:, 0], v[:, 0], tables, positions[:, 0], li,
-                *scale_args)
-            attn = dispatch.attention_paged(
-                cfg, q, pk, pv, tables, kv_lens,
-                *((nks, nvs) if quant_kv else (None, None)), layer=li,
-                window=window)
-        if quant_kv:
-            pks, pvs = nks, nvs
-        return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
-
-    def _paged_post_attn(x, attn, pk, pv, pks, pvs, li):
-        if cfg.mla and cfg.v_head_dim < d:
-            attn = attn.reshape(b, s, n, d)[..., :cfg.v_head_dim]
-        attn_rows = attn.reshape(b, s, -1)
-        attn = linear(attn_rows, lw["wo"], layer=li,
-                      act_quant=cfg.act_quant)
-        if lora_t is not None:
-            attn = lora_lib.apply_lora(lora_t, lora_idx, "wo", attn_rows,
-                                       li, attn)
-        if tp_axis is not None:
-            attn = jax.lax.psum(attn, tp_axis)
-        if "post_attn_norm" in lw:  # Gemma-2 pre-residual attn norm
-            attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"], li),
-                                   cfg.rms_norm_eps)
-        x = x + attn
-
-        if cfg.num_experts:
-            from simplellminference_tpu.ops import moe
+            if experts:
+                from simplellminference_tpu.ops import moe
+                ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
+                                         cfg.rms_norm_eps)
+                x = x + moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
+                return (x, pk, pv, pks, pvs), None
+            lora_ffn = lora_t and ("w_gate_up" in lora_t
+                                   or "w_down" in lora_t)
+            if _use_fused_kernels() and not lora_ffn:
+                from simplellminference_tpu.ops import ffn_fused
+                i_loc = cfg.intermediate_size if tp_axis is None else (
+                    cfg.intermediate_size // jax.lax.axis_size(tp_axis))
+                if (cfg.hidden_act == "silu" and "post_ffn_norm" not in lw
+                        and ffn_fused.fused_ffn_available(
+                            lw, cfg.hidden_size, i_loc, b * s)):
+                    gu, dn = lw["w_gate_up"], lw["w_down"]
+                    xf = x.reshape(b * s, cfg.hidden_size)
+                    xo = ffn_fused.fused_ffn(
+                        xf, lw["_post_norm3"],
+                        gu.q, gu.scales, dn.q, dn.scales, li,
+                        eps=cfg.rms_norm_eps,
+                        interpret=FORCE_FUSED_INTERPRET)
+                    if tp_axis is not None:
+                        # all-reduce only the shard-partial down product (the
+                        # kernel residual-added the replicated x in-tile)
+                        xo = xf + jax.lax.psum(xo - xf, tp_axis)
+                    return (xo.reshape(b, s, cfg.hidden_size), pk, pv, pks,
+                            pvs), None
             ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
                                      cfg.rms_norm_eps)
-            x = x + moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
-            return (x, pk, pv, pks, pvs), None
-        lora_ffn = lora_t and ("w_gate_up" in lora_t
-                               or "w_down" in lora_t)
-        if _use_fused_kernels() and not lora_ffn:
-            from simplellminference_tpu.ops import ffn_fused
-            i_loc = cfg.intermediate_size if tp_axis is None else (
+            i = cfg.intermediate_size if tp_axis is None else (
                 cfg.intermediate_size // jax.lax.axis_size(tp_axis))
-            if (cfg.hidden_act == "silu" and "post_ffn_norm" not in lw
-                    and ffn_fused.fused_ffn_available(
-                        lw, cfg.hidden_size, i_loc, b * s)):
-                gu, dn = lw["w_gate_up"], lw["w_down"]
-                xf = x.reshape(b * s, cfg.hidden_size)
-                xo = ffn_fused.fused_ffn(
-                    xf, lw["_post_norm3"],
-                    gu.q, gu.scales, dn.q, dn.scales, li,
-                    eps=cfg.rms_norm_eps,
-                    interpret=FORCE_FUSED_INTERPRET)
-                if tp_axis is not None:
-                    # all-reduce only the shard-partial down product (the
-                    # kernel residual-added the replicated x in-tile)
-                    xo = xf + jax.lax.psum(xo - xf, tp_axis)
-                return (xo.reshape(b, s, cfg.hidden_size), pk, pv, pks,
-                        pvs), None
-        ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
-                                 cfg.rms_norm_eps)
-        i = cfg.intermediate_size if tp_axis is None else (
-            cfg.intermediate_size // jax.lax.axis_size(tp_axis))
-        gate_up = linear(ffn_in, lw["w_gate_up"], layer=li,
-                         act_quant=cfg.act_quant)
-        if lora_t is not None:
-            gate_up = lora_lib.apply_lora(lora_t, lora_idx, "w_gate_up",
-                                          ffn_in, li, gate_up)
-        swi = ref_ops.glu_act(gate_up[..., :i], gate_up[..., i:],
-                              cfg.hidden_act)
-        down = linear(swi, lw["w_down"], layer=li,
-                      act_quant=cfg.act_quant)
-        if lora_t is not None:
-            down = lora_lib.apply_lora(lora_t, lora_idx, "w_down", swi,
-                                       li, down)
-        if tp_axis is not None:
-            down = jax.lax.psum(down, tp_axis)
-        if "post_ffn_norm" in lw:  # Gemma-2 pre-residual FFN norm
-            down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"], li),
-                                   cfg.rms_norm_eps)
-        x = x + down
-        return (x, pk, pv, pks, pvs), None
+            gate_up = linear(ffn_in, lw["w_gate_up"], layer=li,
+                             act_quant=cfg.act_quant)
+            if lora_t is not None:
+                gate_up = lora_lib.apply_lora(lora_t, lora_idx, "w_gate_up",
+                                              ffn_in, li, gate_up)
+            swi = ref_ops.glu_act(gate_up[..., :i], gate_up[..., i:],
+                                  cfg.hidden_act)
+            down = linear(swi, lw["w_down"], layer=li,
+                          act_quant=cfg.act_quant)
+            if lora_t is not None:
+                down = lora_lib.apply_lora(lora_t, lora_idx, "w_down", swi,
+                                           li, down)
+            if tp_axis is not None:
+                down = jax.lax.psum(down, tp_axis)
+            if "post_ffn_norm" in lw:  # Gemma-2 pre-residual FFN norm
+                down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"], li),
+                                       cfg.rms_norm_eps)
+            x = x + down
+            return (x, pk, pv, pks, pvs), None
 
-    def body(carry, base_li):
-        for j, w in enumerate(wins):
-            carry, _ = sub_body(carry, base_li + j, w, masks[w])
-        return carry, None
+        def body(carry, base_li):
+            for j, w in enumerate(wins):
+                carry, _ = sub_body(carry, base_li + j, w, masks[w])
+            return carry, None
+        return body
+
+    kd = cfg.first_k_dense
+    body = make_group(params["layers"], cfg.num_experts, kd, n)
 
     carry0 = (x, cache.k, cache.v,
               cache.k_scale if quant_kv else None,
               cache.v_scale if quant_kv else None)
-    steps = jnp.arange(cfg.num_layers // period, dtype=jnp.int32) * period
+    if kd:
+        dense_body = make_group(params["dense_layers"], 0, 0, n)
+        carry0, _ = jax.lax.scan(dense_body, carry0,
+                                 jnp.arange(kd, dtype=jnp.int32))
+    steps = jnp.arange((cfg.num_layers - kd) // period,
+                       dtype=jnp.int32) * period
     (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
         body, carry0, steps)
     cache = PagedKVCache(k=new_k, v=new_v,
@@ -650,7 +701,8 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     """Random-init params (tests/benches; real loads come from safetensors)."""
     dtype = jnp.dtype(dtype or cfg.dtype)
     h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
-    n, kvn, d, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = cfg.num_layers - cfg.first_k_dense
     keys = jax.random.split(key, 12)
 
     def w(k, shape, scale=None):
@@ -715,6 +767,17 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     if cfg.sandwich_norms:  # Gemma-2 pre-residual output norms
         params["layers"]["post_attn_norm"] = jnp.ones((L, h), dtype)
         params["layers"]["post_ffn_norm"] = jnp.ones((L, h), dtype)
+    if cfg.first_k_dense:
+        # DeepSeek dense-prefix layers: own stacked group, dense FFN
+        kd = cfg.first_k_dense
+        dg = {k_: v_[:kd] if hasattr(v_, "shape") else v_
+              for k_, v_ in params["layers"].items()
+              if k_ not in ("router", "w_gate_up", "w_down",
+                            "shared_gate_up", "shared_down",
+                            "shared_gate")}
+        dg["w_gate_up"] = w(keys[6], (kd, h, 2 * i))
+        dg["w_down"] = w(keys[10], (kd, i, h))
+        params["dense_layers"] = dg
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(keys[8], (h, v), 0.02)
     return params

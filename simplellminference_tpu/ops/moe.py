@@ -47,26 +47,31 @@ from simplellminference_tpu.ops.linear import linear
 
 
 def router_topk(x: jax.Array, w_router: jax.Array, top_k: int,
-                norm_topk: bool = True) -> tuple[jax.Array, jax.Array]:
+                norm_topk: bool = True,
+                scaling: float = 1.0) -> tuple[jax.Array, jax.Array]:
     """Top-k router assignment: (probs [T, k] f32, expert ids [T, k] i32).
 
     Matches HF Mixtral semantics: softmax over ALL experts in fp32, keep
     top-k, renormalize (``norm_topk``; Qwen2-MoE's norm_topk_prob flag).
+    ``scaling``: DeepSeek's routed_scaling_factor, applied after the
+    optional renormalization.
     """
     logits = jnp.dot(x.astype(jnp.float32), w_router.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)                     # [T, E]
     topv, topi = jax.lax.top_k(probs, min(top_k, probs.shape[-1]))
     if norm_topk:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if scaling != 1.0:
+        topv = topv * scaling
     return topv, topi.astype(jnp.int32)
 
 
 def router_probs(x: jax.Array, w_router: jax.Array, top_k: int,
-                 norm_topk: bool = True) -> jax.Array:
+                 norm_topk: bool = True, scaling: float = 1.0) -> jax.Array:
     """Dense gate matrix [T, E]: softmax router probs for each token's
     top-k experts, zero elsewhere (the folded-path gating mask)."""
     e = w_router.shape[-1]
-    topv, topi = router_topk(x, w_router, top_k, norm_topk)
+    topv, topi = router_topk(x, w_router, top_k, norm_topk, scaling)
     mask = jax.nn.one_hot(topi, e, dtype=topv.dtype)            # [T, k, E]
     return jnp.einsum("tk,tke->te", topv, mask)
 
@@ -125,7 +130,8 @@ def moe_ffn_grouped(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
     wr = lw["router"]
     if li is not None:
         wr = jax.lax.dynamic_index_in_dim(wr, li, 0, keepdims=False)
-    topv, topi = router_topk(xf, wr, k, cfg.norm_topk_prob)     # [T, k]
+    topv, topi = router_topk(xf, wr, k, cfg.norm_topk_prob,
+                             cfg.routed_scaling_factor)         # [T, k]
     k = topi.shape[-1]
 
     e_loc, base = e, 0
@@ -186,7 +192,8 @@ def moe_ffn(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
     wr = lw["router"]
     if li is not None:
         wr = jax.lax.dynamic_index_in_dim(wr, li, 0, keepdims=False)
-    gates = router_probs(xf, wr, k, cfg.norm_topk_prob)         # [T, E] f32
+    gates = router_probs(xf, wr, k, cfg.norm_topk_prob,
+                         cfg.routed_scaling_factor)             # [T, E] f32
 
     e_loc = e
     if tp_axis is not None:
@@ -222,6 +229,9 @@ def _shared_expert(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
     act = ref_ops.glu_act(gu[..., :se_loc], gu[..., se_loc:],
                           cfg.hidden_act)
     y = linear(act, lw["shared_down"], layer=li)      # [T, H] partial
+    if "shared_gate" not in lw:
+        # DeepSeek shared experts: always fully on, unweighted
+        return y.astype(jnp.float32)
     wg = lw["shared_gate"]                            # [H, 1] (replicated)
     if li is not None:
         wg = jax.lax.dynamic_index_in_dim(wg, li, 0, keepdims=False)

@@ -83,6 +83,9 @@ def param_specs(cfg: ModelConfig) -> dict[str, Any]:
     lspecs = _layer_specs()
     for name, spec in lspecs.items():
         specs["layers"][name] = spec
+    if cfg.first_k_dense:
+        # DeepSeek dense-prefix group: same per-name specs
+        specs["dense_layers"] = dict(lspecs)
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, MODEL_AXIS)
     return specs

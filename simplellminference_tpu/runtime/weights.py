@@ -72,7 +72,7 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
         # w_gate_up, per-expert row blocks for w_down. Mixtral names the
         # projections w1/w3/w2 under block_sparse_moe; Qwen2-MoE uses
         # gate/up/down_proj under mlp and adds the shared expert.
-        if cfg.model_type == "qwen2_moe":
+        if cfg.model_type in ("qwen2_moe", "deepseek_v2", "deepseek_v3"):
             pre = "model.layers.{i}.mlp"
             names = ("gate_proj", "up_proj")
             down = "down_proj"
@@ -88,11 +88,16 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
             pre + f".experts.{e}.{down}.weight"
             for e in range(cfg.num_experts))
         if cfg.shared_expert_intermediate_size:
+            # Qwen2-MoE: "shared_expert" + sigmoid gate;
+            # DeepSeek: "shared_experts" (plural), no gate.
+            se = ("shared_experts" if not cfg.shared_expert_gate
+                  else "shared_expert")
             m["layers/shared_gate_up"] = (
-                pre + ".shared_expert.gate_proj.weight",
-                pre + ".shared_expert.up_proj.weight")
-            m["layers/shared_down"] = pre + ".shared_expert.down_proj.weight"
-            m["layers/shared_gate"] = pre + ".shared_expert_gate.weight"
+                pre + f".{se}.gate_proj.weight",
+                pre + f".{se}.up_proj.weight")
+            m["layers/shared_down"] = pre + f".{se}.down_proj.weight"
+            if cfg.shared_expert_gate:
+                m["layers/shared_gate"] = pre + ".shared_expert_gate.weight"
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
     if cfg.attention_bias:
@@ -128,6 +133,23 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
             "model.layers.{i}.pre_feedforward_layernorm.weight")
         m["layers/post_ffn_norm"] = (
             "model.layers.{i}.post_feedforward_layernorm.weight")
+    if cfg.first_k_dense:
+        # DeepSeek dense-prefix layers: every "layers/" path also exists
+        # as "dense_layers/" except the MoE pieces, whose place the plain
+        # dense FFN takes. The loader iterates dense_layers/ over
+        # range(first_k_dense) and layers/ over the remainder.
+        for path in list(m):
+            if not path.startswith("layers/"):
+                continue
+            if path.split("/")[1] in ("router", "w_gate_up", "w_down",
+                                      "shared_gate_up", "shared_down",
+                                      "shared_gate"):
+                continue
+            m["dense_" + path] = m[path]
+        m["dense_layers/w_gate_up"] = (
+            "model.layers.{i}.mlp.gate_proj.weight",
+            "model.layers.{i}.mlp.up_proj.weight")
+        m["dense_layers/w_down"] = "model.layers.{i}.mlp.down_proj.weight"
     return m
 
 
@@ -173,7 +195,7 @@ def params_from_fetcher(cfg: ModelConfig,
     def load_one(path: str, hf_name: str, layer: Optional[int]):
         name = hf_name.format(i=layer) if layer is not None else hf_name
         t = jnp.asarray(fetch(name))
-        if path in _TRANSPOSED:
+        if path.replace("dense_layers/", "layers/") in _TRANSPOSED:
             t = t.T
         if cfg.model_type in ("gemma", "gemma2") and path.endswith("norm"):
             # Gemma RMSNorm multiplies by (1 + w); fold the +1 into the
@@ -182,8 +204,15 @@ def params_from_fetcher(cfg: ModelConfig,
         return t.astype(dtype)
 
     for path, hf_names in pmap.items():
-        per_layer = path.startswith("layers/")
-        layers = range(cfg.num_layers) if per_layer else [None]
+        # DeepSeek dense-prefix split: dense_layers/ covers HF layers
+        # [0, first_k_dense); layers/ the rest (group-local stacking)
+        if path.startswith("dense_layers/"):
+            layers = range(cfg.first_k_dense)
+        elif path.startswith("layers/"):
+            layers = range(cfg.first_k_dense, cfg.num_layers)
+        else:
+            layers = [None]
+        per_layer = layers != [None]
         stacked = []
         for li in layers:
             if isinstance(hf_names, tuple):
@@ -194,7 +223,8 @@ def params_from_fetcher(cfg: ModelConfig,
                 t = load_one(path, hf_names, li)
             stacked.append(t)
         t = jnp.stack(stacked) if per_layer else stacked[0]
-        t = _maybe_quantize(path, t, quant)
+        t = _maybe_quantize(path.replace("dense_layers/", "layers/"),
+                            t, quant)
         if device_put is not None:
             t = jax.tree.map(lambda a: device_put(path, a), t)
         _set_path(params, path, t)

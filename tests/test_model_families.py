@@ -368,11 +368,19 @@ def test_deepseek_mla_paged_engine_matches_dense():
     assert got == want
 
 
-def test_deepseek_moe_config_rejected():
-    with pytest.raises(ValueError, match="DeepSeek MoE"):
+def test_deepseek_v3_moe_config_rejected():
+    """V2 greedy/softmax MoE is supported; V3's grouped sigmoid routing
+    (and V2's group_limited_greedy) are rejected loudly."""
+    with pytest.raises(ValueError, match="sigmoid"):
+        ModelConfig.from_hf_dict(
+            _deepseek_cfg(transformers.DeepseekV3Config,
+                          n_routed_experts=8, n_group=2, topk_group=1,
+                          first_k_dense_replace=1).to_dict())
+    with pytest.raises(ValueError, match="greedy"):
         ModelConfig.from_hf_dict(
             _deepseek_cfg(transformers.DeepseekV2Config,
-                          n_routed_experts=8,
+                          n_routed_experts=8, n_group=2, topk_group=1,
+                          topk_method="group_limited_greedy",
                           first_k_dense_replace=1).to_dict())
 
 
@@ -387,3 +395,45 @@ def test_deepseek_v3_mla_matches_hf():
                                           dtype="float32")
     tokens = np.array([[3, 8, 13, 201, 29, 6, 88]], np.int32)
     _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_deepseek_v2_moe_matches_hf():
+    """DeepSeek-V2 MoE: greedy softmax routing WITHOUT renorm, times
+    routed_scaling_factor, unweighted shared experts, and a dense first
+    layer (first_k_dense_replace) living in its own stacked group."""
+    hf_cfg = _deepseek_cfg(
+        transformers.DeepseekV2Config, num_hidden_layers=3,
+        n_routed_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=64, n_shared_experts=2,
+        norm_topk_prob=False, routed_scaling_factor=2.0,
+        first_k_dense_replace=1, topk_method="greedy",
+        aux_loss_alpha=0.0, seq_aux=False, n_group=1, topk_group=1)
+    torch.manual_seed(13)
+    hf = transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.num_experts == 4 and cfg.first_k_dense == 1
+    assert cfg.routed_scaling_factor == 2.0
+    assert not cfg.norm_topk_prob and not cfg.shared_expert_gate
+    assert cfg.shared_expert_intermediate_size == 128
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert "dense_layers" in params
+    assert params["dense_layers"]["w_gate_up"].shape[0] == 1
+    assert params["layers"]["w_gate_up"].shape[0] == 2
+    assert "shared_gate" not in params["layers"]
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_deepseek_v2_moe_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        _deepseek_cfg(transformers.DeepseekV2Config, num_hidden_layers=3,
+                      n_routed_experts=4, num_experts_per_tok=2,
+                      moe_intermediate_size=64, n_shared_experts=1,
+                      norm_topk_prob=False, routed_scaling_factor=1.5,
+                      first_k_dense_replace=1).to_dict(), dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(14))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 8)
+    got = _engine_generate(cfg, params, prompts, 8)
+    assert got == want
