@@ -70,6 +70,13 @@ class ModelConfig:
     # DeepSeek: multiply the (optionally normalized) top-k router
     # weights by this factor (routed_scaling_factor).
     routed_scaling_factor: float = 1.0
+    # Router score function: "softmax" (Mixtral/Qwen/DeepSeek-V2) or
+    # "sigmoid" (DeepSeek-V3 noaux_tc: selection on bias-corrected
+    # sigmoid scores restricted to the top `router_topk_group` of
+    # `router_n_group` expert groups; weights from the unbiased scores).
+    router_score_fn: str = "softmax"
+    router_n_group: int = 1
+    router_topk_group: int = 1
     # DeepSeek: the first k layers use the DENSE FFN (intermediate_size
     # wide); only layers >= k are sparse-MoE. Their weights live in a
     # separate stacked group (params["dense_layers"]) so both stacks
@@ -303,16 +310,23 @@ class ModelConfig:
             # DeepSeek MoE: greedy softmax routing with a scaling factor,
             # unweighted shared experts, dense first-k layers.
             if d.get("n_routed_experts"):
-                if d.get("model_type") == "deepseek_v3" or \
-                        d.get("topk_method", "greedy") != "greedy" or \
-                        d.get("scoring_func", "softmax") != "softmax":
+                v3 = d.get("model_type") == "deepseek_v3"
+                method = d.get("topk_method",
+                               "noaux_tc" if v3 else "greedy")
+                score = d.get("scoring_func",
+                              "sigmoid" if v3 else "softmax")
+                if (score, method) not in (("softmax", "greedy"),
+                                           ("sigmoid", "noaux_tc")):
                     raise ValueError(
-                        "only softmax/greedy DeepSeek routing is "
-                        "supported (V2/V2-Lite); V3's grouped sigmoid "
-                        "routing is not implemented yet")
+                        f"unsupported DeepSeek routing ({score!r}, "
+                        f"{method!r}); supported: V2 greedy softmax, "
+                        "V3 noaux_tc sigmoid")
                 if d.get("moe_layer_freq", 1) != 1:
                     raise ValueError("moe_layer_freq != 1 unsupported")
                 kw.update(
+                    router_score_fn=score,
+                    router_n_group=int(d.get("n_group") or 1),
+                    router_topk_group=int(d.get("topk_group") or 1),
                     num_experts=int(d["n_routed_experts"]),
                     num_experts_per_tok=int(d["num_experts_per_tok"]),
                     moe_intermediate_size=int(d["moe_intermediate_size"]),

@@ -716,6 +716,8 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             "w_gate_up": w(keys[5], (L, h, e * 2 * ie)),
             "w_down": w(keys[7], (L, e * ie, h), ie ** -0.5),
         }
+        if cfg.router_score_fn == "sigmoid":  # DeepSeek-V3 noaux_tc
+            ffn["router_bias"] = jnp.zeros((L, e), jnp.float32)
         if cfg.shared_expert_intermediate_size:
             se = cfg.shared_expert_intermediate_size
             ffn["shared_gate_up"] = w(keys[3], (L, h, 2 * se))
@@ -772,8 +774,8 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         kd = cfg.first_k_dense
         dg = {k_: v_[:kd] if hasattr(v_, "shape") else v_
               for k_, v_ in params["layers"].items()
-              if k_ not in ("router", "w_gate_up", "w_down",
-                            "shared_gate_up", "shared_down",
+              if k_ not in ("router", "router_bias", "w_gate_up",
+                            "w_down", "shared_gate_up", "shared_down",
                             "shared_gate")}
         dg["w_gate_up"] = w(keys[6], (kd, h, 2 * i))
         dg["w_down"] = w(keys[10], (kd, i, h))

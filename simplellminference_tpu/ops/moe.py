@@ -47,33 +47,77 @@ from simplellminference_tpu.ops.linear import linear
 
 
 def router_topk(x: jax.Array, w_router: jax.Array, top_k: int,
-                norm_topk: bool = True,
-                scaling: float = 1.0) -> tuple[jax.Array, jax.Array]:
+                norm_topk: bool = True, scaling: float = 1.0,
+                score_fn: str = "softmax",
+                bias: Optional[jax.Array] = None,
+                n_group: int = 1,
+                topk_group: int = 1) -> tuple[jax.Array, jax.Array]:
     """Top-k router assignment: (probs [T, k] f32, expert ids [T, k] i32).
 
-    Matches HF Mixtral semantics: softmax over ALL experts in fp32, keep
-    top-k, renormalize (``norm_topk``; Qwen2-MoE's norm_topk_prob flag).
+    ``score_fn="softmax"``: HF Mixtral semantics — softmax over ALL
+    experts in fp32, keep top-k, renormalize (``norm_topk``;
+    Qwen2-MoE's norm_topk_prob flag).
+
+    ``score_fn="sigmoid"``: DeepSeek-V3 noaux_tc routing — sigmoid
+    scores; SELECTION uses scores + ``bias`` (e_score_correction_bias)
+    restricted to the ``topk_group`` best of ``n_group`` expert groups
+    (group score = sum of its top-2 biased scores); WEIGHTS come from
+    the unbiased sigmoid scores of the selected experts.
+
     ``scaling``: DeepSeek's routed_scaling_factor, applied after the
     optional renormalization.
     """
     logits = jnp.dot(x.astype(jnp.float32), w_router.astype(jnp.float32))
-    probs = jax.nn.softmax(logits, axis=-1)                     # [T, E]
-    topv, topi = jax.lax.top_k(probs, min(top_k, probs.shape[-1]))
-    if norm_topk:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    t, e = logits.shape
+    k = min(top_k, e)
+    if score_fn == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+        choice = scores if bias is None else scores + bias[None]
+        if n_group > 1:
+            gsz = e // n_group
+            g = choice.reshape(t, n_group, gsz)
+            top2 = jax.lax.top_k(g, min(2, gsz))[0].sum(-1)     # [T, G]
+            _, gi = jax.lax.top_k(top2, min(topk_group, n_group))
+            gmask = jnp.zeros((t, n_group), bool).at[
+                jnp.arange(t)[:, None], gi].set(True)
+            choice = jnp.where(
+                jnp.repeat(gmask, gsz, axis=1), choice, 0.0)
+        _, topi = jax.lax.top_k(choice, k)
+        topv = jnp.take_along_axis(scores, topi, axis=-1)
+        if norm_topk:
+            topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)                 # [T, E]
+        topv, topi = jax.lax.top_k(probs, k)
+        if norm_topk:
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     if scaling != 1.0:
         topv = topv * scaling
     return topv, topi.astype(jnp.int32)
 
 
 def router_probs(x: jax.Array, w_router: jax.Array, top_k: int,
-                 norm_topk: bool = True, scaling: float = 1.0) -> jax.Array:
-    """Dense gate matrix [T, E]: softmax router probs for each token's
-    top-k experts, zero elsewhere (the folded-path gating mask)."""
+                 norm_topk: bool = True, scaling: float = 1.0,
+                 **kw) -> jax.Array:
+    """Dense gate matrix [T, E]: router probs for each token's top-k
+    experts, zero elsewhere (the folded-path gating mask)."""
     e = w_router.shape[-1]
-    topv, topi = router_topk(x, w_router, top_k, norm_topk, scaling)
+    topv, topi = router_topk(x, w_router, top_k, norm_topk, scaling, **kw)
     mask = jax.nn.one_hot(topi, e, dtype=topv.dtype)            # [T, k, E]
     return jnp.einsum("tk,tke->te", topv, mask)
+
+
+def _router_kw(cfg: ModelConfig, lw: dict,
+               li: Optional[jax.Array]) -> dict:
+    """Per-call router extras (DeepSeek-V3 sigmoid/grouped routing)."""
+    if cfg.router_score_fn == "softmax":
+        return {}
+    bias = lw.get("router_bias")
+    if bias is not None and li is not None:
+        bias = jax.lax.dynamic_index_in_dim(bias, li, 0, keepdims=False)
+    return dict(score_fn=cfg.router_score_fn, bias=bias,
+                n_group=cfg.router_n_group,
+                topk_group=cfg.router_topk_group)
 
 
 def _grouped_enabled() -> bool:
@@ -131,7 +175,8 @@ def moe_ffn_grouped(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
     if li is not None:
         wr = jax.lax.dynamic_index_in_dim(wr, li, 0, keepdims=False)
     topv, topi = router_topk(xf, wr, k, cfg.norm_topk_prob,
-                             cfg.routed_scaling_factor)         # [T, k]
+                             cfg.routed_scaling_factor,
+                             **_router_kw(cfg, lw, li))         # [T, k]
     k = topi.shape[-1]
 
     e_loc, base = e, 0
@@ -193,7 +238,8 @@ def moe_ffn(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
     if li is not None:
         wr = jax.lax.dynamic_index_in_dim(wr, li, 0, keepdims=False)
     gates = router_probs(xf, wr, k, cfg.norm_topk_prob,
-                         cfg.routed_scaling_factor)             # [T, E] f32
+                         cfg.routed_scaling_factor,
+                         **_router_kw(cfg, lw, li))             # [T, E] f32
 
     e_loc = e
     if tp_axis is not None:

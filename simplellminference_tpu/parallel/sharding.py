@@ -65,6 +65,7 @@ def _layer_specs() -> dict[str, P]:
         # which makes the model axis double as the EXPERT-parallel axis
         # (ops/moe.py).
         "router": P(None, None, None),
+        "router_bias": P(None, None),   # [L, E] V3 selection bias
         # Qwen2-MoE shared expert: plain megatron column/row shards; the
         # scalar sigmoid gate is replicated.
         "shared_gate_up": P(None, None, m),

@@ -81,6 +81,10 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
             names = ("w1", "w3")
             down = "w2"
         m["layers/router"] = pre + ".gate.weight"
+        if cfg.router_score_fn == "sigmoid":
+            # DeepSeek-V3 noaux_tc selection bias
+            m["layers/router_bias"] = (
+                pre + ".gate.e_score_correction_bias")
         m["layers/w_gate_up"] = tuple(
             pre + f".experts.{e}.{w}.weight"
             for e in range(cfg.num_experts) for w in names)
@@ -141,7 +145,8 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
         for path in list(m):
             if not path.startswith("layers/"):
                 continue
-            if path.split("/")[1] in ("router", "w_gate_up", "w_down",
+            if path.split("/")[1] in ("router", "router_bias",
+                                      "w_gate_up", "w_down",
                                       "shared_gate_up", "shared_down",
                                       "shared_gate"):
                 continue

@@ -368,15 +368,10 @@ def test_deepseek_mla_paged_engine_matches_dense():
     assert got == want
 
 
-def test_deepseek_v3_moe_config_rejected():
-    """V2 greedy/softmax MoE is supported; V3's grouped sigmoid routing
-    (and V2's group_limited_greedy) are rejected loudly."""
-    with pytest.raises(ValueError, match="sigmoid"):
-        ModelConfig.from_hf_dict(
-            _deepseek_cfg(transformers.DeepseekV3Config,
-                          n_routed_experts=8, n_group=2, topk_group=1,
-                          first_k_dense_replace=1).to_dict())
-    with pytest.raises(ValueError, match="greedy"):
+def test_deepseek_unsupported_routing_rejected():
+    """V2 greedy softmax and V3 noaux_tc sigmoid are supported; V2's
+    group_limited_greedy is rejected loudly."""
+    with pytest.raises(ValueError, match="routing"):
         ModelConfig.from_hf_dict(
             _deepseek_cfg(transformers.DeepseekV2Config,
                           n_routed_experts=8, n_group=2, topk_group=1,
@@ -437,3 +432,30 @@ def test_deepseek_v2_moe_paged_engine_matches_dense():
     want = _generator_generate(cfg, params, prompts, 8)
     got = _engine_generate(cfg, params, prompts, 8)
     assert got == want
+
+
+def test_deepseek_v3_moe_matches_hf():
+    """DeepSeek-V3 noaux_tc routing: sigmoid scores, group-limited
+    selection on bias-corrected scores (n_group/topk_group), weights
+    from the UNBIASED scores, renormalized, times scaling."""
+    hf_cfg = _deepseek_cfg(
+        transformers.DeepseekV3Config, num_hidden_layers=3,
+        n_routed_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=64, n_shared_experts=1,
+        norm_topk_prob=True, routed_scaling_factor=2.5,
+        first_k_dense_replace=1, n_group=2, topk_group=1)
+    torch.manual_seed(15)
+    hf = transformers.DeepseekV3ForCausalLM(hf_cfg).eval()
+    # nonzero selection bias so the noaux path actually changes routing
+    with torch.no_grad():
+        for layer in hf.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.add_(
+                torch.randn(8) * 0.3)
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.router_score_fn == "sigmoid"
+    assert cfg.router_n_group == 2 and cfg.router_topk_group == 1
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert "router_bias" in params["layers"]
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
