@@ -124,6 +124,16 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    # Absorbed MLA decode (the MLA serving win): cache ONE row per token
+    # — the compressed latent + roped shared key ([kv_lora_rank +
+    # qk_rope_head_dim] padded to a 128-lane multiple) instead of
+    # per-head K/V. Attention becomes MQA over the latent rows with
+    # q' = [q_nope @ W_uk | q_pe] (scores identical by associativity:
+    # W_uk c == k_nope) and the output un-absorbs through W_uv. KV bytes
+    # per token drop ~13x vs the naive per-head cache (e.g. V2-Lite:
+    # 2*640*2 B vs 2*16*256*2 B). num_kv_heads=1 and head_dim=the padded
+    # latent width describe the cache pools in this mode.
+    mla_absorbed: bool = False
     # Activation quantization for the PREFILL matmuls ("int8" | None):
     # per-token symmetric int8 activations feed the MXU's double-rate
     # int8 path against the int8 weights (W8A8) — measured 329 vs 184
@@ -346,18 +356,28 @@ class ModelConfig:
             nope = int(d.get("qk_nope_head_dim", 128))
             rope_d = int(d.get("qk_rope_head_dim", 64))
             vd = int(d.get("v_head_dim", 128))
+            dc = int(d["kv_lora_rank"])
             m = max(nope + rope_d, vd)
             if m > 256:
                 raise ValueError(f"MLA head dims too wide to pad ({m})")
+            absorbed = overrides.pop("mla_absorbed", True)
+            if absorbed:
+                # one latent row per token: [c_kv | roped shared key],
+                # padded to a 128-lane multiple; MQA cache (1 kv head)
+                lane = -(-(dc + rope_d) // 128) * 128
+                cache_kw = dict(head_dim=max(lane, 128), num_kv_heads=1)
+            else:
+                cache_kw = dict(
+                    head_dim=64 if m <= 64 else (128 if m <= 128 else 256),
+                    num_kv_heads=d["num_attention_heads"])
             kw.update(
-                kv_lora_rank=int(d["kv_lora_rank"]),
+                kv_lora_rank=dc,
                 q_lora_rank=(int(d["q_lora_rank"])
                              if d.get("q_lora_rank") else None),
                 qk_nope_head_dim=nope, qk_rope_head_dim=rope_d,
-                v_head_dim=vd,
-                head_dim=64 if m <= 64 else (128 if m <= 128 else 256),
-                num_kv_heads=d["num_attention_heads"],  # naive MLA cache
+                v_head_dim=vd, mla_absorbed=absorbed,
                 query_pre_attn_scalar=float(nope + rope_d),
+                **cache_kw,
             )
             if kw.get("first_k_dense", 0) >= d["num_hidden_layers"]:
                 # every layer dense: plain dense-FFN model

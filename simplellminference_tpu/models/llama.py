@@ -142,10 +142,17 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]), cfg.rms_norm_eps)
     if cfg.mla:
         # DeepSeek MLA: latent-compressed K/V + shared rope key
-        # (models/mla.py) — rope applied inside, padded to head_dim
+        # (models/mla.py) — rope applied inside, padded to head_dim.
+        # Absorbed mode caches ONE latent row per token (k == v row);
+        # the per-head value expansion happens post-attention.
         from simplellminference_tpu.models import mla as mla_mod
-        q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
-                                  act_quant=cfg.act_quant)
+        if cfg.mla_absorbed:
+            q, k = mla_mod.mla_qkv_absorbed(cfg, lw, li, attn_in, sin,
+                                            cos, act_quant=cfg.act_quant)
+            v = k
+        else:
+            q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
+                                      act_quant=cfg.act_quant)
     else:
         qkv = linear(attn_in, lw["wqkv"], layer=li,
                      act_quant=cfg.act_quant)
@@ -192,9 +199,15 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         return w if li is None else jax.lax.dynamic_index_in_dim(
             w, li, 0, keepdims=False)
 
-    if cfg.mla and cfg.v_head_dim < d:
-        # naive-MLA pads v to the cache lane dim; drop the zero columns
-        attn = attn.reshape(b, s, n, d)[..., :cfg.v_head_dim]
+    if cfg.mla:
+        attn = attn.reshape(b, s, n, d)
+        if cfg.mla_absorbed:
+            # probs @ latent rows -> expand through W_uv per head
+            from simplellminference_tpu.models import mla as mla_mod
+            attn = mla_mod.mla_unabsorb(cfg, lw, li, attn)
+        elif cfg.v_head_dim < d:
+            # naive-MLA pads v to the cache lane dim; drop the zeros
+            attn = attn[..., :cfg.v_head_dim]
     attn_in_rows = attn.reshape(b, s, -1)
     if tp_axis is not None and ring_collectives and _is_quant(lw["wo"]):
         # Ring-fused dequant+matmul+all-reduce: each ring step computes one
@@ -521,10 +534,18 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                                       cfg.rms_norm_eps)
             if cfg.mla:
                 # DeepSeek MLA (models/mla.py): rope applied inside,
-                # q/k/v padded to the pool lane dim
+                # padded to the pool lane dim; absorbed mode caches one
+                # latent row per token
                 from simplellminference_tpu.models import mla as mla_mod
-                q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
-                                          act_quant=cfg.act_quant)
+                if cfg.mla_absorbed:
+                    q, k = mla_mod.mla_qkv_absorbed(
+                        cfg, lw, li, attn_in, sin, cos,
+                        act_quant=cfg.act_quant)
+                    v = k
+                else:
+                    q, k, v = mla_mod.mla_qkv(
+                        cfg, lw, li, attn_in, sin, cos,
+                        act_quant=cfg.act_quant)
             else:
                 qkv = linear(attn_in, lw["wqkv"], layer=li,
                              act_quant=cfg.act_quant)
@@ -587,8 +608,14 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
 
         def _paged_post_attn(x, attn, pk, pv, pks, pvs, li):
-            if cfg.mla and cfg.v_head_dim < d:
-                attn = attn.reshape(b, s, n, d)[..., :cfg.v_head_dim]
+            if cfg.mla:
+                attn = attn.reshape(b, s, n, d)
+                if cfg.mla_absorbed:
+                    from simplellminference_tpu.models import (
+                        mla as mla_mod)
+                    attn = mla_mod.mla_unabsorb(cfg, lw, li, attn)
+                elif cfg.v_head_dim < d:
+                    attn = attn[..., :cfg.v_head_dim]
             attn_rows = attn.reshape(b, s, -1)
             attn = linear(attn_rows, lw["wo"], layer=li,
                           act_quant=cfg.act_quant)

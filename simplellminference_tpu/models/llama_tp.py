@@ -81,6 +81,14 @@ def _permute_cols(w, perm: np.ndarray):
     return w[..., perm]
 
 
+def _check_tp_supported(cfg: ModelConfig):
+    if cfg.mla or cfg.first_k_dense:
+        raise ValueError(
+            "tensor-parallel serving does not support MLA/DeepSeek "
+            "models yet (the per-head kv_b expansion and dense-prefix "
+            "stacks need their own shard layout); serve them single-chip")
+
+
 def permute_params_for_tp(cfg: ModelConfig, params: Params,
                           tp: int) -> Params:
     """One-time column reorder of the fused projections (identity at tp=1)."""
@@ -208,6 +216,7 @@ def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params: Params,
     ``tp_params`` are the column-permuted params — pass them to
     ``sharding.shard_params`` / ``device_put`` and then to forward_fn.
     """
+    _check_tp_supported(cfg)
     tp = mesh.shape[MODEL_AXIS]
     assert cfg.vocab_size % tp == 0, (cfg.vocab_size, tp)
     vocab_shard = cfg.vocab_size // tp
@@ -268,6 +277,7 @@ def make_tp_forward_paged(cfg: ModelConfig, mesh: Mesh, params: Params):
     Inside the shard_map body every Pallas kernel (paged append/span,
     flash decode/verify, dequant+matmul) runs on its local shard.
     """
+    _check_tp_supported(cfg)
     from simplellminference_tpu.memory.paged_kv import PagedKVCache
 
     tp = mesh.shape[MODEL_AXIS]

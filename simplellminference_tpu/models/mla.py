@@ -41,6 +41,86 @@ from simplellminference_tpu.ops.linear import linear
 Params = dict[str, Any]
 
 
+def _dense_kv_b(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
+                dtype) -> jax.Array:
+    """kv_b as a dense [dc, N, nope+vd] tensor (dequantizing INT8)."""
+    from simplellminference_tpu.ops.moe import _dense_layer_weight
+    w = _dense_layer_weight(lw["kv_b"], li, dtype)   # [dc, N*(nope+vd)]
+    return w.reshape(cfg.kv_lora_rank, cfg.num_heads,
+                     cfg.qk_nope_head_dim + cfg.v_head_dim)
+
+
+def _q_proj(cfg: ModelConfig, lw: Params, li, attn_in, act_quant):
+    def norm_w(w):
+        return w if li is None else jax.lax.dynamic_index_in_dim(
+            w, li, 0, keepdims=False)
+
+    if "q_a" in lw:
+        qa = linear(attn_in, lw["q_a"], layer=li, act_quant=act_quant)
+        qa = ref_ops.rmsnorm(qa, norm_w(lw["q_a_norm"]), cfg.rms_norm_eps)
+        return linear(qa, lw["q_b"], layer=li, act_quant=act_quant)
+    return linear(attn_in, lw["q_proj"], layer=li, act_quant=act_quant)
+
+
+def mla_qkv_absorbed(cfg: ModelConfig, lw: Params,
+                     li: Optional[jax.Array], attn_in: jax.Array,
+                     sin: jax.Array, cos: jax.Array, act_quant=None):
+    """Absorbed MLA: ONE cached row per token.
+
+    Returns (q' [B, S, N, Dl], kv_row [B, S, 1, Dl]) with
+    Dl = cfg.head_dim (the padded latent lane width) and
+    kv_row = [rmsnorm(c_kv) | roped shared key | 0-pad]. The query
+    absorbs the per-head key expansion: q' = [q_nope @ W_uk | roped
+    q_pe] — scores q'·kv_row equal the naive q·k exactly by
+    associativity (W_uk c == k_nope). The SAME row serves as the value
+    (out_latent = probs @ c); :func:`mla_unabsorb` applies W_uv after
+    attention. Cache cost: 2·Dl bytes/token/layer vs the naive mode's
+    2·N·head_dim — ~13x smaller for DeepSeek-V2 shapes.
+    """
+    b, s, _ = attn_in.shape
+    n = cfg.num_heads
+    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    dc = cfg.kv_lora_rank
+    dl = cfg.head_dim
+
+    def norm_w(w):
+        return w if li is None else jax.lax.dynamic_index_in_dim(
+            w, li, 0, keepdims=False)
+
+    q = _q_proj(cfg, lw, li, attn_in, act_quant).reshape(b, s, n, nope + rd)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    ckv = linear(attn_in, lw["kv_a"], layer=li, act_quant=act_quant)
+    c, k_pe = ckv[..., :dc], ckv[..., dc:]
+    c = ref_ops.rmsnorm(c, norm_w(lw["kv_a_norm"]), cfg.rms_norm_eps)
+
+    w_kv = _dense_kv_b(cfg, lw, li, jnp.float32)     # [dc, N, nope+vd]
+    q_lat = jnp.einsum("bsnp,dnp->bsnd", q_nope.astype(jnp.float32),
+                       w_kv[..., :nope]).astype(q.dtype)  # [B,S,N,dc]
+
+    q_pe = ref_ops.apply_rope_interleaved(q_pe, sin, cos)
+    k_pe = ref_ops.apply_rope_interleaved(k_pe[:, :, None, :], sin, cos)
+
+    qp = jnp.concatenate([q_lat, q_pe], axis=-1)
+    kv_row = jnp.concatenate([c[:, :, None, :], k_pe], axis=-1)
+    if dc + rd < dl:
+        pad = [(0, 0)] * 3 + [(0, dl - dc - rd)]
+        qp = jnp.pad(qp, pad)
+        kv_row = jnp.pad(kv_row, pad)
+    return qp, kv_row
+
+
+def mla_unabsorb(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
+                 attn: jax.Array) -> jax.Array:
+    """attn [B, S, N, Dl] (probs @ latent rows) -> values [B, S, N, vd]
+    through the per-head W_uv half of kv_b."""
+    nope = cfg.qk_nope_head_dim
+    w_kv = _dense_kv_b(cfg, lw, li, jnp.float32)     # [dc, N, nope+vd]
+    out_lat = attn[..., :cfg.kv_lora_rank].astype(jnp.float32)
+    return jnp.einsum("bsnd,dnv->bsnv", out_lat,
+                      w_kv[..., nope:]).astype(attn.dtype)
+
+
 def mla_qkv(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
             attn_in: jax.Array, sin: jax.Array, cos: jax.Array,
             act_quant=None):

@@ -331,7 +331,9 @@ def test_deepseek_v2_mla_matches_hf():
     hf = transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
     cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
     assert cfg.mla and cfg.q_lora_rank is None
-    assert cfg.qk_head_dim == 48 and cfg.head_dim == 64  # padded lanes
+    # absorbed default: MQA latent cache, lanes = pad128(dc + rope)
+    assert cfg.mla_absorbed and cfg.num_kv_heads == 1
+    assert cfg.qk_head_dim == 48 and cfg.head_dim == 128
     assert cfg.query_pre_attn_scalar == 48.0
     assert get_model_family("deepseek_v2").name == "llama"
     params = params_from_torch_state_dict(cfg, hf.state_dict(),
@@ -459,3 +461,45 @@ def test_deepseek_v3_moe_matches_hf():
     assert "router_bias" in params["layers"]
     tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
     _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_deepseek_mla_naive_mode_matches_hf():
+    """mla_absorbed=False keeps the per-head padded cache — same HF
+    logits through a different cache layout."""
+    hf_cfg = _deepseek_cfg(transformers.DeepseekV2Config)
+    torch.manual_seed(8)
+    hf = transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32",
+                                   mla_absorbed=False)
+    assert not cfg.mla_absorbed
+    assert cfg.head_dim == 64 and cfg.num_kv_heads == cfg.num_heads
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_deepseek_absorbed_engine_cache_is_small():
+    """The absorbed paged engine caches ONE latent row per token: the
+    pools are [L, P, 1, ps, pad128(dc+rope)] — and decode still matches
+    the dense path exactly."""
+    cfg = ModelConfig.from_hf_dict(
+        _deepseek_cfg(transformers.DeepseekV2Config).to_dict(),
+        dtype="float32")
+    assert cfg.num_kv_heads == 1 and cfg.head_dim == 128
+    params = llama.init_params(cfg, jax.random.PRNGKey(11))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 8)
+
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig)
+    from simplellminference_tpu.engine import Engine
+    ecfg = EngineConfig(max_batch_size=4,
+                        kv=KVCacheConfig(page_size=8, num_pages=64,
+                                         max_pages_per_seq=16,
+                                         kv_dtype="f32"))
+    eng = Engine(cfg, params, ecfg, decode_burst=3)
+    assert eng.cache.k.shape == (2, 65, 1, 8, 128)  # +1 trash page
+    from simplellminference_tpu.core.config import SamplingParams
+    got = eng.generate(prompts, SamplingParams(max_new_tokens=8))
+    assert got == want
