@@ -33,6 +33,13 @@ SHARD_MAP_LOCAL = False
 _warned_gspmd = False
 
 
+def _lane_ok(d: int) -> bool:
+    """Head/lane dims the Pallas kernels accept: the classic head dims
+    plus 128-multiples up to 1024 (absorbed-MLA latent rows are 640 wide
+    for DeepSeek-V2/V3 — verified lowering + numerics on v5e)."""
+    return d in (64, 128, 256) or (d % 128 == 0 and d <= 1024)
+
+
 def _use_flash() -> bool:
     if jax.default_backend() != "tpu" or _FORCE_REF:
         return False
@@ -76,7 +83,7 @@ def attention(cfg: ModelConfig, q: jax.Array, k: jax.Array, v: jax.Array,
     """Self-attention, no cache. q: [B, S, N, D]; k/v: [B, S, kvN, D]."""
     window, sm, cap = _attn_opts(cfg, window)
     s = q.shape[1]
-    if _use_flash() and s > 1 and s % 128 == 0 and q.shape[-1] in (64, 128, 256):
+    if _use_flash() and s > 1 and s % 128 == 0 and _lane_ok(q.shape[-1]):
         from simplellminference_tpu.ops.attention.flash_prefill import (
             flash_prefill)
         return flash_prefill(q, k, v, causal=True, window=window,
@@ -102,7 +109,7 @@ def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
     b, s, n, d = q.shape
     stacked = ck.ndim == 5
     smax = ck.shape[3] if stacked else ck.shape[2]
-    if _use_flash() and d in (64, 128, 256):
+    if _use_flash() and _lane_ok(d):
         if s == 1 and kv_lens is not None and smax % 128 == 0:
             from simplellminference_tpu.ops.attention.flash_decode import (
                 flash_decode)
@@ -146,7 +153,7 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
     b, s, n, d = q.shape
     stacked = pool_k.ndim == 5
     ps = pool_k.shape[3] if stacked else pool_k.shape[2]
-    if (_use_flash() and d in (64, 128, 256) and ps % 8 == 0
+    if (_use_flash() and _lane_ok(d) and ps % 8 == 0
             and s % 128 == 0):
         from simplellminference_tpu.ops.attention.paged_prefill import (
             paged_flash_prefill)
@@ -198,7 +205,7 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
     b, s, n, d = q.shape
     stacked = pool_k.ndim == 5
     ps = pool_k.shape[3] if stacked else pool_k.shape[2]
-    if _use_flash() and d in (64, 128, 256) and ps % 8 == 0:
+    if _use_flash() and _lane_ok(d) and ps % 8 == 0:
         if s == 1:
             from simplellminference_tpu.ops.attention.paged_decode import (
                 paged_flash_decode)
