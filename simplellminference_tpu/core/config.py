@@ -325,12 +325,15 @@ class ModelConfig:
                                "noaux_tc" if v3 else "greedy")
                 score = d.get("scoring_func",
                               "sigmoid" if v3 else "softmax")
-                if (score, method) not in (("softmax", "greedy"),
-                                           ("sigmoid", "noaux_tc")):
+                if (score, method) not in (
+                        ("softmax", "greedy"),
+                        ("softmax", "group_limited_greedy"),
+                        ("sigmoid", "noaux_tc")):
                     raise ValueError(
                         f"unsupported DeepSeek routing ({score!r}, "
-                        f"{method!r}); supported: V2 greedy softmax, "
-                        "V3 noaux_tc sigmoid")
+                        f"{method!r}); supported: V2 greedy / "
+                        "group_limited_greedy softmax, V3 noaux_tc "
+                        "sigmoid")
                 if d.get("moe_layer_freq", 1) != 1:
                     raise ValueError("moe_layer_freq != 1 unsupported")
                 kw.update(

@@ -64,6 +64,10 @@ def router_topk(x: jax.Array, w_router: jax.Array, top_k: int,
     (group score = sum of its top-2 biased scores); WEIGHTS come from
     the unbiased sigmoid scores of the selected experts.
 
+    ``score_fn="softmax"`` with ``n_group > 1``: DeepSeek-V2's
+    group_limited_greedy — softmax scores, group score = the group's
+    MAX, top-k restricted to the ``topk_group`` best groups.
+
     ``scaling``: DeepSeek's routed_scaling_factor, applied after the
     optional renormalization.
     """
@@ -88,6 +92,15 @@ def router_topk(x: jax.Array, w_router: jax.Array, top_k: int,
             topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
     else:
         probs = jax.nn.softmax(logits, axis=-1)                 # [T, E]
+        if n_group > 1:
+            # DeepSeek-V2 group_limited_greedy: restrict the top-k to
+            # the topk_group groups with the highest max score
+            gsz = e // n_group
+            gmax = probs.reshape(t, n_group, gsz).max(-1)       # [T, G]
+            _, gi = jax.lax.top_k(gmax, min(topk_group, n_group))
+            gmask = jnp.zeros((t, n_group), bool).at[
+                jnp.arange(t)[:, None], gi].set(True)
+            probs = jnp.where(jnp.repeat(gmask, gsz, axis=1), probs, 0.0)
         topv, topi = jax.lax.top_k(probs, k)
         if norm_topk:
             topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
@@ -109,8 +122,8 @@ def router_probs(x: jax.Array, w_router: jax.Array, top_k: int,
 
 def _router_kw(cfg: ModelConfig, lw: dict,
                li: Optional[jax.Array]) -> dict:
-    """Per-call router extras (DeepSeek-V3 sigmoid/grouped routing)."""
-    if cfg.router_score_fn == "softmax":
+    """Per-call router extras (DeepSeek grouped/sigmoid routing)."""
+    if cfg.router_score_fn == "softmax" and cfg.router_n_group <= 1:
         return {}
     bias = lw.get("router_bias")
     if bias is not None and li is not None:

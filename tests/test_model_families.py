@@ -371,14 +371,35 @@ def test_deepseek_mla_paged_engine_matches_dense():
 
 
 def test_deepseek_unsupported_routing_rejected():
-    """V2 greedy softmax and V3 noaux_tc sigmoid are supported; V2's
-    group_limited_greedy is rejected loudly."""
+    """All three released DeepSeek routing schemes are supported; an
+    unknown scoring function is rejected loudly."""
     with pytest.raises(ValueError, match="routing"):
         ModelConfig.from_hf_dict(
             _deepseek_cfg(transformers.DeepseekV2Config,
                           n_routed_experts=8, n_group=2, topk_group=1,
-                          topk_method="group_limited_greedy",
+                          scoring_func="sigmoid",
+                          topk_method="greedy",
                           first_k_dense_replace=1).to_dict())
+
+
+def test_deepseek_v2_group_limited_matches_hf():
+    """Big-V2 routing: softmax scores, top-k restricted to the
+    topk_group groups with the highest max score."""
+    hf_cfg = _deepseek_cfg(
+        transformers.DeepseekV2Config, num_hidden_layers=3,
+        n_routed_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=64, n_shared_experts=1,
+        norm_topk_prob=False, routed_scaling_factor=16.0,
+        first_k_dense_replace=1, topk_method="group_limited_greedy",
+        n_group=2, topk_group=1, aux_loss_alpha=0.0, seq_aux=False)
+    torch.manual_seed(16)
+    hf = transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.router_n_group == 2 and cfg.router_score_fn == "softmax"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
 
 
 def test_deepseek_v3_mla_matches_hf():
