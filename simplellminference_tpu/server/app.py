@@ -299,23 +299,34 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
         stream = bool(body.get("stream", False))
         lora = _lora_from(body)
         n = max(int(body.get("n", 1)), 1)
-        if stream and n > 1:
+        best_of = max(int(body.get("best_of", n)), n)
+        if stream and (n > 1 or best_of > 1):
             return web.json_response(
-                {"error": "stream=true requires n == 1"}, status=400)
+                {"error": "stream=true requires n == best_of == 1"},
+                status=400)
 
         if stream:
             return await _run_one(prompt_ids, sampling, request, True,
                                   "cmpl", chat=False, lora=lora)
-        if n == 1:
+        if best_of == 1:
             reqs = [await _run_one(prompt_ids, sampling, request, False,
                                    "cmpl", chat=False, lora=lora)]
         else:
-            reqs = await _fanout(prompt_ids, sampling, n, lora=lora)
+            # best_of > n: sample best_of candidates, return the n with
+            # the highest mean token logprob (OpenAI semantics)
+            reqs = await _fanout(prompt_ids, sampling, best_of, lora=lora)
         errs = [r.error for r in reqs if r.error]
         if errs:
             status = 429 if _capacity_error(errs[0]) else 400
             return web.json_response({"error": errs[0]}, status=status)
+        if best_of > n:
+            def _score(r):
+                lp = _choice_logprobs(r)
+                return sum(lp) / max(len(lp), 1)
+            reqs = sorted(reqs, key=_score, reverse=True)[:n]
         want_lp = bool(body.get("logprobs"))
+        echo = (tokenizer.decode(prompt_ids)
+                if body.get("echo") and tokenizer else "")
         return web.json_response({
             "id": f"cmpl-{reqs[0].req_id}",
             "object": "text_completion",
@@ -323,7 +334,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             "model": model_id,
             "choices": [{
                 "index": i,
-                "text": _choice_text(r),
+                "text": echo + (_choice_text(r) or ""),
                 "token_ids": _choice_ids(r),
                 **({"logprobs":
                     {"token_logprobs": _choice_logprobs(r)}}

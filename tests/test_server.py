@@ -157,3 +157,35 @@ def test_render_chat_fallback_and_jinja():
            "{% endif %}")
     out = render_chat(msgs, tpl)
     assert out == "[user]: hello\n[assistant]:"
+
+
+def test_completions_echo_and_best_of():
+    """`echo` prefixes the prompt text; `best_of` samples extra
+    candidates and returns the n with the highest mean logprob."""
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": [65, 66, 67], "max_tokens": 4, "echo": True})
+        assert r.status == 200
+        body = await r.json()
+        assert body["choices"][0]["text"].startswith("ABC")
+
+        r = await client.post("/v1/completions", json={
+            "prompt": [65, 66, 67], "max_tokens": 6, "n": 2,
+            "best_of": 4, "temperature": 0.9, "seed": 3,
+            "logprobs": True})
+        assert r.status == 200
+        body = await r.json()
+        assert len(body["choices"]) == 2
+        # returned choices are sorted best-first by mean logprob
+        def mean_lp(c):
+            lp = c["logprobs"]["token_logprobs"]
+            return sum(lp) / max(len(lp), 1)
+        assert mean_lp(body["choices"][0]) >= mean_lp(body["choices"][1])
+
+        # streaming with best_of > 1 is a client error
+        r = await client.post("/v1/completions", json={
+            "prompt": [65], "best_of": 2, "stream": True})
+        assert r.status == 400
+
+    run_with_client(go)
