@@ -115,10 +115,14 @@ class Engine:
             tp_params, self._fwd = llama_tp.make_tp_forward_paged(
                 cfg, self.mesh, params)
             self.params = shd.shard_params(cfg, tp_params, self.mesh)
+            # absorbed-MLA pools have ONE kv head: replicate over the
+            # model axis (each shard writes the identical latent row)
+            tp_ = int(ms.get("model", 1))
+            kv_ax = MODEL_AXIS if cfg.num_kv_heads % tp_ == 0 else None
             pool_sh = NamedSharding(self.mesh,
-                                    P(None, None, MODEL_AXIS, None, None))
+                                    P(None, None, kv_ax, None, None))
             scale_sh = NamedSharding(self.mesh,
-                                     P(None, None, MODEL_AXIS, None))
+                                     P(None, None, kv_ax, None))
             self.cache = PagedKVCache(
                 k=jax.device_put(self.cache.k, pool_sh),
                 v=jax.device_put(self.cache.v, pool_sh),

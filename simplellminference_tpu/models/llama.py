@@ -107,7 +107,9 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     if tp_axis is not None:
         tp = jax.lax.axis_size(tp_axis)
-        n, kvn = n // tp, kvn // tp
+        # absorbed-MLA latent rows are ONE replicated kv head: every
+        # shard writes the identical row; only query heads shard
+        n, kvn = n // tp, (kvn // tp if kvn % tp == 0 else kvn)
 
     def norm_w(w):
         return w if li is None else jax.lax.dynamic_index_in_dim(
@@ -148,11 +150,12 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
         from simplellminference_tpu.models import mla as mla_mod
         if cfg.mla_absorbed:
             q, k = mla_mod.mla_qkv_absorbed(cfg, lw, li, attn_in, sin,
-                                            cos, act_quant=cfg.act_quant)
+                                            cos, act_quant=cfg.act_quant,
+                                            n_heads=n)
             v = k
         else:
             q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
-                                      act_quant=cfg.act_quant)
+                                      act_quant=cfg.act_quant, n_heads=n)
     else:
         qkv = linear(attn_in, lw["wqkv"], layer=li,
                      act_quant=cfg.act_quant)
@@ -456,9 +459,10 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if tp_axis is not None:
         # per-shard body under shard_map (models/llama_tp.py): local
         # heads/intermediate, vocab-parallel embedding, psum after the
-        # row-sharded wo / w_down matmuls
+        # row-sharded wo / w_down matmuls. Absorbed-MLA latent rows are
+        # ONE replicated kv head (kvn stays 1 per shard).
         tp = jax.lax.axis_size(tp_axis)
-        n, kvn = n // tp, kvn // tp
+        n, kvn = n // tp, (kvn // tp if kvn % tp == 0 else kvn)
         me = jax.lax.axis_index(tp_axis)
         v0 = me * vocab_shard
         local_ids = jnp.clip(tokens - v0, 0, vocab_shard - 1)
@@ -540,12 +544,12 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 if cfg.mla_absorbed:
                     q, k = mla_mod.mla_qkv_absorbed(
                         cfg, lw, li, attn_in, sin, cos,
-                        act_quant=cfg.act_quant)
+                        act_quant=cfg.act_quant, n_heads=n)
                     v = k
                 else:
                     q, k, v = mla_mod.mla_qkv(
                         cfg, lw, li, attn_in, sin, cos,
-                        act_quant=cfg.act_quant)
+                        act_quant=cfg.act_quant, n_heads=n)
             else:
                 qkv = linear(attn_in, lw["wqkv"], layer=li,
                              act_quant=cfg.act_quant)

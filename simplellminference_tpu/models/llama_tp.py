@@ -82,11 +82,13 @@ def _permute_cols(w, perm: np.ndarray):
 
 
 def _check_tp_supported(cfg: ModelConfig):
-    if cfg.mla or cfg.first_k_dense:
+    """MLA shards cleanly (per-head q/kv_b expansions are whole-head
+    column chunks; the absorbed latent row replicates as ONE kv head);
+    only the dense-prefix stack still needs its own shard plumbing."""
+    if cfg.first_k_dense:
         raise ValueError(
-            "tensor-parallel serving does not support MLA/DeepSeek "
-            "models yet (the per-head kv_b expansion and dense-prefix "
-            "stacks need their own shard layout); serve them single-chip")
+            "tensor-parallel serving does not support DeepSeek "
+            "dense-prefix stacks (first_k_dense) yet; serve single-chip")
 
 
 def permute_params_for_tp(cfg: ModelConfig, params: Params,
@@ -94,12 +96,16 @@ def permute_params_for_tp(cfg: ModelConfig, params: Params,
     """One-time column reorder of the fused projections (identity at tp=1)."""
     if tp == 1:
         return params
-    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0, (
-        f"heads {cfg.num_heads}/{cfg.num_kv_heads} not divisible by tp={tp}")
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+    assert cfg.mla or cfg.num_kv_heads % tp == 0, (cfg.num_kv_heads, tp)
     assert cfg.intermediate_size % tp == 0
     out = dict(params)
     layers = dict(params["layers"])
-    layers["wqkv"] = _permute_cols(layers["wqkv"], _qkv_perm(cfg, tp))
+    if "wqkv" in layers:
+        layers["wqkv"] = _permute_cols(layers["wqkv"], _qkv_perm(cfg, tp))
+    # MLA projections (q_proj/q_b [*, N*qk], kv_b [dc, N*(nope+vd)]) lay
+    # whole heads contiguously — a contiguous column shard is already
+    # whole heads, no permutation needed.
     if "wqkv_bias" in layers:
         layers["wqkv_bias"] = layers["wqkv_bias"][..., _qkv_perm(cfg, tp)]
     if cfg.num_experts:
@@ -282,12 +288,16 @@ def make_tp_forward_paged(cfg: ModelConfig, mesh: Mesh, params: Params):
 
     tp = mesh.shape[MODEL_AXIS]
     assert cfg.vocab_size % tp == 0, (cfg.vocab_size, tp)
-    assert cfg.num_kv_heads % tp == 0, (cfg.num_kv_heads, tp)
+    assert cfg.num_kv_heads % tp == 0 or cfg.num_kv_heads == 1, (
+        cfg.num_kv_heads, tp)
     vocab_shard = cfg.vocab_size // tp
     tp_params = permute_params_for_tp(cfg, params, tp)
     pspecs = sharding.spec_tree(cfg, tp_params)
-    pool_spec = P(None, None, MODEL_AXIS, None, None)
-    scale_spec = P(None, None, MODEL_AXIS, None)
+    # absorbed-MLA pools have ONE kv head: replicate over the model axis
+    # (every shard computes and writes the identical latent row)
+    kv_ax = MODEL_AXIS if cfg.num_kv_heads % tp == 0 else None
+    pool_spec = P(None, None, kv_ax, None, None)
+    scale_spec = P(None, None, kv_ax, None)
     rep2 = P(None, None)
     rep1 = P(None)
 

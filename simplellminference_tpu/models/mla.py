@@ -42,11 +42,13 @@ Params = dict[str, Any]
 
 
 def _dense_kv_b(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
-                dtype) -> jax.Array:
-    """kv_b as a dense [dc, N, nope+vd] tensor (dequantizing INT8)."""
+                dtype, n: int) -> jax.Array:
+    """kv_b as a dense [dc, n, nope+vd] tensor (dequantizing INT8).
+    ``n``: the head count of THIS shard (lw leaves are local under a
+    shard_map TP body — whole heads per shard)."""
     from simplellminference_tpu.ops.moe import _dense_layer_weight
-    w = _dense_layer_weight(lw["kv_b"], li, dtype)   # [dc, N*(nope+vd)]
-    return w.reshape(cfg.kv_lora_rank, cfg.num_heads,
+    w = _dense_layer_weight(lw["kv_b"], li, dtype)   # [dc, n*(nope+vd)]
+    return w.reshape(cfg.kv_lora_rank, n,
                      cfg.qk_nope_head_dim + cfg.v_head_dim)
 
 
@@ -64,7 +66,8 @@ def _q_proj(cfg: ModelConfig, lw: Params, li, attn_in, act_quant):
 
 def mla_qkv_absorbed(cfg: ModelConfig, lw: Params,
                      li: Optional[jax.Array], attn_in: jax.Array,
-                     sin: jax.Array, cos: jax.Array, act_quant=None):
+                     sin: jax.Array, cos: jax.Array, act_quant=None,
+                     n_heads: Optional[int] = None):
     """Absorbed MLA: ONE cached row per token.
 
     Returns (q' [B, S, N, Dl], kv_row [B, S, 1, Dl]) with
@@ -78,7 +81,7 @@ def mla_qkv_absorbed(cfg: ModelConfig, lw: Params,
     2·N·head_dim — ~13x smaller for DeepSeek-V2 shapes.
     """
     b, s, _ = attn_in.shape
-    n = cfg.num_heads
+    n = n_heads if n_heads is not None else cfg.num_heads
     nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     dc = cfg.kv_lora_rank
     dl = cfg.head_dim
@@ -94,9 +97,9 @@ def mla_qkv_absorbed(cfg: ModelConfig, lw: Params,
     c, k_pe = ckv[..., :dc], ckv[..., dc:]
     c = ref_ops.rmsnorm(c, norm_w(lw["kv_a_norm"]), cfg.rms_norm_eps)
 
-    w_kv = _dense_kv_b(cfg, lw, li, jnp.float32)     # [dc, N, nope+vd]
+    w_kv = _dense_kv_b(cfg, lw, li, jnp.float32, n)  # [dc, n, nope+vd]
     q_lat = jnp.einsum("bsnp,dnp->bsnd", q_nope.astype(jnp.float32),
-                       w_kv[..., :nope]).astype(q.dtype)  # [B,S,N,dc]
+                       w_kv[..., :nope]).astype(q.dtype)  # [B,S,n,dc]
 
     q_pe = ref_ops.apply_rope_interleaved(q_pe, sin, cos)
     k_pe = ref_ops.apply_rope_interleaved(k_pe[:, :, None, :], sin, cos)
@@ -112,10 +115,11 @@ def mla_qkv_absorbed(cfg: ModelConfig, lw: Params,
 
 def mla_unabsorb(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                  attn: jax.Array) -> jax.Array:
-    """attn [B, S, N, Dl] (probs @ latent rows) -> values [B, S, N, vd]
-    through the per-head W_uv half of kv_b."""
+    """attn [B, S, n, Dl] (probs @ latent rows) -> values [B, S, n, vd]
+    through the per-head W_uv half of kv_b (n = shard-local heads)."""
     nope = cfg.qk_nope_head_dim
-    w_kv = _dense_kv_b(cfg, lw, li, jnp.float32)     # [dc, N, nope+vd]
+    w_kv = _dense_kv_b(cfg, lw, li, jnp.float32,
+                       attn.shape[2])                # [dc, n, nope+vd]
     out_lat = attn[..., :cfg.kv_lora_rank].astype(jnp.float32)
     return jnp.einsum("bsnd,dnv->bsnv", out_lat,
                       w_kv[..., nope:]).astype(attn.dtype)
@@ -123,12 +127,12 @@ def mla_unabsorb(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
 
 def mla_qkv(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
             attn_in: jax.Array, sin: jax.Array, cos: jax.Array,
-            act_quant=None):
+            act_quant=None, n_heads: Optional[int] = None):
     """attn_in: [B, S, H] (already input-norm'd); sin/cos:
     [B, S, qk_rope_head_dim/2]. Returns (q, k, v) [B, S, N, head_dim]
     zero-padded to the cache lane dim."""
     b, s, _ = attn_in.shape
-    n = cfg.num_heads
+    n = n_heads if n_heads is not None else cfg.num_heads
     nope, rd, vd = (cfg.qk_nope_head_dim, cfg.qk_rope_head_dim,
                     cfg.v_head_dim)
     qk = nope + rd

@@ -207,3 +207,85 @@ def test_tp_gemma2_alternating_windows_match():
                   jnp.asarray([9, 9], jnp.int32))
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("absorbed", [True, False])
+def test_tp_mla_matches_single_device(absorbed):
+    """MLA under shard_map TP: per-head q/kv_b expansions are whole-head
+    column shards; the absorbed latent row is ONE replicated kv head
+    (every shard writes the identical row). Prefill + decode must match
+    the single-device forward."""
+    cfg = ModelConfig.tiny_test(
+        num_heads=8, hidden_size=256,
+        intermediate_size=512, vocab_size=256, num_layers=2,
+        dtype="float32", model_type="deepseek_v2",
+        kv_lora_rank=64, q_lora_rank=96, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32,
+        query_pre_attn_scalar=48.0, mla_absorbed=absorbed,
+        **({"head_dim": 128, "num_kv_heads": 1} if absorbed
+           else {"head_dim": 64, "num_kv_heads": 8}))
+    params = llama.init_params(cfg, jax.random.PRNGKey(4))
+    mesh = mesh_lib.build_mesh(mesh_lib.MeshConfig(data=2, model=4))
+    tp_params, fwd = llama_tp.make_tp_forward(cfg, mesh, params)
+    tp_params = sharding.shard_params(cfg, tp_params, mesh)
+    tokens = jnp.asarray(
+        np.random.default_rng(5).integers(0, 256, (2, 8)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (2, 8))
+
+    def new_cache():
+        return DenseKVCache.create(cfg.num_layers, 2, 64,
+                                   cfg.num_kv_heads, cfg.head_dim,
+                                   jnp.float32)
+
+    offs = jnp.zeros((2,), jnp.int32)
+    lens = jnp.asarray([8, 8], jnp.int32)
+    ref, refc = llama.forward(cfg, params, tokens, positions, new_cache(),
+                              offs, lens)
+    tpc = sharding.shard_kv_cache(new_cache(), mesh, cfg.num_kv_heads)
+    got, gotc = fwd(tp_params, tokens, positions, tpc, offs, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    tok = jnp.argmax(ref[:, 7], -1).astype(jnp.int32)[:, None]
+    pos = jnp.full((2, 1), 8, jnp.int32)
+    ref2, _ = llama.forward(cfg, params, tok, pos, refc,
+                            jnp.asarray([8, 8], jnp.int32),
+                            jnp.asarray([9, 9], jnp.int32))
+    got2, _ = fwd(tp_params, tok, pos, gotc,
+                  jnp.asarray([8, 8], jnp.int32),
+                  jnp.asarray([9, 9], jnp.int32))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tp_paged_engine_mla_absorbed():
+    """The serving Engine with a model mesh must decode absorbed-MLA
+    models identically to the single-device engine (latent pools
+    replicate over the model axis — one kv head)."""
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine import Engine
+
+    cfg = ModelConfig.tiny_test(
+        num_heads=8, num_kv_heads=1, head_dim=128, hidden_size=256,
+        intermediate_size=512, vocab_size=256, num_layers=2,
+        dtype="float32", model_type="deepseek_v2",
+        kv_lora_rank=64, q_lora_rank=None, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32,
+        query_pre_attn_scalar=48.0, mla_absorbed=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(6))
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 256, n).tolist() for n in (6, 19)]
+
+    def mk(mesh_shape):
+        ecfg = EngineConfig(
+            max_batch_size=2, mesh_shape=mesh_shape,
+            kv=KVCacheConfig(page_size=8, num_pages=64,
+                             max_pages_per_seq=16, kv_dtype="f32"))
+        return Engine(cfg, params, ecfg, decode_burst=3)
+
+    from simplellminference_tpu.core.config import SamplingParams
+    base = mk(None).generate(prompts, SamplingParams(max_new_tokens=8))
+    got = mk({"model": 4}).generate(prompts,
+                                    SamplingParams(max_new_tokens=8))
+    assert got == base
