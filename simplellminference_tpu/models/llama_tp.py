@@ -81,14 +81,17 @@ def _permute_cols(w, perm: np.ndarray):
     return w[..., perm]
 
 
-def _check_tp_supported(cfg: ModelConfig):
+def _check_tp_supported(cfg: ModelConfig, paged: bool = False):
     """MLA shards cleanly (per-head q/kv_b expansions are whole-head
-    column chunks; the absorbed latent row replicates as ONE kv head);
-    only the dense-prefix stack still needs its own shard plumbing."""
-    if cfg.first_k_dense:
+    column chunks; the absorbed latent row replicates as ONE kv head).
+    The DeepSeek dense-prefix stack is handled by forward_paged's group
+    scan — supported on the PAGED (serving) path; the dense
+    make_tp_forward body has no dense-prefix pre-scan yet."""
+    if cfg.first_k_dense and not paged:
         raise ValueError(
-            "tensor-parallel serving does not support DeepSeek "
-            "dense-prefix stacks (first_k_dense) yet; serve single-chip")
+            "make_tp_forward does not support DeepSeek dense-prefix "
+            "stacks (first_k_dense); use the paged engine TP path "
+            "(make_tp_forward_paged / Engine(mesh_shape=...))")
 
 
 def permute_params_for_tp(cfg: ModelConfig, params: Params,
@@ -123,6 +126,14 @@ def permute_params_for_tp(cfg: ModelConfig, params: Params,
         layers["w_gate_up"] = _permute_cols(layers["w_gate_up"],
                                             _gate_up_perm(cfg, tp))
     out["layers"] = layers
+    if "dense_layers" in params:
+        # DeepSeek dense-prefix group: plain dense FFN -> megatron
+        # gate/up interleave (attention weights shard like the main
+        # group: whole-head column chunks, no permutation for MLA)
+        dl = dict(params["dense_layers"])
+        dl["w_gate_up"] = _permute_cols(dl["w_gate_up"],
+                                        _gate_up_perm(cfg, tp))
+        out["dense_layers"] = dl
     return out
 
 
@@ -283,7 +294,7 @@ def make_tp_forward_paged(cfg: ModelConfig, mesh: Mesh, params: Params):
     Inside the shard_map body every Pallas kernel (paged append/span,
     flash decode/verify, dequant+matmul) runs on its local shard.
     """
-    _check_tp_supported(cfg)
+    _check_tp_supported(cfg, paged=True)
     from simplellminference_tpu.memory.paged_kv import PagedKVCache
 
     tp = mesh.shape[MODEL_AXIS]

@@ -289,3 +289,42 @@ def test_tp_paged_engine_mla_absorbed():
     got = mk({"model": 4}).generate(prompts,
                                     SamplingParams(max_new_tokens=8))
     assert got == base
+
+
+def test_tp_paged_engine_deepseek_moe_dense_prefix():
+    """Full DeepSeek-V2 shape under engine TP: absorbed MLA + MoE with
+    shared experts + routed scaling + a dense first layer. The engine
+    with a model mesh must match the single-device engine."""
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine import Engine
+
+    cfg = ModelConfig.from_hf_dict(dict(
+        model_type="deepseek_v2", vocab_size=256, hidden_size=256,
+        intermediate_size=512, num_hidden_layers=3,
+        num_attention_heads=8, num_key_value_heads=8,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        q_lora_rank=96, kv_lora_rank=64, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32,
+        n_routed_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=64, n_shared_experts=2,
+        norm_topk_prob=False, routed_scaling_factor=1.5,
+        first_k_dense_replace=1, topk_method="greedy"), dtype="float32")
+    assert cfg.first_k_dense == 1 and cfg.mla_absorbed
+    params = llama.init_params(cfg, jax.random.PRNGKey(8))
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(1, 256, n).tolist() for n in (6, 19)]
+
+    def mk(mesh_shape):
+        ecfg = EngineConfig(
+            max_batch_size=2, mesh_shape=mesh_shape,
+            kv=KVCacheConfig(page_size=8, num_pages=64,
+                             max_pages_per_seq=16, kv_dtype="f32"))
+        return Engine(cfg, params, ecfg, decode_burst=3)
+
+    base = mk(None).generate(prompts, SamplingParams(max_new_tokens=8))
+    got = mk({"model": 4}).generate(prompts,
+                                    SamplingParams(max_new_tokens=8))
+    assert got == base
