@@ -105,6 +105,10 @@ class ModelConfig:
     # (Gemma-2; e.g. 27B uses hidden/num_heads != head_dim). None =
     # head_dim**-0.5.
     query_pre_attn_scalar: Optional[float] = None
+    # Gemma-3: sliding_attention layers use a DIFFERENT rope base
+    # frequency (rope_local_base_freq, e.g. 10k local vs 1M global);
+    # rope_scaling applies to the global (full_attention) tables only.
+    rope_local_theta: Optional[float] = None
     # Per-layer attention type ("sliding_attention" | "full_attention"),
     # one entry per layer (Gemma-2 alternates). None = uniform
     # (sliding_window applies to every layer when set). The layer scan
@@ -266,11 +270,18 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias",
                 d.get("model_type") in ("qwen2", "qwen2_moe")),
-            # Qwen3 replaces the QKV bias with per-head q/k RMSNorm.
-            qk_norm=d.get("model_type") in ("qwen3", "qwen3_moe"),
-            # Gemma-2: sandwich norms, logit soft caps, query scale,
-            # alternating sliding/full attention layers.
-            sandwich_norms=d.get("model_type") == "gemma2",
+            # Qwen3 and Gemma-3 use per-head q/k RMSNorm before RoPE.
+            qk_norm=d.get("model_type") in ("qwen3", "qwen3_moe",
+                                            "gemma3_text"),
+            # Gemma-2/3: sandwich norms, logit soft caps (2 only), query
+            # scale, alternating sliding/full attention layers; Gemma-3
+            # adds a separate LOCAL rope base for the sliding layers.
+            sandwich_norms=d.get("model_type") in ("gemma2",
+                                                   "gemma3_text"),
+            rope_local_theta=(float(d["rope_local_base_freq"])
+                              if d.get("rope_local_base_freq") is not None
+                              and d.get("model_type") == "gemma3_text"
+                              else None),
             attn_logit_softcap=d.get("attn_logit_softcapping"),
             final_logit_softcap=d.get("final_logit_softcapping"),
             query_pre_attn_scalar=(
@@ -291,7 +302,8 @@ class ModelConfig:
             or ("gelu_pytorch_tanh" if d.get("model_type") == "gemma"
                 else d.get("hidden_act") or "silu"),
             embed_scale=(float(d["hidden_size"]) ** 0.5
-                         if d.get("model_type") in ("gemma", "gemma2")
+                         if d.get("model_type") in ("gemma", "gemma2",
+                                                    "gemma3_text")
                          else 1.0),
             # Mixtral: num_local_experts/num_experts_per_tok; dense
             # checkpoints carry neither.
@@ -406,7 +418,7 @@ class ModelConfig:
         mt = d.get("model_type", "llama")
         if mt == "mistral":
             return int(w)
-        if mt == "gemma2":
+        if mt in ("gemma2", "gemma3_text"):
             # applies to the sliding_attention layers of layer_types
             # (alternating; the full layers ignore it)
             return int(w)

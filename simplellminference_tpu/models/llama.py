@@ -316,7 +316,6 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     x = params["embed"][tokens].astype(dtype)  # [B, S, H] row gather
     if cfg.embed_scale != 1.0:  # Gemma: sqrt(hidden_size) multiplier
         x = x * jnp.asarray(cfg.embed_scale, dtype)
-    sin, cos = ref_ops.rope_tables_for(cfg, positions)
     lw = dict(params["layers"])
     # hoist the fused kernels' [L,H]->[L,1,H] norm reshapes out of the
     # layer scan (see forward_paged)
@@ -327,6 +326,9 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     # the pattern's period — p compiled sub-bodies per step, each with
     # its own static window, over the same stacked-layer weights.
     period, wins = cfg.window_pattern()
+    # per-window rope tables (Gemma-3 sliding layers use a local theta)
+    ropes = ref_ops.rope_tables_by_window(cfg, positions, wins)
+    sin, cos = ropes[wins[0]]
     # DeepSeek first-k-dense layers: their own stacked group, scanned
     # BEFORE the main (sparse) stack; cache layers 0..kd-1 are theirs.
     kd = cfg.first_k_dense
@@ -364,8 +366,9 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             x, ck, cv = carry
             for j, w in enumerate(wins):
                 li = base_li + j
-                x, ck, cv = decoder_layer(cfg, lw, li, x, sin,
-                                          cos, ck, cv, offsets, masks[w],
+                sj, cj = ropes[w]
+                x, ck, cv = decoder_layer(cfg, lw, li, x, sj,
+                                          cj, ck, cv, offsets, masks[w],
                                           kv_lens, prefill_from_zero,
                                           window=w,
                                           kv_layer=li + kd if kd else None)
@@ -390,7 +393,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
         def body(x, base_li):
             for j, w in enumerate(wins):
-                x, _, _ = decoder_layer(cfg, lw, base_li + j, x, sin, cos,
+                sj, cj = ropes[w]
+                x, _, _ = decoder_layer(cfg, lw, base_li + j, x, sj, cj,
                                         None, None, None, masks[w], None,
                                         False, window=w)
             return x, None
@@ -473,11 +477,11 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         x = params["embed"][tokens].astype(dtype)
     if cfg.embed_scale != 1.0:  # Gemma: sqrt(hidden_size) multiplier
         x = x * jnp.asarray(cfg.embed_scale, dtype)
-    sin, cos = ref_ops.rope_tables_for(cfg, positions)
-
     chunked = prefill and chunk_offset is not None
     spec = (not prefill) and s > 1  # speculative-decoding verify window
     period, wins = cfg.window_pattern()
+    # per-window rope tables (Gemma-3 sliding layers use a local theta)
+    ropes = ref_ops.rope_tables_by_window(cfg, positions, wins)
     if chunked or spec or not prefill:
         masks = {w: None for w in set(wins)}  # masking happens in-kernel
     else:
@@ -519,6 +523,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
         def sub_body(carry, li, window, mask):
             x, pk, pv, pks, pvs = carry
+            sin, cos = ropes[window]
             kli = li + kv_off if kv_off else li
             if use_fqkv:
                 # decode hot path: rmsnorm + qkv dequant-matmul + RoPE +

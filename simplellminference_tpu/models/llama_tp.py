@@ -156,12 +156,13 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
     if cfg.embed_scale != 1.0:  # Gemma: sqrt(hidden_size) multiplier
         x = x * jnp.asarray(cfg.embed_scale, dtype)
 
-    sin, cos = ref_ops.rope_tables_for(cfg, positions)
     lw = params["layers"]
 
     # Alternating sliding/full stacks (Gemma-2): same period-scan as
     # llama.forward — p sub-bodies with static windows per scan step.
     period, wins = cfg.window_pattern()
+    # per-window rope tables (Gemma-3 sliding layers use a local theta)
+    ropes = ref_ops.rope_tables_by_window(cfg, positions, wins)
     steps = jnp.arange(cfg.num_layers // period, dtype=jnp.int32) * period
 
     if cache_k is not None:
@@ -180,8 +181,9 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
         def body(carry, base_li):
             x, ck, cv = carry
             for j, w in enumerate(wins):
+                sj, cj = ropes[w]
                 x, ck, cv = llama.decoder_layer(
-                    cfg, lw, base_li + j, x, sin, cos, ck, cv, offsets,
+                    cfg, lw, base_li + j, x, sj, cj, ck, cv, offsets,
                     masks[w], kv_lens, prefill_from_zero,
                     tp_axis=MODEL_AXIS, ring_collectives=ring_collectives,
                     window=w)
@@ -195,8 +197,9 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
         def body(x, base_li):
             for j, w in enumerate(wins):
+                sj, cj = ropes[w]
                 x, _, _ = llama.decoder_layer(
-                    cfg, lw, base_li + j, x, sin, cos, None, None, None,
+                    cfg, lw, base_li + j, x, sj, cj, None, None, None,
                     masks[w], None, False, tp_axis=MODEL_AXIS,
                     ring_collectives=ring_collectives, window=w)
             return x, None

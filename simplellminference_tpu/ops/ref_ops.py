@@ -113,6 +113,21 @@ def rope_tables_for(cfg, positions: jax.Array, dtype=jnp.float32):
                        rope_scaling=cfg.rope_scaling)
 
 
+def rope_tables_by_window(cfg, positions: jax.Array, wins,
+                          dtype=jnp.float32) -> dict:
+    """{window: (sin, cos)} for a per-layer window pattern.
+
+    Gemma-3: sliding_attention layers rotate with rope_local_theta
+    (plain, unscaled) while full_attention layers use the global theta
+    + rope_scaling. Everything else: one shared table pair."""
+    g = rope_tables_for(cfg, positions, dtype)
+    if cfg.rope_local_theta is None:
+        return {w: g for w in set(wins)}
+    loc = rope_tables(positions, cfg.head_dim, cfg.rope_local_theta,
+                      dtype)
+    return {w: (loc if w is not None else g) for w in set(wins)}
+
+
 def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     """Half-split (NeoX/Llama-style) rotation of the last dim.
 

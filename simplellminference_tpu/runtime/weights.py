@@ -202,7 +202,8 @@ def params_from_fetcher(cfg: ModelConfig,
         t = jnp.asarray(fetch(name))
         if path.replace("dense_layers/", "layers/") in _TRANSPOSED:
             t = t.T
-        if cfg.model_type in ("gemma", "gemma2") and path.endswith("norm"):
+        if cfg.model_type in ("gemma", "gemma2", "gemma3_text") \
+                and path.endswith("norm"):
             # Gemma RMSNorm multiplies by (1 + w); fold the +1 into the
             # stored weight so the standard rmsnorm applies unchanged.
             t = t.astype(jnp.float32) + 1.0

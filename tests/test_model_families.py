@@ -524,3 +524,55 @@ def test_deepseek_absorbed_engine_cache_is_small():
     from simplellminference_tpu.core.config import SamplingParams
     got = eng.generate(prompts, SamplingParams(max_new_tokens=8))
     assert got == want
+
+
+def test_gemma3_matches_hf():
+    """Gemma-3 (text): per-head q/k RMSNorm ((1+w) Gemma convention),
+    sandwich norms, 5:1 sliding/full layer pattern with a DIFFERENT rope
+    base for sliding layers (rope_local_base_freq) — the per-window rope
+    tables must select the right theta per sublayer."""
+    hf_cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        tie_word_embeddings=True, query_pre_attn_scalar=24.0,
+        sliding_window=4, sliding_window_pattern=2,
+        layer_types=["sliding_attention", "full_attention"] * 2,
+        attn_implementation="eager")
+    torch.manual_seed(17)
+    hf = transformers.Gemma3ForCausalLM(hf_cfg).eval()
+    # random q/k norms so a dropped/wrong-convention norm changes logits
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            layer.self_attn.q_norm.weight.add_(
+                torch.rand_like(layer.self_attn.q_norm.weight) * 0.5)
+            layer.self_attn.k_norm.weight.add_(
+                torch.rand_like(layer.self_attn.k_norm.weight) * 0.5)
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "gemma3_text"
+    assert cfg.qk_norm and cfg.sandwich_norms
+    assert cfg.rope_local_theta == 10000.0 and cfg.rope_theta == 1000000.0
+    assert cfg.window_pattern() == (2, (4, None))
+    assert abs(cfg.embed_scale - 128.0 ** 0.5) < 1e-9
+    assert get_model_family("gemma3_text").name == "llama"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[2, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_gemma3_paged_engine_matches_dense():
+    cfg = ModelConfig.tiny_test(
+        num_layers=4, qk_norm=True, sandwich_norms=True,
+        query_pre_attn_scalar=24.0, sliding_window=6,
+        rope_theta=1000000.0, rope_local_theta=10000.0,
+        layer_types=("sliding_attention", "full_attention") * 2,
+        hidden_act="gelu_pytorch_tanh", embed_scale=128.0 ** 0.5)
+    params = llama.init_params(cfg, jax.random.PRNGKey(18))
+    params["layers"]["q_norm"] = params["layers"]["q_norm"] * 1.4
+    params["layers"]["k_norm"] = params["layers"]["k_norm"] * 0.7
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8, 9], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 10)
+    got = _engine_generate(cfg, params, prompts, 10)
+    assert got == want
