@@ -385,13 +385,27 @@ class ModelConfig:
                 cache_kw = dict(
                     head_dim=64 if m <= 64 else (128 if m <= 128 else 256),
                     num_kv_heads=d["num_attention_heads"])
+            # Score scale: (nope+rope)^-0.5; DeepSeek-V3 checkpoints
+            # with yarn additionally fold in mscale(factor,
+            # mscale_all_dim)^2 (HF DeepseekV3Attention.__init__ —
+            # V2 applies only the sin/cos attention factor). Stored as
+            # query_pre_attn_scalar = scale^-2.
+            qpas = float(nope + rope_d)
+            rs = d.get("rope_scaling") or {}
+            if (d.get("model_type") == "deepseek_v3"
+                    and rs.get("rope_type", rs.get("type")) == "yarn"
+                    and rs.get("mscale_all_dim")):
+                from simplellminference_tpu.ops.ref_ops import yarn_mscale
+                m = yarn_mscale(float(rs["factor"]),
+                                float(rs["mscale_all_dim"]))
+                qpas /= m ** 4
             kw.update(
                 kv_lora_rank=dc,
                 q_lora_rank=(int(d["q_lora_rank"])
                              if d.get("q_lora_rank") else None),
                 qk_nope_head_dim=nope, qk_rope_head_dim=rope_d,
                 v_head_dim=vd, mla_absorbed=absorbed,
-                query_pre_attn_scalar=float(nope + rope_d),
+                query_pre_attn_scalar=qpas,
                 **cache_kw,
             )
             if kw.get("first_k_dense", 0) >= d["num_hidden_layers"]:

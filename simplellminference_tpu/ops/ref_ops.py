@@ -15,6 +15,8 @@ Shape conventions (batch-first, TPU-friendly trailing dims):
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -74,6 +76,7 @@ def rope_tables(positions: jax.Array, head_dim: int, theta: float,
     banded scaling, "linear" position-interpolation scaling).
     """
     half = head_dim // 2
+    amp = 1.0  # post-scaling of sin/cos (yarn "attention factor")
     freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / head_dim)
     if rope_scaling is not None:
         rs = dict(rope_scaling) if not isinstance(rope_scaling, dict) \
@@ -82,6 +85,8 @@ def rope_tables(positions: jax.Array, head_dim: int, theta: float,
         factor = float(rs.get("factor", 8.0))
         if kind == "linear":
             freqs = freqs / factor
+        elif kind == "yarn":
+            freqs, amp = _yarn_freqs(freqs, head_dim, theta, rs, factor)
         elif kind == "llama3":
             low = float(rs.get("low_freq_factor", 1.0))
             high = float(rs.get("high_freq_factor", 4.0))
@@ -99,7 +104,59 @@ def rope_tables(positions: jax.Array, head_dim: int, theta: float,
         elif kind != "default":
             raise ValueError(f"unsupported rope_type {kind!r}")
     angles = positions[..., None].astype(jnp.float32) * freqs  # [..., half]
-    return jnp.sin(angles).astype(dtype), jnp.cos(angles).astype(dtype)
+    return ((amp * jnp.sin(angles)).astype(dtype),
+            (amp * jnp.cos(angles)).astype(dtype))
+
+
+def yarn_mscale(scale: float, mscale: float = 1.0) -> float:
+    """DeepSeek/yarn attention magnitude correction: 0.1·m·ln(s) + 1."""
+    if scale <= 1.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def _yarn_freqs(freqs: jax.Array, head_dim: int, theta: float, rs: dict,
+                factor: float) -> tuple[jax.Array, float]:
+    """Yarn (NTK-by-parts) frequency interpolation + attention factor.
+
+    Matches HF ``_compute_yarn_parameters`` (modeling_rope_utils):
+    per-dim blend between the original ("extrapolated") inverse
+    frequencies and position-interpolated freqs/factor, ramped between
+    the beta_fast/beta_slow correction dims; sin/cos post-scaled by the
+    yarn attention factor (the DeepSeek mscale ratio when
+    mscale/mscale_all_dim are present). DeepSeek-V2/V3 checkpoints use
+    this for their 160k contexts.
+    """
+    half = head_dim // 2
+    orig = float(rs.get("original_max_position_embeddings") or 4096)
+    beta_fast = float(rs.get("beta_fast") or 32.0)
+    beta_slow = float(rs.get("beta_slow") or 1.0)
+
+    att = rs.get("attention_factor")
+    if att is None:
+        ms, msad = rs.get("mscale"), rs.get("mscale_all_dim")
+        if ms and msad:
+            att = yarn_mscale(factor, float(ms)) / yarn_mscale(
+                factor, float(msad))
+        else:
+            att = yarn_mscale(factor)
+
+    def correction_dim(num_rotations: float) -> float:
+        return (head_dim * math.log(orig / (num_rotations * 2 * math.pi))
+                ) / (2 * math.log(theta))
+
+    low, high = correction_dim(beta_fast), correction_dim(beta_slow)
+    if rs.get("truncate", True):
+        low, high = math.floor(low), math.ceil(high)
+    low = max(low, 0)
+    high = min(high, head_dim - 1)
+    if low == high:
+        high += 0.001
+    # ramp 0 -> 1 over [low, high]: dims below low keep the original
+    # freqs (extrapolate), dims above high interpolate (freqs/factor)
+    ramp = jnp.clip(
+        (jnp.arange(half, dtype=jnp.float32) - low) / (high - low), 0.0, 1.0)
+    return freqs / factor * ramp + freqs * (1.0 - ramp), float(att)
 
 
 def rope_tables_for(cfg, positions: jax.Array, dtype=jnp.float32):

@@ -415,6 +415,66 @@ def test_deepseek_v3_mla_matches_hf():
     _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
 
 
+_YARN_RS = dict(rope_type="yarn", factor=4.0,
+                original_max_position_embeddings=64, beta_fast=32,
+                beta_slow=1, mscale=0.707, mscale_all_dim=0.707)
+
+
+def test_deepseek_v2_yarn_matches_hf():
+    """Yarn rope scaling (every real DeepSeek checkpoint): NTK-by-parts
+    frequency blend + attention-factor-scaled sin/cos. V2 keeps the
+    plain (nope+rope)^-0.5 score scale (HF DeepseekV2Attention)."""
+    hf_cfg = _deepseek_cfg(transformers.DeepseekV2Config,
+                           rope_scaling=dict(_YARN_RS))
+    torch.manual_seed(21)
+    hf = transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.query_pre_attn_scalar == 48.0  # no mscale^2 on V2
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_deepseek_v3_yarn_matches_hf():
+    """V3 + yarn additionally folds mscale(factor, mscale_all_dim)^2
+    into the softmax scale (HF DeepseekV3Attention.__init__)."""
+    rs = dict(_YARN_RS, factor=40.0, mscale=1.0, mscale_all_dim=1.0)
+    hf_cfg = _deepseek_cfg(transformers.DeepseekV3Config, q_lora_rank=48,
+                           rope_scaling=rs)
+    torch.manual_seed(22)
+    hf = transformers.DeepseekV3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    import math
+    m = 0.1 * 1.0 * math.log(40.0) + 1.0
+    assert abs(cfg.query_pre_attn_scalar - 48.0 / m ** 4) < 1e-9
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[3, 8, 13, 201, 29, 6, 88]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_yarn_tables_match_hf_parameters():
+    """Table-level yarn check against HF _compute_yarn_parameters for a
+    generic (non-DeepSeek) config: plain attention factor
+    0.1*ln(factor)+1 when mscale is absent."""
+    from transformers.modeling_rope_utils import _compute_yarn_parameters
+    from simplellminference_tpu.ops.ref_ops import rope_tables
+    rs = dict(rope_type="yarn", factor=8.0,
+              original_max_position_embeddings=128)
+    hf_cfg = transformers.LlamaConfig(
+        hidden_size=256, num_attention_heads=4, head_dim=64,
+        max_position_embeddings=1024, rope_theta=10000.0,
+        rope_scaling=dict(rs))
+    inv, att = _compute_yarn_parameters(hf_cfg, torch.device("cpu"))
+    pos = jnp.array([0.0, 7.0, 101.0])
+    sin, cos = rope_tables(pos, 64, 10000.0, rope_scaling=rs)
+    want_sin = np.sin(pos[:, None] * inv.numpy()[None]) * att
+    want_cos = np.cos(pos[:, None] * inv.numpy()[None]) * att
+    np.testing.assert_allclose(np.asarray(sin), want_sin, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cos), want_cos, atol=1e-5)
+
+
 def test_deepseek_v2_moe_matches_hf():
     """DeepSeek-V2 MoE: greedy softmax routing WITHOUT renorm, times
     routed_scaling_factor, unweighted shared experts, and a dense first
