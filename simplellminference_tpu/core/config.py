@@ -686,6 +686,45 @@ class SamplingParams:
     # None = nondeterministic (the engine derives a unique per-request
     # seed); set for reproducible sampling independent of batching.
     seed: Optional[int] = None
+    # Guided (constrained) decoding — at most one of these may be set.
+    # guided_regex: output must full-match this pattern
+    # (structured/regex_fsm.py syntax). guided_json: a JSON schema
+    # (dict or json string; True/{} = any JSON value) — output is
+    # compact JSON satisfying it. guided_choice: output is exactly one
+    # of these strings. Each decode step masks the vocabulary to tokens
+    # that keep the constraint satisfiable; EOS is only reachable once
+    # the constraint is complete. Requires an engine tokenizer;
+    # incompatible with speculative decoding.
+    guided_regex: Optional[str] = None
+    guided_json: object = None
+    guided_choice: Optional[tuple] = None
+
+    def guided_pattern(self) -> Optional[str]:
+        """The effective constraint regex, or None."""
+        set_ = [k for k in ("guided_regex", "guided_json",
+                            "guided_choice")
+                if getattr(self, k) not in (None,)]
+        if not set_:
+            return None
+        if len(set_) > 1:
+            raise ValueError(f"at most one guided_* may be set: {set_}")
+        if self.guided_regex is not None:
+            return self.guided_regex
+        if self.guided_choice is not None:
+            from simplellminference_tpu.structured.json_schema import _lit
+            if not self.guided_choice:
+                raise ValueError("guided_choice is empty")
+            return "(" + "|".join(_lit(str(c))
+                                  for c in self.guided_choice) + ")"
+        import json as _json
+        from simplellminference_tpu.structured import (any_json_regex,
+                                                       schema_to_regex)
+        sch = self.guided_json
+        if isinstance(sch, str):
+            sch = _json.loads(sch)
+        if sch is True or sch == {}:
+            return any_json_regex()
+        return schema_to_regex(sch)
 
     @property
     def greedy(self) -> bool:

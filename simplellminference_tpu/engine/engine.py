@@ -183,6 +183,10 @@ class Engine:
         self._lora_dirty = True
         self._key = jax.random.PRNGKey(0)
         self._detok: dict[int, StreamingDetokenizer] = {}
+        # guided decoding: TokenIndex per constraint pattern + the
+        # shared per-token text table (built lazily from the tokenizer)
+        self._guided_cache: dict[str, object] = {}
+        self._guided_texts = None
 
         # burst pipeline: device-carried (token, pos) from the in-flight
         # burst, host overrides for slots changed since its dispatch, and
@@ -269,7 +273,8 @@ class Engine:
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_fn(params, cache, tokens, tables, kv_len,
                         key, temp, top_k, top_p, min_p, counts, rp, fp,
-                        pp, seeds, bias_i, bias_v, lidx=None):
+                        pp, seeds, bias_i, bias_v, lidx=None,
+                        allowed=None):
             s = tokens.shape[1]
             lkw = {"lora_idx": lidx} if use_lora else {}
             positions = jnp.arange(s, dtype=jnp.int32)[None]
@@ -288,7 +293,8 @@ class Engine:
                                       frequency_penalty=fp,
                                       presence_penalty=pp, seeds=seeds,
                                       seed_pos=kv_len - 1,
-                                      bias_ids=bias_i, bias_vals=bias_v)
+                                      bias_ids=bias_i, bias_vals=bias_v,
+                                      allowed=allowed)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             # ONE host sync object: a second np.asarray would cost another
             # ~25 ms relay round trip per admit/burst
@@ -298,7 +304,7 @@ class Engine:
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
                               chunk_offset, key, temp, top_k, top_p,
                               min_p, counts, rp, fp, pp, seeds, bias_i,
-                              bias_v, lidx=None):
+                              bias_v, lidx=None, allowed=None):
             # chunk_offset: [B] per-row start position (page-aligned) —
             # batched prefix-cache suffixes start at different offsets
             s = tokens.shape[1]
@@ -315,7 +321,8 @@ class Engine:
                                       frequency_penalty=fp,
                                       presence_penalty=pp, seeds=seeds,
                                       seed_pos=kv_len - 1,
-                                      bias_ids=bias_i, bias_vals=bias_v)
+                                      bias_ids=bias_i, bias_vals=bias_v,
+                                      allowed=allowed)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             return jnp.stack([tok.astype(jnp.float32), lp], -1), cache
 
@@ -323,7 +330,7 @@ class Engine:
         def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
                       ov_tok, ov_pos, ov_counts, ov_mask, tables, active,
                       key, temp, top_k, top_p, min_p, rp, fp, pp, seeds,
-                      bias_i, bias_v, lidx=None):
+                      bias_i, bias_v, lidx=None, allowed=None):
             lkw = {"lora_idx": lidx} if use_lora else {}
             # Device-carried decode state: dev_tok/dev_pos/dev_counts come
             # back from the PREVIOUS burst (still in flight when the host
@@ -351,7 +358,8 @@ class Engine:
                                           presence_penalty=pp,
                                           seeds=seeds, seed_pos=pos,
                                           bias_ids=bias_i,
-                                          bias_vals=bias_v)
+                                          bias_vals=bias_v,
+                                          allowed=allowed)
                 nxt = jnp.where(active, nxt, 0)
                 lp = sampling_ops.token_logprob(logits[:, 0], nxt)
                 counts = jax.lax.cond(
@@ -621,6 +629,37 @@ class Engine:
             self.metrics.requests_failed += 1
             req.emit([], finished=True)
             return req
+        try:
+            pattern = sampling.guided_pattern()
+        except ValueError as e:
+            req.state = RequestState.FAILED
+            req.error = f"bad guided constraint: {e}"
+            self.metrics.requests_failed += 1
+            req.emit([], finished=True)
+            return req
+        if pattern is not None:
+            err = None
+            if self.tokenizer is None:
+                err = "guided decoding requires an engine tokenizer"
+            elif self.spec:
+                err = ("guided decoding is incompatible with "
+                       "speculative decoding (spec_tokens > 0)")
+            else:
+                try:
+                    req.guided_index = self._guided_index(pattern)
+                    req.guided_state = req.guided_index.fsm.start
+                    if not req.guided_index.allowed(
+                            req.guided_state).any():
+                        err = ("guided constraint has no legal "
+                               "continuation in this vocabulary")
+                except ValueError as e:
+                    err = f"bad guided constraint: {e}"
+            if err is not None:
+                req.state = RequestState.FAILED
+                req.error = err
+                self.metrics.requests_failed += 1
+                req.emit([], finished=True)
+                return req
         if sampling.stop_strings:
             if self.tokenizer is None:
                 req.state = RequestState.FAILED
@@ -652,6 +691,36 @@ class Engine:
         metrics_lib.log_event("request_added", req_id=req.req_id,
                               prompt_len=len(req.prompt_ids))
         return req
+
+    def _guided_index(self, pattern: str):
+        """TokenIndex for ``pattern``, cached per engine (the vocabulary
+        trie is shared; FSM/state masks accumulate per pattern)."""
+        idx = self._guided_cache.get(pattern)
+        if idx is None:
+            from simplellminference_tpu.structured import (RegexFSM,
+                                                           TokenIndex,
+                                                           token_strings)
+            if self._guided_texts is None:
+                self._guided_texts = token_strings(self.tokenizer)
+            idx = TokenIndex(RegexFSM(pattern), self._guided_texts,
+                             self.tokenizer.eos_id)
+            if len(self._guided_cache) >= 64:   # bound compile memory
+                self._guided_cache.pop(next(iter(self._guided_cache)))
+            self._guided_cache[pattern] = idx
+        return idx
+
+    def _guided_mask_rows(self, reqs, nb: int) -> Optional[np.ndarray]:
+        """[nb, V] bool sampling mask for a dispatch whose row i serves
+        reqs[i] (padding rows all-True), or None when no row is guided."""
+        if not any(r.guided_index is not None for r in reqs):
+            return None
+        m = np.ones((nb, self.cfg.vocab_size), bool)
+        for i, r in enumerate(reqs):
+            if r.guided_index is not None:
+                a = r.guided_index.allowed(r.guided_state)
+                m[i, :len(a)] = a
+                m[i, len(a):] = False   # vocab-padding logits
+        return m
 
     def flush_prefix_cache(self) -> int:
         """Release every retained prefix (persistent prefix cache) back
@@ -1014,15 +1083,18 @@ class Engine:
                 jnp.asarray(self._top_p[idx]), *self._samp_extras(idx),
                 jnp.asarray(self._lora_idx[idx]) if self.has_lora
                 else None)
+        gm = self._guided_mask_rows(reqs, nb)
+        gm = None if gm is None else jnp.asarray(gm)
         if suffixes:
             packed, self.cache = self._prefill_chunk_fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(tables), jnp.asarray(kv_len),
-                jnp.asarray(offs), *samp)
+                jnp.asarray(offs), *samp, allowed=gm)
         else:
             packed, self.cache = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(tables), jnp.asarray(kv_len), *samp)
+                jnp.asarray(tables), jnp.asarray(kv_len), *samp,
+                allowed=gm)
         return packed[:n]
 
     def _samp_extras(self, idx):
@@ -1062,6 +1134,8 @@ class Engine:
                 *self._samp_extras(idx),
                 jnp.asarray(self._lora_idx[idx]) if self.has_lora
                 else None)
+        gm = self._guided_mask_rows([req], 1)
+        gm = None if gm is None else jnp.asarray(gm)
         chunk = self.ecfg.prefill_chunk
         use_chunks = chunk and chunk > 0 and todo > chunk \
             and chunk % self.ecfg.kv.page_size == 0
@@ -1081,14 +1155,14 @@ class Engine:
                 packed, self.cache = self._prefill_chunk_fn(
                     self.params, self.cache, tok, tables,
                     jnp.asarray([kv_after], np.int32),
-                    jnp.asarray([off], np.int32), *samp)
+                    jnp.asarray([off], np.int32), *samp, allowed=gm)
         else:
             bucket = next_power_of_2(max(ln, 16))
             tokens = np.zeros((1, bucket), np.int32)
             tokens[0, :ln] = ids
             packed, self.cache = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(tokens), tables,
-                jnp.asarray([ln], np.int32), *samp)
+                jnp.asarray([ln], np.int32), *samp, allowed=gm)
         self.metrics.prefills += 1
         self.metrics.prompt_tokens += ln
         self._pos[req.slot] = ln
@@ -1110,6 +1184,14 @@ class Engine:
             if lps is not None:
                 req.output_logprobs.append(float(lps[i]))
             accepted.append(t)
+            if req.guided_index is not None:
+                req.guided_state = req.guided_index.advance(
+                    req.guided_state, t)
+                if req.guided_state < 0:
+                    # masked sampling makes this unreachable; guard so a
+                    # dead FSM can never mask-starve future steps
+                    finished = True
+                    break
             if matcher is not None and matcher.push(t):
                 # stop string completed: text is truncated exactly at the
                 # match (may be mid-token); final_text is authoritative
@@ -1220,6 +1302,9 @@ class Engine:
             self.metrics.requests_failed += 1
             req.emit([], finished=True)
             return
+        if any(r.guided_index is not None for r in running):
+            self._guided_decode_step()
+            return
         if self._inflight is not None and all(
                 r.sampling.max_new_tokens - r.num_generated <= self.burst
                 for r in running):
@@ -1254,37 +1339,8 @@ class Engine:
             self._process_inflight()
             return
         active_np = np.asarray([s is not None for s in self.slots], bool)
-        # device-cached args: re-upload only when host state changed
-        if self._active_dirty or self._active_dev is None:
-            self._active_dev = jnp.asarray(active_np)
-            self._active_dirty = False
-        max_len = max(self.allocator.seq_len(r.slot) for r in running)
-        self._ensure_tables(max_len)
-        if self._samp_dirty or self._samp_dev is None:
-            # .copy() everywhere a LIVE host buffer is uploaded: on the
-            # CPU backend jnp.asarray may zero-copy-alias the numpy
-            # array (alignment-dependent), and the host mutates these
-            # while the asynchronously dispatched burst still reads them
-            self._samp_dev = tuple(
-                jnp.asarray(a.copy())
-                for a in (self._temp, self._top_k, self._top_p,
-                          self._min_p, self._rep_p, self._freq_p,
-                          self._pres_p, self._seed, self._bias_ids,
-                          self._bias_vals))
-            self._samp_dirty = False
-        active = self._active_dev
-        tables = self._tables_dev
-        sampler_args = self._samp_dev
-        if self.has_lora and (self._lora_dirty or self._lora_dev is None):
-            self._lora_dev = jnp.asarray(self._lora_idx.copy())
-            self._lora_dirty = False
-        lidx = self._lora_dev if self.has_lora else None
-        # every sampling draw is keyed by per-row (seed, position) folds
-        # — the burst's key argument is inert, so one constant suffices
-        # (no per-burst split dispatch)
-        if self._burst_key is None:
-            self._burst_key = jax.random.PRNGKey(1)
-        sub = self._burst_key
+        active, tables, sampler_args, lidx, sub = \
+            self._dispatch_args(running)
         if self._dev_tok is None:
             dev_tok = jnp.asarray(self._next_tok.copy())
             dev_pos = jnp.asarray(self._pos.copy())
@@ -1357,6 +1413,110 @@ class Engine:
             self._bookkeep(*prev)
         self.metrics.observe_step(
             busy_slots=int(active_np.sum()), total_slots=len(self.slots),
+            used_pages=self.ecfg.kv.num_pages - self.allocator.num_free,
+            total_pages=self.ecfg.kv.num_pages)
+
+    def _dispatch_args(self, running):
+        """Device-cached burst arguments (re-uploaded only when dirty):
+        (active, tables, sampler_args, lora_idx, key)."""
+        if self._active_dirty or self._active_dev is None:
+            self._active_dev = jnp.asarray(
+                np.asarray([s is not None for s in self.slots], bool))
+            self._active_dirty = False
+        max_len = max(self.allocator.seq_len(r.slot) for r in running)
+        self._ensure_tables(max_len)
+        if self._samp_dirty or self._samp_dev is None:
+            # .copy() everywhere a LIVE host buffer is uploaded: on the
+            # CPU backend jnp.asarray may zero-copy-alias the numpy
+            # array (alignment-dependent), and the host mutates these
+            # while the asynchronously dispatched burst still reads them
+            self._samp_dev = tuple(
+                jnp.asarray(a.copy())
+                for a in (self._temp, self._top_k, self._top_p,
+                          self._min_p, self._rep_p, self._freq_p,
+                          self._pres_p, self._seed, self._bias_ids,
+                          self._bias_vals))
+            self._samp_dirty = False
+        if self.has_lora and (self._lora_dirty or self._lora_dev is None):
+            self._lora_dev = jnp.asarray(self._lora_idx.copy())
+            self._lora_dirty = False
+        lidx = self._lora_dev if self.has_lora else None
+        # every sampling draw is keyed by per-row (seed, position) folds
+        # — the burst's key argument is inert, so one constant suffices
+        # (no per-burst split dispatch)
+        if self._burst_key is None:
+            self._burst_key = jax.random.PRNGKey(1)
+        return (self._active_dev, self._tables_dev, self._samp_dev,
+                lidx, self._burst_key)
+
+    def _guided_decode_step(self):
+        """One single-token decode step with per-slot vocabulary masks.
+
+        A guided constraint changes the legal vocabulary after EVERY
+        emitted token, so while any guided request runs the engine
+        trades the pipelined multi-step burst for mask -> one step ->
+        sync -> FSM advance. Unguided slots in the same batch decode
+        in the same dispatch (all-True mask rows); burst pipelining
+        resumes the moment the last guided request finishes.
+        """
+        self._process_inflight()        # masks need current host state
+        self._dev_tok = None            # pipeline state was consumed
+        if not self._ensure_burst_pages():
+            return                      # step() handles hard OOM next
+        # dead-end constraints (the vocabulary cannot express any legal
+        # continuation): fail the request rather than emit garbage
+        for r in list(self.slots):
+            if r is None or r.guided_index is None:
+                continue
+            if not r.guided_index.allowed(r.guided_state).any():
+                r.state = RequestState.FAILED
+                r.error = ("guided constraint has no legal continuation "
+                           "in this vocabulary")
+                self.allocator.free_seq(r.slot)
+                self.slots[r.slot] = None
+                self._active_dirty = True
+                self._tables_dirty = True
+                self.metrics.requests_failed += 1
+                r.slot = -1
+                r.emit([], finished=True)
+        running = [r for r in self.slots if r is not None]
+        if not running:
+            return
+        b = len(self.slots)
+        mask = np.ones((b, self.cfg.vocab_size), bool)
+        for r in running:
+            if r.guided_index is not None:
+                a = r.guided_index.allowed(r.guided_state)
+                mask[r.slot, :len(a)] = a
+                mask[r.slot, len(a):] = False
+        active, tables, sampler_args, lidx, sub = \
+            self._dispatch_args(running)
+        # host state is authoritative after the drain: override all rows
+        ov_tok = jnp.asarray(self._next_tok.copy())
+        ov_pos = jnp.asarray(self._pos.copy())
+        ov_counts = jnp.asarray(self._counts_host.copy())
+        ov_all = jnp.asarray(np.ones(b, bool))
+        packed, _, _, _, self.cache = self._burst_fn(
+            1, self.params, self.cache, jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, jnp.int32),
+            jnp.zeros(self._counts_host.shape, jnp.float32),
+            ov_tok, ov_pos, ov_counts, ov_all, tables, active, sub,
+            *sampler_args, lidx, allowed=jnp.asarray(mask))
+        self._override[:] = False
+        self.metrics.decode_bursts += 1
+        arr = np.asarray(packed)        # [B, 1, 2] — sync NOW
+        for req in running:
+            slot = req.slot
+            t = int(arr[slot, 0, 0])
+            self._emit_tokens(req, [t], [float(arr[slot, 0, 1])])
+            if req.state == RequestState.RUNNING:
+                self._pos[slot] += 1
+                self._next_tok[slot] = t
+                self._counts_host[slot, t] += 1
+                if self.spec:
+                    self._hist_host[slot, self._pos[slot]] = t
+        self.metrics.observe_step(
+            busy_slots=len(running), total_slots=b,
             used_pages=self.ecfg.kv.num_pages - self.allocator.num_free,
             total_pages=self.ecfg.kv.num_pages)
 

@@ -53,6 +53,10 @@ class Request:
     # entirely within final_text (ids past it decode stop-string content
     # and must not reach clients that consume token_ids)
     final_ids_len: Optional[int] = None
+    # guided decoding (set by the engine when sampling.guided_* is set):
+    # the TokenIndex over the constraint FSM, and the current FSM state
+    guided_index: Optional[object] = None
+    guided_state: int = 0
 
     @property
     def num_generated(self) -> int:

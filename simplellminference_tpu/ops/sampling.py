@@ -198,7 +198,8 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
            seeds: Optional[jax.Array] = None,
            seed_pos: Optional[jax.Array] = None,
            bias_ids: Optional[jax.Array] = None,
-           bias_vals: Optional[jax.Array] = None) -> jax.Array:
+           bias_vals: Optional[jax.Array] = None,
+           allowed: Optional[jax.Array] = None) -> jax.Array:
     """Batched sampling with per-sequence params, jit-safe (static shapes).
 
     logits: [B, V] fp32; temperature/top_k/top_p/min_p: [B] (temperature
@@ -223,8 +224,14 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     [B, V] sort. Seeded draws are tier-invariant: the sorted path
     scatters the shaped logits back to token order and uses the same
     per-(seed, position) Gumbel noise as the fast path.
+
+    ``allowed`` [B, V] bool: guided-decoding vocabulary mask — banned
+    tokens' logits drop to -1e30 before shaping (greedy included). A
+    row constrained to one token samples it at any temperature.
     """
     b, v = logits.shape
+    if allowed is not None:
+        logits = jnp.where(allowed, logits, -1e30)
     if bias_ids is not None:
         logits = apply_logit_bias(logits, bias_ids, bias_vals)
     if min_p is None:

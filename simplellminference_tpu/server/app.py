@@ -95,7 +95,38 @@ def _sampling_from(body: dict, tokenizer) -> SamplingParams:
     except (TypeError, ValueError):
         raise ValueError("'logit_bias' keys must be token ids and "
                          "values numbers")
+    # guided decoding: vLLM-style extensions + OpenAI response_format
+    guided_regex = body.get("guided_regex")
+    guided_json = body.get("guided_json")
+    guided_choice = body.get("guided_choice")
+    rf = body.get("response_format")
+    if rf is not None:
+        if not isinstance(rf, dict) or "type" not in rf:
+            raise ValueError("'response_format' must be an object with "
+                             "a 'type'")
+        if rf["type"] == "json_object":
+            guided_json = guided_json if guided_json is not None else True
+        elif rf["type"] == "json_schema":
+            js = rf.get("json_schema")
+            if not isinstance(js, dict) or "schema" not in js:
+                raise ValueError("response_format json_schema needs "
+                                 "{'json_schema': {'schema': ...}}")
+            guided_json = js["schema"]
+        elif rf["type"] != "text":
+            raise ValueError(f"unknown response_format type "
+                             f"{rf['type']!r}")
+    if guided_regex is not None and not isinstance(guided_regex, str):
+        raise ValueError("'guided_regex' must be a string")
+    if guided_choice is not None:
+        if not isinstance(guided_choice, list) or not guided_choice \
+                or not all(isinstance(c, str) for c in guided_choice):
+            raise ValueError("'guided_choice' must be a non-empty array "
+                             "of strings")
+        guided_choice = tuple(guided_choice)
     return SamplingParams(
+        guided_regex=guided_regex,
+        guided_json=guided_json,
+        guided_choice=guided_choice,
         stop_strings=stop_strings,
         logit_bias=logit_bias,
         max_new_tokens=int(body.get("max_tokens", 128)),

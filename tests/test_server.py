@@ -189,3 +189,50 @@ def test_completions_echo_and_best_of():
         assert r.status == 400
 
     run_with_client(go)
+
+
+def test_guided_decoding_api():
+    """vLLM-style guided_* extensions and OpenAI response_format."""
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "pick", "max_tokens": 16,
+            "guided_choice": ["alpha", "beta"]})
+        assert r.status == 200
+        body = await r.json()
+        assert body["choices"][0]["text"] in ("alpha", "beta")
+
+        r = await client.post("/v1/completions", json={
+            "prompt": "num", "max_tokens": 12,
+            "guided_regex": "[0-9]{2,4}"})
+        assert r.status == 200
+        t = (await r.json())["choices"][0]["text"]
+        assert t.isdigit() and 2 <= len(t) <= 4
+
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "json please"}],
+            "max_tokens": 48,
+            "response_format": {"type": "json_schema", "json_schema": {
+                "name": "t", "schema": {
+                    "type": "object",
+                    "properties": {"n": {"enum": [1, 2, 3]},
+                                   "ok": {"type": "boolean"}},
+                    "required": ["n", "ok"]}}}})
+        assert r.status == 200
+        body = await r.json()
+        doc = json.loads(body["choices"][0]["message"]["content"])
+        assert doc["n"] in (1, 2, 3) and isinstance(doc["ok"], bool)
+
+        # client errors surface as 400s, not 500s
+        r = await client.post("/v1/completions", json={
+            "prompt": "x", "guided_regex": "(a"})
+        assert r.status == 400
+        r = await client.post("/v1/completions", json={
+            "prompt": "x", "guided_regex": "a",
+            "guided_choice": ["b"]})
+        assert r.status == 400
+        r = await client.post("/v1/completions", json={
+            "prompt": "x", "response_format": {"type": "bogus"}})
+        assert r.status == 400
+
+    run_with_client(go)

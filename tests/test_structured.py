@@ -1,0 +1,342 @@
+"""Guided decoding: regex FSM, JSON-schema compilation, token masking,
+and engine end-to-end constraint satisfaction (SURVEY.md §4.5 strategy:
+pure-logic property tests + tiny-model engine integration)."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from simplellminference_tpu.core.config import (EngineConfig, KVCacheConfig,
+                                                ModelConfig, SamplingParams)
+from simplellminference_tpu.engine import Engine
+from simplellminference_tpu.models import llama
+from simplellminference_tpu.structured import (RegexError, RegexFSM,
+                                               TokenIndex, any_json_regex,
+                                               schema_to_regex,
+                                               token_strings)
+from simplellminference_tpu.tokenizer.bytes import ByteTokenizer
+
+# ---------------------------------------------------------------- regex
+
+
+CASES = [
+    (r"[0-9]{1,3}", ["0", "42", "999"], ["", "1000", "a"]),
+    (r"(abc|de)f?", ["abc", "def", "abcf", "de"], ["ab", "d", "abcff"]),
+    (r"-?(0|[1-9][0-9]*)(\.[0-9]+)?", ["0", "-12", "3.14"],
+     ["00", "1.", "+5", "0.", "-"]),
+    (r"a+b*c?", ["a", "aabbc", "abc"], ["", "b", "ca"]),
+    (r"[^x-z]+", ["abc", "w"], ["x", "aay", ""]),
+    (r"\w+@\w+\.(com|org)", ["a_1@b.com", "x@y.org"],
+     ["a@b.net", "@b.com", "a@.com"]),
+    (r"a{2,4}", ["aa", "aaa", "aaaa"], ["a", "aaaaa"]),
+    (r"(ab){2,}", ["abab", "ababab"], ["ab", "", "aba"]),
+    # regression: a skip edge targeting a star fragment's accept must
+    # not be able to re-enter the loop body
+    (r"0(x0+)?", ["0", "0x0", "0x00"], ["00", "0x"]),
+    (r"(?:ha)+!", ["ha!", "haha!"], ["h!", "!"]),
+    (r"\d\.\d", ["1.2"], ["1x2", "122"]),
+    (r"[\d-]+", ["1-2", "-"], ["a"]),
+    (r"x|", ["x", ""], ["y"]),
+    (r"A+", ["A", "AA"], ["a"]),
+]
+
+
+@pytest.mark.parametrize("pat,yes,no", CASES)
+def test_regex_fullmatch(pat, yes, no):
+    f = RegexFSM(pat)
+    for s in yes:
+        assert f.fullmatch(s), (pat, s)
+    for s in no:
+        assert not f.fullmatch(s), (pat, s)
+
+
+def test_regex_agrees_with_python_re():
+    """Random strings over a small alphabet vs re.fullmatch."""
+    import re as pyre
+    pats = [r"(a|bb)*c", r"[ab]{2,5}", r"a(b|c)+d?", r"(a?b){3}"]
+    rng = np.random.default_rng(0)
+    for pat in pats:
+        ours = RegexFSM(pat)
+        ref = pyre.compile(pat)
+        for _ in range(300):
+            n = int(rng.integers(0, 8))
+            s = "".join(rng.choice(list("abcd"), n))
+            assert ours.fullmatch(s) == bool(ref.fullmatch(s)), (pat, s)
+
+
+def test_regex_errors():
+    for bad in ["(a", "a)", "[a", "a{2,1}", "*a", "a{9999}", "(?<x>a)"]:
+        with pytest.raises(RegexError):
+            RegexFSM(bad)
+
+
+def test_regex_state_liveness():
+    """step() returns -1 exactly when no completion exists."""
+    f = RegexFSM(r"ab+c")
+    s = f.step(f.start, "a")
+    assert s >= 0 and not f.accepting(s)
+    assert f.step(s, "c") == -1          # b required first
+    s = f.step(s, "b")
+    s2 = f.step(s, "c")
+    assert f.accepting(s2)
+    assert f.step(s2, "c") == -1         # nothing may follow
+
+
+# ------------------------------------------------------------ JSON schema
+
+
+def _matches(schema, value) -> bool:
+    f = RegexFSM(schema_to_regex(schema))
+    return f.fullmatch(json.dumps(value, separators=(",", ":")))
+
+
+def test_schema_scalars():
+    assert _matches({"type": "integer"}, 42)
+    assert _matches({"type": "integer"}, -7)
+    assert not _matches({"type": "integer"}, 3.5)
+    assert _matches({"type": "number"}, 3.5)
+    assert _matches({"type": "number"}, -1e-3)
+    assert _matches({"type": "boolean"}, True)
+    assert _matches({"type": "null"}, None)
+    assert _matches({"type": "string"}, 'he said "hi"\n')
+    assert not RegexFSM(schema_to_regex({"type": "integer"})) \
+        .fullmatch("007")
+
+
+def test_schema_object_required_and_optional():
+    sch = {"type": "object",
+           "properties": {"name": {"type": "string", "maxLength": 8},
+                          "age": {"type": "integer"},
+                          "nick": {"type": "string"}},
+           "required": ["name", "age"]}
+    assert _matches(sch, {"name": "bob", "age": 3})
+    assert _matches(sch, {"name": "b", "age": -1, "nick": "n"})
+    assert not _matches(sch, {"age": 3})                  # missing name
+    f = RegexFSM(schema_to_regex(sch))
+    # property order is the declared order; commas exact
+    assert not f.fullmatch('{"age":3,"name":"b"}')
+    assert not f.fullmatch('{"name":"b","age":3,}')
+
+
+def test_schema_arrays_enums_refs():
+    sch = {"type": "array", "items": {"type": "integer"}, "maxItems": 2}
+    assert _matches(sch, []) and _matches(sch, [1, 2])
+    assert not _matches(sch, [1, 2, 3])
+    sch2 = {"type": "array", "items": {"type": "string"}, "minItems": 2}
+    assert _matches(sch2, ["a", "b", "c"]) and not _matches(sch2, ["a"])
+    assert _matches({"enum": ["red", 3, None]}, "red")
+    assert _matches({"enum": ["red", 3, None]}, 3)
+    assert not _matches({"enum": ["red"]}, "blue")
+    sch3 = {"$defs": {"c": {"enum": ["a", "b"]}},
+            "type": "object",
+            "properties": {"x": {"$ref": "#/$defs/c"},
+                           "v": {"anyOf": [{"type": "integer"},
+                                           {"type": "null"}]}},
+            "required": ["x", "v"]}
+    assert _matches(sch3, {"x": "a", "v": 1})
+    assert _matches(sch3, {"x": "b", "v": None})
+    assert not _matches(sch3, {"x": "z", "v": 1})
+
+
+def test_any_json_regex():
+    f = RegexFSM(any_json_regex())
+    for v in [1, "x", [1, 2, {"a": None}], {"k": [True, False]}, None,
+              3.5, {}]:
+        assert f.fullmatch(json.dumps(v, separators=(",", ":"))), v
+    assert not f.fullmatch("{bad}")
+
+
+def test_schema_unsupported_rejected():
+    from simplellminference_tpu.structured.json_schema import SchemaError
+    with pytest.raises(SchemaError):
+        schema_to_regex({"type": "frob"})
+    with pytest.raises(SchemaError):
+        schema_to_regex({"$ref": "#/nope"})
+    with pytest.raises(SchemaError):
+        schema_to_regex({"type": "object",
+                         "properties": {"a": {"type": "integer"}},
+                         "required": ["b"]})
+
+
+# ------------------------------------------------------------ token index
+
+
+def test_token_index_byte_vocab():
+    tok = ByteTokenizer()
+    texts = token_strings(tok)
+    assert texts[ord("a")] == "a"
+    assert texts[200] is None            # partial UTF-8 byte
+    assert texts[tok.eos_id] is None
+    fsm = RegexFSM(r"(yes|no)!")
+    idx = TokenIndex(fsm, texts, eos_id=tok.eos_id)
+    m = idx.allowed(fsm.start)
+    assert m[ord("y")] and m[ord("n")]
+    assert not m[ord("a")] and not m[tok.eos_id]
+    s = idx.advance(fsm.start, ord("n"))
+    s = idx.advance(s, ord("o"))
+    s = idx.advance(s, ord("!"))
+    m = idx.allowed(s)
+    assert m[tok.eos_id] and m.sum() == 1   # complete: only EOS
+
+    # greedy first-allowed walk always terminates in a full match
+    fsm2 = RegexFSM(r'\{"n":[0-9]{2}\}')
+    idx2 = TokenIndex(fsm2, texts, eos_id=tok.eos_id)
+    s, out = fsm2.start, []
+    for _ in range(30):
+        t = int(np.argmax(idx2.allowed(s)))
+        if t == tok.eos_id:
+            break
+        out.append(t)
+        s = idx2.advance(s, t)
+    assert fsm2.fullmatch(tok.decode(out))
+
+
+def test_token_strings_sentencepiece():
+    """SP pieces contribute their text with ▁ as a space; control and
+    multi-byte fallback pieces are banned."""
+    from simplellminference_tpu.tokenizer.sentencepiece import (
+        BYTE, CONTROL, NORMAL, Piece, SentencePieceTokenizer)
+    pieces = [Piece("<s>", 0.0, CONTROL), Piece("▁hi", 0.0, NORMAL),
+              Piece("x", 0.0, NORMAL), Piece("<0x41>", 0.0, BYTE),
+              Piece("<0xC3>", 0.0, BYTE)]
+    tok = SentencePieceTokenizer(pieces)
+    texts = token_strings(tok)
+    assert texts[0] is None
+    assert texts[1] == " hi"
+    assert texts[2] == "x"
+    assert texts[3] == "A"
+    assert texts[4] is None              # UTF-8 continuation byte
+
+
+# ------------------------------------------------------------ engine e2e
+
+
+@pytest.fixture(scope="module")
+def guided_model():
+    cfg = ModelConfig.tiny_test(vocab_size=258)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    return cfg, params
+
+
+def make_guided_engine(cfg, params, max_batch=4, burst=4, spec=0):
+    ecfg = EngineConfig(
+        max_batch_size=max_batch, spec_tokens=spec,
+        kv=KVCacheConfig(page_size=8, num_pages=64, max_pages_per_seq=16,
+                         kv_dtype="f32"))
+    return Engine(cfg, params, ecfg, tokenizer=ByteTokenizer(),
+                  decode_burst=burst)
+
+
+def test_engine_guided_regex(guided_model):
+    cfg, params = guided_model
+    eng = make_guided_engine(cfg, params)
+    tok = ByteTokenizer()
+    pat = r"(red|green|blue) (cat|dog)s?"
+    outs = eng.generate(
+        [tok.encode("q1"), tok.encode("q2")],
+        SamplingParams(max_new_tokens=20, guided_regex=pat))
+    f = RegexFSM(pat)
+    for ids in outs:
+        text = tok.decode([t for t in ids if t < 256])
+        assert f.fullmatch(text), text
+
+
+def test_engine_guided_json_schema(guided_model):
+    cfg, params = guided_model
+    eng = make_guided_engine(cfg, params)
+    tok = ByteTokenizer()
+    sch = {"type": "object",
+           "properties": {"name": {"type": "string", "maxLength": 6},
+                          "count": {"type": "integer"},
+                          "ok": {"type": "boolean"}},
+           "required": ["name", "count", "ok"]}
+    outs = eng.generate([tok.encode("make json")],
+                        SamplingParams(max_new_tokens=64,
+                                       guided_json=sch))
+    text = tok.decode([t for t in outs[0] if t < 256])
+    doc = json.loads(text)
+    assert set(doc) >= {"name", "count", "ok"}
+    assert isinstance(doc["count"], int) and isinstance(doc["ok"], bool)
+
+
+def test_engine_guided_choice_and_sampling(guided_model):
+    """Stochastic rows obey the constraint too (mask precedes shaping),
+    and mixed guided/unguided batches leave unguided rows untouched."""
+    cfg, params = guided_model
+    tok = ByteTokenizer()
+    eng = make_guided_engine(cfg, params)
+    free = SamplingParams(max_new_tokens=8)
+    want_free = eng.generate([tok.encode("p")], free)[0]
+
+    eng2 = make_guided_engine(cfg, params)
+    outs = eng2.generate(
+        [tok.encode("p"), tok.encode("pick"), tok.encode("pick2")],
+        [free,
+         SamplingParams(max_new_tokens=16,
+                        guided_choice=("alpha", "beta")),
+         SamplingParams(max_new_tokens=16, temperature=1.0, seed=7,
+                        guided_choice=("alpha", "beta"))])
+    assert outs[0] == want_free          # unguided row unchanged
+    for ids in outs[1:]:
+        assert tok.decode([t for t in ids if t < 256]) in ("alpha",
+                                                           "beta")
+
+
+def test_engine_guided_errors(guided_model):
+    cfg, params = guided_model
+    tok = ByteTokenizer()
+    eng = make_guided_engine(cfg, params)
+    # conflicting constraints
+    r = eng.add_request(prompt_ids=tok.encode("x"),
+                        sampling=SamplingParams(guided_regex="a",
+                                                guided_choice=("b",)))
+    assert r.error and "guided" in r.error
+    # invalid regex
+    r = eng.add_request(prompt_ids=tok.encode("x"),
+                        sampling=SamplingParams(guided_regex="(a"))
+    assert r.error and "guided" in r.error
+    # no tokenizer
+    ecfg = EngineConfig(max_batch_size=2,
+                        kv=KVCacheConfig(page_size=8, num_pages=32,
+                                         max_pages_per_seq=8,
+                                         kv_dtype="f32"))
+    eng2 = Engine(cfg, params, ecfg)
+    r = eng2.add_request(prompt_ids=[1, 2],
+                         sampling=SamplingParams(guided_regex="a"))
+    assert r.error and "tokenizer" in r.error
+    # incompatible with speculative decoding
+    eng3 = make_guided_engine(cfg, params, spec=2)
+    r = eng3.add_request(prompt_ids=tok.encode("x"),
+                         sampling=SamplingParams(guided_regex="a"))
+    assert r.error and "speculative" in r.error
+    # dead end: constraint needs a character outside the vocabulary
+    eng4 = make_guided_engine(cfg, params)
+    r = eng4.add_request(prompt_ids=tok.encode("x"),
+                         sampling=SamplingParams(max_new_tokens=8,
+                                                 guided_regex="日本"))
+    eng4.run()
+    assert r.error and "continuation" in r.error
+
+
+def test_engine_guided_then_pipelined(guided_model):
+    """After the last guided request finishes the engine returns to
+    pipelined bursts and still produces dense-path-exact tokens."""
+    cfg, params = guided_model
+    tok = ByteTokenizer()
+    from simplellminference_tpu.runtime.generator import Generator
+    import jax.numpy as jnp
+    gen = Generator(cfg, params, max_batch=1, max_seq=128,
+                    kv_dtype=jnp.float32)
+    want = gen.generate([tok.encode("after")],
+                        SamplingParams(max_new_tokens=10)).token_ids[0]
+    eng = make_guided_engine(cfg, params)
+    g = eng.generate([tok.encode("g")],
+                     SamplingParams(max_new_tokens=12,
+                                    guided_regex=r"[0-9]+"))
+    text = tok.decode([t for t in g[0] if t < 256])
+    assert text and all(c.isdigit() for c in text)
+    got = eng.generate([tok.encode("after")],
+                       SamplingParams(max_new_tokens=10))
+    assert got[0] == want
