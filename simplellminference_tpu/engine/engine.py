@@ -88,9 +88,12 @@ class Engine:
             kv.max_pages_per_seq)
         from simplellminference_tpu.memory.paged_kv import kv_storage_dtype
         kv_dtype = kv_storage_dtype(kv.kv_dtype)
+        # absorbed MLA: the cached latent row IS both K and V — ONE
+        # shared pool (half the memory; the attention kernels DMA each
+        # page once for score AND value)
         self.cache = PagedKVCache.create(
             cfg.num_layers, kv.num_pages, cfg.num_kv_heads, kv.page_size,
-            cfg.head_dim, kv_dtype)
+            cfg.head_dim, kv_dtype, shared_kv=cfg.mla_absorbed)
 
         # tensor-parallel serving: shard params + KV page pools over the
         # model axis and run the per-shard Pallas kernels inside a
@@ -125,7 +128,8 @@ class Engine:
                                      P(None, None, kv_ax, None))
             self.cache = PagedKVCache(
                 k=jax.device_put(self.cache.k, pool_sh),
-                v=jax.device_put(self.cache.v, pool_sh),
+                v=(jax.device_put(self.cache.v, pool_sh)
+                   if self.cache.v is not None else None),
                 k_scale=(jax.device_put(self.cache.k_scale, scale_sh)
                          if self.cache.k_scale is not None else None),
                 v_scale=(jax.device_put(self.cache.v_scale, scale_sh)

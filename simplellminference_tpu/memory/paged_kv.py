@@ -62,27 +62,33 @@ class PagedKVCache:
     """
 
     k: jax.Array
-    v: jax.Array
+    # None = shared-KV cache (absorbed MLA): the K pool's latent row IS
+    # the value — half the memory, and the attention kernels DMA each
+    # page once for both the score and the value contraction.
+    v: typing.Optional[jax.Array] = None
     k_scale: typing.Optional[jax.Array] = None
     v_scale: typing.Optional[jax.Array] = None
 
     @classmethod
     def create(cls, num_layers: int, num_pages: int, num_kv_heads: int,
-               page_size: int, head_dim: int, dtype=jnp.bfloat16):
+               page_size: int, head_dim: int, dtype=jnp.bfloat16,
+               shared_kv: bool = False):
         """Allocates ``num_pages`` usable pages + one TRASH page (the last
         row): the Pallas write kernels redirect unmapped (-1) table entries
         there, since a blocked out-spec cannot skip its write-back
         (ops/paged_append.py). The allocator never hands out the trash
-        page."""
+        page. ``shared_kv``: one pool serves as both K and V (absorbed-MLA
+        latent rows) — v stays None."""
         dtype = jnp.dtype(dtype)
         shape = (num_layers, num_pages + 1, num_kv_heads, page_size,
                  head_dim)
         k = _row_major_zeros(shape, dtype)
-        v = _row_major_zeros(shape, dtype)
+        v = None if shared_kv else _row_major_zeros(shape, dtype)
         if dtype == jnp.int8:
             return cls(k=k, v=v,
                        k_scale=_row_major_zeros(shape[:-1], jnp.float32),
-                       v_scale=_row_major_zeros(shape[:-1], jnp.float32))
+                       v_scale=(None if shared_kv else _row_major_zeros(
+                           shape[:-1], jnp.float32)))
         return cls(k=k, v=v)
 
     @property
@@ -212,17 +218,21 @@ def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
         safe = jnp.minimum(cols, tables.shape[1] - 1)
         tables = jnp.where(cols < tables.shape[1],
                            jnp.take_along_axis(tables, safe, axis=1), -1)
+    shared = pool_v is None   # shared-KV (absorbed MLA): K-pool only
     if _use_pallas_writes():
         if pool_ks is None:
             from simplellminference_tpu.ops.paged_append import (
                 paged_append_prefill)
-            pk, pv = paged_append_prefill(pool_k, pool_v, new_k, new_v,
+            pk, pv = paged_append_prefill(pool_k, pool_v, new_k,
+                                          None if shared else new_v,
                                           tables, layer)
             return pk, pv, None, None
-        from simplellminference_tpu.ops.paged_append import (
-            paged_append_prefill_quant)
-        return paged_append_prefill_quant(pool_k, pool_v, pool_ks, pool_vs,
-                                          new_k, new_v, tables, layer)
+        if not shared:
+            from simplellminference_tpu.ops.paged_append import (
+                paged_append_prefill_quant)
+            return paged_append_prefill_quant(pool_k, pool_v, pool_ks,
+                                              pool_vs, new_k, new_v,
+                                              tables, layer)
     _, p, kvn, ps, d = pool_k.shape
     b, s, _, _ = new_k.shape
     npg = s // ps if s % ps == 0 else s // ps + 1
@@ -237,17 +247,21 @@ def write_prefill_stacked(pool_k: jax.Array, pool_v: jax.Array,
     idx = tables[:, :npg].reshape(-1)
     if pool_ks is not None:
         qk, sk = quantize_kv(new_k)
-        qv, sv = quantize_kv(new_v)
         pool_k = pool_k.at[layer, idx].set(chunks(qk), mode="drop")
-        pool_v = pool_v.at[layer, idx].set(chunks(qv), mode="drop")
         schunk = lambda sc: (jnp.pad(sc, ((0, 0), (0, pad), (0, 0)))
                              if pad else sc).reshape(
             b, npg, ps, kvn).transpose(0, 1, 3, 2).reshape(b * npg, kvn, ps)
         pool_ks = pool_ks.at[layer, idx].set(schunk(sk), mode="drop")
+        if shared:
+            return pool_k, None, pool_ks, None
+        qv, sv = quantize_kv(new_v)
+        pool_v = pool_v.at[layer, idx].set(chunks(qv), mode="drop")
         pool_vs = pool_vs.at[layer, idx].set(schunk(sv), mode="drop")
         return pool_k, pool_v, pool_ks, pool_vs
     pool_k = pool_k.at[layer, idx].set(chunks(new_k).astype(pool_k.dtype),
                                        mode="drop")
+    if shared:
+        return pool_k, None, None, None
     pool_v = pool_v.at[layer, idx].set(chunks(new_v).astype(pool_v.dtype),
                                        mode="drop")
     return pool_k, pool_v, None, None
@@ -260,32 +274,39 @@ def write_decode_stacked(pool_k: jax.Array, pool_v: jax.Array,
                          pool_ks: jax.Array | None = None,
                          pool_vs: jax.Array | None = None):
     """Stacked-pool decode write: one token per sequence at ``layer``."""
+    shared = pool_v is None   # shared-KV (absorbed MLA): K-pool only
     if _use_pallas_writes():
         if pool_ks is None:
             from simplellminference_tpu.ops.paged_append import (
                 paged_append_decode)
-            pk, pv = paged_append_decode(pool_k, pool_v, new_k, new_v,
+            pk, pv = paged_append_decode(pool_k, pool_v, new_k,
+                                         None if shared else new_v,
                                          tables, positions, layer)
             return pk, pv, None, None
-        from simplellminference_tpu.ops.paged_append import (
-            paged_append_decode_quant)
-        return paged_append_decode_quant(pool_k, pool_v, pool_ks, pool_vs,
-                                         new_k, new_v, tables, positions,
-                                         layer)
+        if not shared:
+            from simplellminference_tpu.ops.paged_append import (
+                paged_append_decode_quant)
+            return paged_append_decode_quant(pool_k, pool_v, pool_ks,
+                                             pool_vs, new_k, new_v,
+                                             tables, positions, layer)
     ps = pool_k.shape[3]
     page_idx = jnp.take_along_axis(
         tables, (positions // ps)[:, None], axis=1)[:, 0]       # [B]
     slot = positions % ps                                       # [B]
     if pool_ks is not None:
         qk, sk = quantize_kv(new_k)
-        qv, sv = quantize_kv(new_v)
         pool_k = pool_k.at[layer, page_idx, :, slot, :].set(qk, mode="drop")
-        pool_v = pool_v.at[layer, page_idx, :, slot, :].set(qv, mode="drop")
         pool_ks = pool_ks.at[layer, page_idx, :, slot].set(sk, mode="drop")
+        if shared:
+            return pool_k, None, pool_ks, None
+        qv, sv = quantize_kv(new_v)
+        pool_v = pool_v.at[layer, page_idx, :, slot, :].set(qv, mode="drop")
         pool_vs = pool_vs.at[layer, page_idx, :, slot].set(sv, mode="drop")
         return pool_k, pool_v, pool_ks, pool_vs
     pool_k = pool_k.at[layer, page_idx, :, slot, :].set(
         new_k.astype(pool_k.dtype), mode="drop")
+    if shared:
+        return pool_k, None, None, None
     pool_v = pool_v.at[layer, page_idx, :, slot, :].set(
         new_v.astype(pool_v.dtype), mode="drop")
     return pool_k, pool_v, None, None
@@ -299,10 +320,12 @@ def write_span_stacked(pool_k: jax.Array, pool_v: jax.Array,
                        pool_vs: jax.Array | None = None):
     """Write T consecutive tokens per sequence at ``positions`` (the
     speculative-decoding verify step). new_k/v: [B, T, kvN, D]; T <= 8."""
+    shared = pool_v is None   # shared-KV (absorbed MLA): K-pool only
     if pool_ks is None and _use_pallas_writes():
         from simplellminference_tpu.ops.paged_append import (
             paged_append_span)
-        pk, pv = paged_append_span(pool_k, pool_v, new_k, new_v, tables,
+        pk, pv = paged_append_span(pool_k, pool_v, new_k,
+                                   None if shared else new_v, tables,
                                    positions, layer)
         return pk, pv, None, None
     b, t_len, kvn, d = new_k.shape
@@ -312,16 +335,20 @@ def write_span_stacked(pool_k: jax.Array, pool_v: jax.Array,
     slot = pos % ps
     if pool_ks is not None:
         qk, sk = quantize_kv(new_k)   # [B, T, kvN, D], [B, T, kvN]
-        qv, sv = quantize_kv(new_v)
         pool_k = pool_k.at[layer, page_idx, :, slot, :].set(qk,
                                                             mode="drop")
+        pool_ks = pool_ks.at[layer, page_idx, :, slot].set(sk, mode="drop")
+        if shared:
+            return pool_k, None, pool_ks, None
+        qv, sv = quantize_kv(new_v)
         pool_v = pool_v.at[layer, page_idx, :, slot, :].set(qv,
                                                             mode="drop")
-        pool_ks = pool_ks.at[layer, page_idx, :, slot].set(sk, mode="drop")
         pool_vs = pool_vs.at[layer, page_idx, :, slot].set(sv, mode="drop")
         return pool_k, pool_v, pool_ks, pool_vs
     pool_k = pool_k.at[layer, page_idx, :, slot, :].set(
         new_k.astype(pool_k.dtype), mode="drop")
+    if shared:
+        return pool_k, None, None, None
     pool_v = pool_v.at[layer, page_idx, :, slot, :].set(
         new_v.astype(pool_v.dtype), mode="drop")
     return pool_k, pool_v, None, None
@@ -335,7 +362,8 @@ def gather_dense(pool_k: jax.Array, pool_v: jax.Array, tables: jax.Array,
     dequantizing int8 storage through the scale pools.
 
     Unmapped (-1) pages come back as zeros (mode='fill'); callers mask by
-    kv_lens anyway.
+    kv_lens anyway. pool_v None (shared-KV absorbed-MLA cache): the K
+    gather is returned for both.
     """
     p, kvn, ps, d = pool_k.shape
     b, mp = tables.shape
@@ -354,4 +382,7 @@ def gather_dense(pool_k: jax.Array, pool_v: jax.Array, tables: jax.Array,
             x = x.astype(jnp.float32) * s[..., None]
         return x
 
-    return g(pool_k, pool_ks), g(pool_v, pool_vs)
+    ck = g(pool_k, pool_ks)
+    if pool_v is None:
+        return ck, ck
+    return ck, g(pool_v, pool_vs)

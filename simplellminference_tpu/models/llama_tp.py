@@ -337,42 +337,61 @@ def make_tp_forward_paged(cfg: ModelConfig, mesh: Mesh, params: Params):
             return (logits, c2.k, c2.v, c2.k_scale, c2.v_scale)
 
         co = chunk_offset
-        # chunk_offset None is a STATIC branch: wrap so the shard_map
-        # signature stays fixed
+        # The shard_map signature carries only the cache leaves that
+        # EXIST: shared-KV (absorbed-MLA) caches have v=None, int8 adds
+        # scale pools; chunk_offset None is likewise a static variant.
+        shared = cache.v is None
+        cache_args = [cache.k]
+        cache_specs = [pool_spec]
+        if not shared:
+            cache_args += [cache.v]
+            cache_specs += [pool_spec]
+        if quant_kv:
+            cache_args += [cache.k_scale]
+            cache_specs += [scale_spec]
+            if not shared:
+                cache_args += [cache.v_scale]
+                cache_specs += [scale_spec]
+        nc = len(cache_args)
         if co is None:
-            def body2(params, tokens, positions, pk, pv, pks, pvs,
-                      tables, kv_lens):
-                return body(params, tokens, positions, pk, pv, pks, pvs,
-                            tables, kv_lens, None)
             extra_args, extra_specs = (), ()
         else:
-            body2 = body
             extra_args = (jnp.asarray(co, jnp.int32),)
             extra_specs = (rep1 if jnp.ndim(co) else P(),)
-        if not quant_kv:
-            def bodyq(params, tokens, positions, pk, pv, tables, kv_lens,
-                      *rest):
-                out = body2(params, tokens, positions, pk, pv, None, None,
-                            tables, kv_lens, *rest)
-                return out[:3]
-            in_specs = (pspecs, rep2, rep2, pool_spec, pool_spec, rep2,
-                        rep1, *extra_specs)
-            out_specs = (P(None, None, MODEL_AXIS), pool_spec, pool_spec)
-            f = shard_map(bodyq, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_vma=False)
-            logits, nk, nv = f(params, tokens, positions, cache.k,
-                               cache.v, tables, kv_lens, *extra_args)
-            return logits, PagedKVCache(k=nk, v=nv)
-        in_specs = (pspecs, rep2, rep2, pool_spec, pool_spec, scale_spec,
-                    scale_spec, rep2, rep1, *extra_specs)
-        out_specs = (P(None, None, MODEL_AXIS), pool_spec, pool_spec,
-                     scale_spec, scale_spec)
-        f = shard_map(body2, mesh=mesh, in_specs=in_specs,
+
+        def bodyg(params, tokens, positions, *rest):
+            it = iter(rest[:nc])
+            pk = next(it)
+            pv = None if shared else next(it)
+            pks = next(it) if quant_kv else None
+            pvs = next(it) if quant_kv and not shared else None
+            tables_, kv_lens_ = rest[nc], rest[nc + 1]
+            co_ = rest[nc + 2] if co is not None else None
+            logits, k2, v2, ks2, vs2 = body(params, tokens, positions,
+                                            pk, pv, pks, pvs, tables_,
+                                            kv_lens_, co_)
+            outs = [logits, k2]
+            if not shared:
+                outs.append(v2)
+            if quant_kv:
+                outs.append(ks2)
+                if not shared:
+                    outs.append(vs2)
+            return tuple(outs)
+
+        in_specs = (pspecs, rep2, rep2, *cache_specs, rep2, rep1,
+                    *extra_specs)
+        out_specs = (P(None, None, MODEL_AXIS), *cache_specs)
+        f = shard_map(bodyg, mesh=mesh, in_specs=in_specs,
                       out_specs=out_specs, check_vma=False)
-        logits, nk, nv, nks, nvs = f(params, tokens, positions, cache.k,
-                                     cache.v, cache.k_scale,
-                                     cache.v_scale, tables, kv_lens,
-                                     *extra_args)
+        outs = f(params, tokens, positions, *cache_args, tables, kv_lens,
+                 *extra_args)
+        logits = outs[0]
+        rest = list(outs[1:])
+        nk = rest.pop(0)
+        nv = None if shared else rest.pop(0)
+        nks = rest.pop(0) if quant_kv else None
+        nvs = (rest.pop(0) if quant_kv and not shared else None)
         return logits, PagedKVCache(k=nk, v=nv, k_scale=nks, v_scale=nvs)
 
     return tp_params, forward_fn

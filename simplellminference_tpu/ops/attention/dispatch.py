@@ -165,12 +165,14 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
             window=window, sm_scale=sm, logit_cap=cap)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
-        pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
+        if pool_v is not None:
+            pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
         if pool_ks is not None:
             pool_ks = jax.lax.dynamic_index_in_dim(pool_ks, layer, 0,
                                                    False)
-            pool_vs = jax.lax.dynamic_index_in_dim(pool_vs, layer, 0,
-                                                   False)
+            if pool_vs is not None:
+                pool_vs = jax.lax.dynamic_index_in_dim(pool_vs, layer, 0,
+                                                       False)
     from simplellminference_tpu.memory.paged_kv import gather_dense
     ck, cv = gather_dense(pool_k, pool_v, tables, pool_ks, pool_vs)
     smax = ck.shape[2]
@@ -228,10 +230,13 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                                   logit_cap=cap)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
-        pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
+        if pool_v is not None:
+            pool_v = jax.lax.dynamic_index_in_dim(pool_v, layer, 0, False)
         if pool_ks is not None:
             pool_ks = jax.lax.dynamic_index_in_dim(pool_ks, layer, 0, False)
-            pool_vs = jax.lax.dynamic_index_in_dim(pool_vs, layer, 0, False)
+            if pool_vs is not None:
+                pool_vs = jax.lax.dynamic_index_in_dim(pool_vs, layer, 0,
+                                                       False)
     from simplellminference_tpu.memory.paged_kv import gather_dense
     ck, cv = gather_dense(pool_k, pool_v, tables, pool_ks, pool_vs)
     smax = ck.shape[2]

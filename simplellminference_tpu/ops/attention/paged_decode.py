@@ -21,15 +21,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
+def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref,
                   *refs, scale: float, ps: int, group: int, hb: int,
                   logit_cap: float | None,
                   quant_kv: bool, wins: int = 1,
-                  window: int | None = None):
+                  window: int | None = None, shared_kv: bool = False):
+    # shared_kv (absorbed MLA): K and V are the SAME latent row — one
+    # pool operand, one page DMA per block, halving decode KV traffic.
+    if shared_kv:
+        vp_ref = kp_ref
+    else:
+        vp_ref, *refs = refs
     if quant_kv:
         # INT8 KV: per-token-per-head scale pages ride along; dequant on
         # the VPU right after the page DMA.
-        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        if shared_kv:
+            ks_ref, o_ref, m_ref, l_ref, acc_ref = refs
+            vs_ref = ks_ref
+        else:
+            ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
     else:
         o_ref, m_ref, l_ref, acc_ref = refs
     del layer_ref  # consumed by the BlockSpec index maps
@@ -79,9 +89,12 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref, vp_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:rows, :1] = l_ref[:rows, :1] * alpha + jnp.sum(
             p, axis=1, keepdims=True)
-        v = vp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
-        if quant_kv:
-            v = v * vs_ref[0, 0, 0][..., None]
+        if shared_kv:
+            v = k                                    # same latent row
+        else:
+            v = vp_ref[0, 0].astype(jnp.float32)     # [HB, ps, D]
+            if quant_kv:
+                v = v * vs_ref[0, 0, 0][..., None]
         gw = group * wins
         pv = jax.lax.dot_general(
             p.reshape(hb, gw, ps), v, (((2,), (1,)), ((0,), (0,))),
@@ -152,12 +165,16 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     ``window``: sliding-window attention — each query row attends only
     keys with row_pos - k_pos < window; pages before the window start
     clamp to its first page (no DMA, no compute): O(window) per step."""
+    shared_kv = v_pool is None    # absorbed MLA: one latent pool is
+    # both K and V — single operand, single page DMA per block
     if k_pool.ndim == 4:
         k_pool = k_pool[None]
-        v_pool = v_pool[None]
+        if not shared_kv:
+            v_pool = v_pool[None]
         if k_scale is not None:
             k_scale = k_scale[None]
-            v_scale = v_scale[None]
+            if not shared_kv:
+                v_scale = v_scale[None]
         layer = jnp.zeros((), jnp.int32)
     assert layer is not None, "stacked pools need a layer index"
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -198,21 +215,20 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     q_spec = pl.BlockSpec((1, 1, hb, group, d),
                           lambda i_b, i_h, i_p, lens, tbl, li:
                           (i_b, i_h, 0, 0, 0))
-    in_specs = [
-        q_spec,
-        pl.BlockSpec((1, 1, hb, ps, d), page_index),
-        pl.BlockSpec((1, 1, hb, ps, d), page_index),
-    ]
-    operands = [qg, k_pool, v_pool]
+    n_kv = 1 if shared_kv else 2
+    in_specs = [q_spec] + [pl.BlockSpec((1, 1, hb, ps, d),
+                                        page_index)] * n_kv
+    operands = [qg, k_pool] + ([] if shared_kv else [v_pool])
     if quant_kv:
         # Head-block as its own dim so the block's last-two dims (hb, ps)
         # EQUAL the array dims — Mosaic rejects (hb, ps) blocks carved out
         # of a [..., kvN, ps] array when hb < kvN (not 8/128-divisible).
         # Dim-split reshape of a row-major pool is a free view.
         sshape = (k_scale.shape[0], k_scale.shape[1], kvn // hb, hb, ps)
-        in_specs += [pl.BlockSpec((1, 1, 1, hb, ps), scale_index)] * 2
-        operands += [k_scale.astype(jnp.float32).reshape(sshape),
-                     v_scale.astype(jnp.float32).reshape(sshape)]
+        in_specs += [pl.BlockSpec((1, 1, 1, hb, ps), scale_index)] * n_kv
+        operands += [k_scale.astype(jnp.float32).reshape(sshape)]
+        if not shared_kv:
+            operands += [v_scale.astype(jnp.float32).reshape(sshape)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -234,7 +250,8 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     out = pl.pallas_call(
         functools.partial(_paged_kernel, scale=scale, ps=ps,
                           group=group // wins, hb=hb, quant_kv=quant_kv,
-                          wins=wins, window=window, logit_cap=logit_cap),
+                          wins=wins, window=window, logit_cap=logit_cap,
+                          shared_kv=shared_kv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),
@@ -243,7 +260,7 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * mp * ps * d,
-            bytes_accessed=2 * b * kvn * mp * ps * d * 2,
+            bytes_accessed=n_kv * b * kvn * mp * ps * d * 2,
             transcendentals=b * n * mp * ps,
         ),
         interpret=interpret,

@@ -45,15 +45,20 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
                           q_ref, *refs, scale: float,
                           bq: int, ps: int, pages_per_block: int,
                           quant_kv: bool, window: int | None = None,
-                          logit_cap: float | None = None):
+                          logit_cap: float | None = None,
+                          shared_kv: bool = False):
     g = pages_per_block
-    kp_refs, vp_refs = refs[:g], refs[g:2 * g]
+    nkv = 1 if shared_kv else 2   # shared_kv (absorbed MLA): K == V,
+    # one pool operand set, one page DMA per logical page
+    kp_refs = refs[:g]
+    vp_refs = kp_refs if shared_kv else refs[g:2 * g]
     if quant_kv:
-        ks_refs, vs_refs = refs[2 * g:3 * g], refs[3 * g:4 * g]
-        o_ref, m_ref, l_ref, acc_ref = refs[4 * g:]
+        ks_refs = refs[nkv * g:(nkv + 1) * g]
+        vs_refs = ks_refs if shared_kv else refs[3 * g:4 * g]
+        o_ref, m_ref, l_ref, acc_ref = refs[2 * nkv * g:]
     else:
         ks_refs = vs_refs = ()
-        o_ref, m_ref, l_ref, acc_ref = refs[2 * g:]
+        o_ref, m_ref, l_ref, acc_ref = refs[nkv * g:]
     del layer_ref, tables_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
     qi = pl.program_id(2)
@@ -96,11 +101,11 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
 
         if g == 1:
             k = page_slab(kp_refs, ks_refs, 0)       # [bk, D]
-            v = page_slab(vp_refs, vs_refs, 0)
+            v = k if shared_kv else page_slab(vp_refs, vs_refs, 0)
         else:
             k = jnp.concatenate(
                 [page_slab(kp_refs, ks_refs, j) for j in range(g)], axis=0)
-            v = jnp.concatenate(
+            v = k if shared_kv else jnp.concatenate(
                 [page_slab(vp_refs, vs_refs, j) for j in range(g)], axis=0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -169,12 +174,15 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     with q_pos - k_pos < window; page blocks entirely outside a tile's
     window band are skipped via index-map clamping (cost
     O(Sq · window))."""
+    shared_kv = v_pool is None    # absorbed MLA: one latent pool
     if k_pool.ndim == 4:
         k_pool = k_pool[None]
-        v_pool = v_pool[None]
+        if not shared_kv:
+            v_pool = v_pool[None]
         if k_scale is not None:
             k_scale = k_scale[None]
-            v_scale = v_scale[None]
+            if not shared_kv:
+                v_scale = v_scale[None]
         layer = jnp.zeros((), jnp.int32)
     assert layer is not None, "stacked pools need a layer index"
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -233,17 +241,20 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     # (physically scattered) page of the kv block.
     kv_spec = [pl.BlockSpec((1, 1, 1, ps, d), page_index(j))
                for j in range(g)]
-    in_specs = [q_spec] + kv_spec + kv_spec
-    operands = [qT] + [k_pool] * g + [v_pool] * g
+    nkv = 1 if shared_kv else 2
+    in_specs = [q_spec] + kv_spec * nkv
+    operands = ([qT] + [k_pool] * g
+                + ([] if shared_kv else [v_pool] * g))
     if quant_kv:
         # scales [L, P, kvN, ps]: dim-split a unit axis so the block tail
         # (1, ps) equals the array's last two dims (free view reshape)
         sshape = (k_scale.shape[0], k_scale.shape[1], kvn, 1, ps)
         s_spec = [pl.BlockSpec((1, 1, 1, 1, ps), scale_index(j))
                   for j in range(g)]
-        in_specs += s_spec + s_spec
-        operands += ([k_scale.astype(jnp.float32).reshape(sshape)] * g
-                     + [v_scale.astype(jnp.float32).reshape(sshape)] * g)
+        in_specs += s_spec * nkv
+        operands += [k_scale.astype(jnp.float32).reshape(sshape)] * g
+        if not shared_kv:
+            operands += [v_scale.astype(jnp.float32).reshape(sshape)] * g
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -262,7 +273,8 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     out = pl.pallas_call(
         functools.partial(_paged_prefill_kernel, scale=scale, bq=bq,
                           ps=ps, pages_per_block=g, quant_kv=quant_kv,
-                          window=window, logit_cap=logit_cap),
+                          window=window, logit_cap=logit_cap,
+                          shared_kv=shared_kv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -31,8 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS = 8
 
 
-def _decode_kernel(layer_ref, pages_ref, slots_ref, newk_ref, newv_ref,
-                   pk_in, pv_in, pk_out, pv_out):
+def _decode_kernel(layer_ref, pages_ref, slots_ref, *refs, dual: bool):
+    # dual=False (shared-KV absorbed-MLA pools): only the K pool exists
+    if dual:
+        newk_ref, newv_ref, pk_in, pv_in, pk_out, pv_out = refs
+    else:
+        newk_ref, pk_in, pk_out = refs
     b = pl.program_id(0)
     kvn = pk_in.shape[2]
     rel = slots_ref[b] % _ROWS
@@ -40,22 +44,27 @@ def _decode_kernel(layer_ref, pages_ref, slots_ref, newk_ref, newv_ref,
     mask = rows == rel
     pk_out[0, 0] = jnp.where(mask, newk_ref[0, :, 0:1, :].astype(pk_out.dtype),
                              pk_in[0, 0])
-    pv_out[0, 0] = jnp.where(mask, newv_ref[0, :, 0:1, :].astype(pv_out.dtype),
-                             pv_in[0, 0])
+    if dual:
+        pv_out[0, 0] = jnp.where(mask,
+                                 newv_ref[0, :, 0:1, :].astype(pv_out.dtype),
+                                 pv_in[0, 0])
 
 
 @jax.jit
-def paged_append_decode(pool_k: jax.Array, pool_v: jax.Array,
-                        new_k: jax.Array, new_v: jax.Array,
+def paged_append_decode(pool_k: jax.Array, pool_v: jax.Array | None,
+                        new_k: jax.Array, new_v: jax.Array | None,
                         tables: jax.Array, positions: jax.Array,
                         layer: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Write one token per sequence into the stacked pools in place.
 
     pool_k/v: [L, P, kvN, ps, D] (aliased; last page = trash);
     new_k/v: [B, kvN, D]; tables: [B, MP]; positions: [B]; layer scalar.
+    pool_v None (shared-KV absorbed-MLA cache): K-pool-only write,
+    returns (pool_k, None).
     """
     l_, p, kvn, ps, d = pool_k.shape
     b = new_k.shape[0]
+    dual = pool_v is not None
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     page_idx = jnp.take_along_axis(
         tables, (positions // ps)[:, None], axis=1)[:, 0]
@@ -64,8 +73,6 @@ def paged_append_decode(pool_k: jax.Array, pool_v: jax.Array,
 
     nk = jnp.pad(new_k[:, :, None, :].astype(pool_k.dtype),
                  ((0, 0), (0, 0), (0, _ROWS - 1), (0, 0)))
-    nv = jnp.pad(new_v[:, :, None, :].astype(pool_v.dtype),
-                 ((0, 0), (0, 0), (0, _ROWS - 1), (0, 0)))
 
     def new_index(i_b, li, pg, sl):
         return (i_b, 0, 0, 0)
@@ -73,43 +80,54 @@ def paged_append_decode(pool_k: jax.Array, pool_v: jax.Array,
     def pool_index(i_b, li, pg, sl):
         return (li[0], pg[i_b], 0, sl[i_b] // _ROWS, 0)
 
+    new_spec = pl.BlockSpec((1, kvn, _ROWS, d), new_index)
+    pool_spec = pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index)
+    n = 2 if dual else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, kvn, _ROWS, d), new_index),
-            pl.BlockSpec((1, kvn, _ROWS, d), new_index),
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
-        ],
+        in_specs=[new_spec] * n + [pool_spec] * n,
+        out_specs=[pool_spec] * n,
     )
-    # Flat operands: layer(0), pages(1), slots(2), new_k(3), new_v(4),
-    # pool_k(5), pool_v(6).
-    return pl.pallas_call(
-        _decode_kernel,
+    # Flat operands: layer(0), pages(1), slots(2), new_k(3), [new_v(4)],
+    # pool_k, [pool_v].
+    if dual:
+        nv = jnp.pad(new_v[:, :, None, :].astype(pool_v.dtype),
+                     ((0, 0), (0, 0), (0, _ROWS - 1), (0, 0)))
+        pk, pv = pl.pallas_call(
+            functools.partial(_decode_kernel, dual=True),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+                jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            ],
+            input_output_aliases={5: 0, 6: 1},
+        )(layer, page_idx, slots, nk, nv, pool_k, pool_v)
+        return pk, pv
+    pk, = pl.pallas_call(
+        functools.partial(_decode_kernel, dual=False),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
-            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
-        ],
-        input_output_aliases={5: 0, 6: 1},
-    )(layer, page_idx, slots, nk, nv, pool_k, pool_v)
+        out_shape=[jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype)],
+        input_output_aliases={4: 0},
+    )(layer, page_idx, slots, nk, pool_k)
+    return pk, None
 
 
-def _prefill_kernel(layer_ref, pages_ref, newk_ref, newv_ref,
-                    pk_in, pv_in, pk_out, pv_out):
-    del layer_ref, pages_ref, pk_in, pv_in
+def _prefill_kernel(layer_ref, pages_ref, *refs, dual: bool):
+    if dual:
+        newk_ref, newv_ref, pk_in, pv_in, pk_out, pv_out = refs
+    else:
+        newk_ref, pk_in, pk_out = refs
+    del layer_ref, pages_ref, pk_in
     pk_out[0, 0] = newk_ref[0, 0].astype(pk_out.dtype)
-    pv_out[0, 0] = newv_ref[0, 0].astype(pv_out.dtype)
+    if dual:
+        del pv_in
+        pv_out[0, 0] = newv_ref[0, 0].astype(pv_out.dtype)
 
 
 @jax.jit
-def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array,
-                         new_k: jax.Array, new_v: jax.Array,
+def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array | None,
+                         new_k: jax.Array, new_v: jax.Array | None,
                          tables: jax.Array, layer: jax.Array
                          ) -> tuple[jax.Array, jax.Array]:
     """Write a right-padded prompt (or prompt chunk) into pages in place.
@@ -117,10 +135,12 @@ def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array,
     new_k/v: [B, S, kvN, D]; ``tables[:, :ceil(S/ps)]`` names the target
     pages (the caller pre-gathers offset columns for chunked/suffix
     prefill — memory/paged_kv.write_prefill_stacked); -1 entries land in
-    the trash page.
+    the trash page. pool_v None (shared-KV absorbed-MLA cache): K-pool-
+    only write, returns (pool_k, None).
     """
     l_, p, kvn, ps, d = pool_k.shape
     b, s, _, _ = new_k.shape
+    dual = pool_v is not None
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     npg = -(-s // ps)
     pad = npg * ps - s
@@ -139,30 +159,34 @@ def paged_append_prefill(pool_k: jax.Array, pool_v: jax.Array,
     def pool_index(i_b, i_p, li, pg):
         return (li[0], pg[i_b, i_p], 0, 0, 0)
 
+    new_spec = pl.BlockSpec((1, 1, kvn, ps, d), new_index)
+    pool_spec = pl.BlockSpec((1, 1, kvn, ps, d), pool_index)
+    n = 2 if dual else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, npg),
-        in_specs=[
-            pl.BlockSpec((1, 1, kvn, ps, d), new_index),
-            pl.BlockSpec((1, 1, kvn, ps, d), new_index),
-            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
-            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
-            pl.BlockSpec((1, 1, kvn, ps, d), pool_index),
-        ],
+        in_specs=[new_spec] * n + [pool_spec] * n,
+        out_specs=[pool_spec] * n,
     )
-    return pl.pallas_call(
-        _prefill_kernel,
+    if dual:
+        pk, pv = pl.pallas_call(
+            functools.partial(_prefill_kernel, dual=True),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+                jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            ],
+            input_output_aliases={4: 0, 5: 1},
+        )(layer, pages, chunks(new_k, pool_k.dtype),
+          chunks(new_v, pool_v.dtype), pool_k, pool_v)
+        return pk, pv
+    pk, = pl.pallas_call(
+        functools.partial(_prefill_kernel, dual=False),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
-            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
-        ],
-        input_output_aliases={4: 0, 5: 1},
-    )(layer, pages, chunks(new_k, pool_k.dtype), chunks(new_v, pool_v.dtype),
-      pool_k, pool_v)
+        out_shape=[jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype)],
+        input_output_aliases={3: 0},
+    )(layer, pages, chunks(new_k, pool_k.dtype), pool_k)
+    return pk, None
 
 
 def _decode_quant_kernel(layer_ref, pages_ref, slots_ref, newk_ref, newv_ref,
@@ -341,21 +365,27 @@ def paged_append_prefill_quant(pool_k, pool_v, pool_ks, pool_vs,
       pool_k, pool_v, pool_ks, pool_vs)
 
 
-def _span_kernel(layer_ref, pages_ref, blks_ref, rels_ref, newk_ref,
-                 newv_ref, pk_in, pv_in, pk_out, pv_out, *, t_len: int):
+def _span_kernel(layer_ref, pages_ref, blks_ref, rels_ref, *refs,
+                 t_len: int, dual: bool):
+    if dual:
+        newk_ref, newv_ref, pk_in, pv_in, pk_out, pv_out = refs
+    else:
+        newk_ref, pk_in, pk_out = refs
     b = pl.program_id(0)
     s = pl.program_id(1)
     kvn = pk_in.shape[2]
     rel = rels_ref[b, s]  # window row of the span's first token (may be <0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (kvn, _ROWS, 1), 1)
     k = pk_in[0, 0]
-    v = pv_in[0, 0]
+    v = pv_in[0, 0] if dual else None
     for t in range(t_len):  # static unroll: T is small (<= _ROWS)
         m = rows == rel + t
         k = jnp.where(m, newk_ref[0, :, t:t + 1, :].astype(k.dtype), k)
-        v = jnp.where(m, newv_ref[0, :, t:t + 1, :].astype(v.dtype), v)
+        if dual:
+            v = jnp.where(m, newv_ref[0, :, t:t + 1, :].astype(v.dtype), v)
     pk_out[0, 0] = k
-    pv_out[0, 0] = v
+    if dual:
+        pv_out[0, 0] = v
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -401,12 +431,11 @@ def paged_append_span(pool_k: jax.Array, pool_v: jax.Array,
     blks = jnp.stack([b0, b1], axis=1)
     rels = jnp.stack([r0, r1], axis=1)
 
+    dual = pool_v is not None
     nk = new_k.transpose(0, 2, 1, 3).astype(pool_k.dtype)  # [B, kvN, T, D]
-    nv = new_v.transpose(0, 2, 1, 3).astype(pool_v.dtype)
     if t_len < _ROWS:
         padt = ((0, 0), (0, 0), (0, _ROWS - t_len), (0, 0))
         nk = jnp.pad(nk, padt)
-        nv = jnp.pad(nv, padt)
 
     def new_index(i_b, i_s, li, pg, bl, rl):
         return (i_b, 0, 0, 0)
@@ -414,29 +443,37 @@ def paged_append_span(pool_k: jax.Array, pool_v: jax.Array,
     def pool_index(i_b, i_s, li, pg, bl, rl):
         return (li[0], pg[i_b, i_s], 0, bl[i_b, i_s], 0)
 
+    new_spec = pl.BlockSpec((1, kvn, _ROWS, d), new_index)
+    pool_spec = pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index)
+    n = 2 if dual else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, 2),
-        in_specs=[
-            pl.BlockSpec((1, kvn, _ROWS, d), new_index),
-            pl.BlockSpec((1, kvn, _ROWS, d), new_index),
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), pool_index),
-        ],
+        in_specs=[new_spec] * n + [pool_spec] * n,
+        out_specs=[pool_spec] * n,
     )
     # Flat operands: layer(0), pages(1), blks(2), rels(3), new_k(4),
-    # new_v(5), pool_k(6), pool_v(7).
-    return pl.pallas_call(
-        functools.partial(_span_kernel, t_len=t_len),
+    # [new_v(5)], pool_k, [pool_v].
+    if dual:
+        nv = new_v.transpose(0, 2, 1, 3).astype(pool_v.dtype)
+        if t_len < _ROWS:
+            nv = jnp.pad(nv, padt)
+        pk, pv = pl.pallas_call(
+            functools.partial(_span_kernel, t_len=t_len, dual=True),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+                jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            ],
+            input_output_aliases={6: 0, 7: 1},
+            interpret=interpret,
+        )(layer, pages, blks, rels, nk, nv, pool_k, pool_v)
+        return pk, pv
+    pk, = pl.pallas_call(
+        functools.partial(_span_kernel, t_len=t_len, dual=False),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
-            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
-        ],
-        input_output_aliases={6: 0, 7: 1},
+        out_shape=[jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype)],
+        input_output_aliases={5: 0},
         interpret=interpret,
-    )(layer, pages, blks, rels, nk, nv, pool_k, pool_v)
+    )(layer, pages, blks, rels, nk, pool_k)
+    return pk, None

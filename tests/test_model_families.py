@@ -370,6 +370,32 @@ def test_deepseek_mla_paged_engine_matches_dense():
     assert got == want
 
 
+def test_deepseek_absorbed_shared_pool_matches_naive():
+    """Absorbed MLA stores ONE latent row in a SHARED pool (cache.v is
+    None — half the memory; kernels DMA each page once for score and
+    value); tokens must equal the dual-pool naive engine exactly."""
+    hf = _deepseek_cfg(transformers.DeepseekV2Config).to_dict()
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    def run(absorbed):
+        from simplellminference_tpu.core.config import (EngineConfig,
+                                                        KVCacheConfig,
+                                                        SamplingParams)
+        from simplellminference_tpu.engine import Engine
+        cfg = ModelConfig.from_hf_dict(hf, dtype="float32",
+                                       mla_absorbed=absorbed)
+        params = llama.init_params(cfg, jax.random.PRNGKey(11))
+        ecfg = EngineConfig(max_batch_size=4,
+                            kv=KVCacheConfig(page_size=8, num_pages=64,
+                                             max_pages_per_seq=16,
+                                             kv_dtype="f32"))
+        eng = Engine(cfg, params, ecfg, decode_burst=3)
+        assert (eng.cache.v is None) == absorbed
+        return eng.generate(prompts, SamplingParams(max_new_tokens=8))
+
+    assert run(True) == run(False)
+
+
 def test_deepseek_unsupported_routing_rejected():
     """All three released DeepSeek routing schemes are supported; an
     unknown scoring function is rejected loudly."""
