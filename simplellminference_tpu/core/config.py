@@ -138,6 +138,18 @@ class ModelConfig:
     # 2*640*2 B vs 2*16*256*2 B). num_kv_heads=1 and head_dim=the padded
     # latent width describe the cache pools in this mode.
     mla_absorbed: bool = False
+    # --- GPT-OSS ---
+    # attn_sinks: learned per-head attention-sink logits (params leaf
+    # "sinks" [L, N]) join every softmax denominator with zero value
+    # contribution; the flash kernels initialize their online-softmax
+    # accumulators at (m=sink, l=1). o_bias: bias on the attention out
+    # projection. moe_bias: router linear bias + per-expert gate_up/down
+    # biases (clamped-SwiGLU experts when hidden_act="swiglu_oss":
+    # gate clamped to <= 7, up to +-7, glu = g*sigmoid(1.702 g),
+    # out = (up+1)*glu — HF GptOssExperts constants).
+    attn_sinks: bool = False
+    o_bias: bool = False
+    moe_bias: bool = False
     # Activation quantization for the PREFILL matmuls ("int8" | None):
     # per-token symmetric int8 activations feed the MXU's double-rate
     # int8 path against the int8 weights (W8A8) — measured 329 vs 184
@@ -412,6 +424,17 @@ class ModelConfig:
                 # every layer dense: plain dense-FFN model
                 kw.update(num_experts=0, first_k_dense=0,
                           shared_expert_intermediate_size=None)
+        if d.get("model_type") == "gpt_oss":
+            # GPT-OSS: attention sinks + o_proj bias, clamped-SwiGLU MoE
+            # with router/expert biases, alternating sliding/full layers
+            # (layer_types, handled generically), yarn rope. The config's
+            # intermediate_size IS the expert width (no dense FFN);
+            # routing = top-k on biased logits, softmax over the k ==
+            # softmax-all + renorm (norm_topk).
+            kw.update(attn_sinks=True, o_bias=True, moe_bias=True,
+                      hidden_act="swiglu_oss",
+                      moe_intermediate_size=d["intermediate_size"],
+                      norm_topk_prob=True)
         kw.update(overrides)
         return cls(**kw)
 
@@ -432,7 +455,7 @@ class ModelConfig:
         mt = d.get("model_type", "llama")
         if mt == "mistral":
             return int(w)
-        if mt in ("gemma2", "gemma3_text"):
+        if mt in ("gemma2", "gemma3_text", "gpt_oss"):
             # applies to the sliding_attention layers of layer_types
             # (alternating; the full layers ignore it)
             return int(w)

@@ -137,10 +137,12 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                 interpret=FORCE_FUSED_INTERPRET)
             attn = dispatch.attention_cached(
                 cfg, q2[:, None], cache_k, cache_v, mask, kv_lens,
-                prefill_from_zero, layer=li, window=window)
+                prefill_from_zero, layer=li, window=window,
+                sinks=norm_w(lw["sinks"]) if "sinks" in lw else None)
             return _post_attention(cfg, lw, li, x, attn, b, s, h, n, d,
                                    tp_axis, ring_collectives,
                                    cache_k, cache_v)
+    sinks = norm_w(lw["sinks"]) if "sinks" in lw else None
     attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]), cfg.rms_norm_eps)
     if cfg.mla:
         # DeepSeek MLA: latent-compressed K/V + shared rope key
@@ -183,13 +185,16 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
         if s > 1 and prefill_from_zero:
             # Batched prefill from slot 0: the fresh k/v ARE the cache
             # prefix — plain causal self-attention, no cache read-back.
-            attn = dispatch.attention(cfg, q, k, v, mask, window=window)
+            attn = dispatch.attention(cfg, q, k, v, mask, window=window,
+                                      sinks=sinks)
         else:
             attn = dispatch.attention_cached(cfg, q, cache_k, cache_v, mask,
                                              kv_lens, prefill_from_zero,
-                                             layer=kv_li, window=window)
+                                             layer=kv_li, window=window,
+                                             sinks=sinks)
     else:
-        attn = dispatch.attention(cfg, q, k, v, mask, window=window)
+        attn = dispatch.attention(cfg, q, k, v, mask, window=window,
+                                  sinks=sinks)
     return _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
                            ring_collectives, cache_k, cache_v)
 
@@ -226,6 +231,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
             # Row-sharded wo: partial products all-reduce over ICI. (GSPMD
             # inserts this automatically; in the shard_map body it is ours.)
             attn = jax.lax.psum(attn, tp_axis)
+    if "wo_bias" in lw:   # GPT-OSS o_proj bias (added ONCE, post-psum)
+        attn = attn + norm_w(lw["wo_bias"]).astype(attn.dtype)
     if "post_attn_norm" in lw:  # Gemma-2: norm the attn output pre-residual
         attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"]),
                                cfg.rms_norm_eps)
@@ -537,8 +544,11 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                     tables=tables, interpret=FORCE_FUSED_INTERPRET)
                 attn = dispatch.attention_paged(
                     cfg, q2[:, None], pk, pv, tables, kv_lens, None, None,
-                    layer=kli, window=window)
+                    layer=kli, window=window,
+                    sinks=(norm_w(lw["sinks"], li) if "sinks" in lw
+                           else None))
                 return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
+            sinks = norm_w(lw["sinks"], li) if "sinks" in lw else None
             attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
                                       cfg.rms_norm_eps)
             if cfg.mla:
@@ -585,7 +595,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 attn = dispatch.attention_paged(
                     cfg, q, pk, pv, tables, kv_lens,
                     *((nks, nvs) if quant_kv else (None, None)),
-                    layer=kli, window=window)
+                    layer=kli, window=window, sinks=sinks)
             elif chunked:
                 ps = pk.shape[3]
                 pk, pv, nks, nvs = pkv.write_prefill_stacked(
@@ -599,11 +609,12 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 attn = dispatch.attention_paged_prefill(
                     cfg, q, pk, pv, tables, kv_lens, chunk_offset,
                     *((nks, nvs) if quant_kv else (None, None)),
-                    layer=kli, window=window)
+                    layer=kli, window=window, sinks=sinks)
             elif prefill:
                 pk, pv, nks, nvs = pkv.write_prefill_stacked(
                     pk, pv, k, v, tables, kli, *scale_args)
-                attn = dispatch.attention(cfg, q, k, v, mask, window=window)
+                attn = dispatch.attention(cfg, q, k, v, mask, window=window,
+                                          sinks=sinks)
             else:
                 pk, pv, nks, nvs = pkv.write_decode_stacked(
                     pk, pv, k[:, 0], v[:, 0], tables, positions[:, 0],
@@ -611,7 +622,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 attn = dispatch.attention_paged(
                     cfg, q, pk, pv, tables, kv_lens,
                     *((nks, nvs) if quant_kv else (None, None)),
-                    layer=kli, window=window)
+                    layer=kli, window=window, sinks=sinks)
             if quant_kv:
                 pks, pvs = nks, nvs
             return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
@@ -633,6 +644,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                                            li, attn)
             if tp_axis is not None:
                 attn = jax.lax.psum(attn, tp_axis)
+            if "wo_bias" in lw:   # GPT-OSS o_proj bias (once, post-psum)
+                attn = attn + norm_w(lw["wo_bias"], li).astype(attn.dtype)
             if "post_attn_norm" in lw:  # Gemma-2 pre-residual attn norm
                 attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"], li),
                                        cfg.rms_norm_eps)
@@ -754,6 +767,10 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         }
         if cfg.router_score_fn == "sigmoid":  # DeepSeek-V3 noaux_tc
             ffn["router_bias"] = jnp.zeros((L, e), jnp.float32)
+        if cfg.moe_bias:  # GPT-OSS: router linear + expert biases
+            ffn["router_bias"] = w(keys[8], (L, e), 0.02)
+            ffn["w_gate_up_bias"] = w(keys[9], (L, e * 2 * ie), 0.02)
+            ffn["w_down_bias"] = w(keys[10], (L, e, h), 0.02)
         if cfg.shared_expert_intermediate_size:
             se = cfg.shared_expert_intermediate_size
             ffn["shared_gate_up"] = w(keys[3], (L, h, 2 * se))
@@ -802,6 +819,10 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     if cfg.qk_norm:  # Qwen3: per-head q/k RMSNorm weights
         params["layers"]["q_norm"] = jnp.ones((L, d), dtype)
         params["layers"]["k_norm"] = jnp.ones((L, d), dtype)
+    if cfg.attn_sinks:  # GPT-OSS attention-sink logits
+        params["layers"]["sinks"] = w(keys[11], (L, n), 1.0)
+    if cfg.o_bias:
+        params["layers"]["wo_bias"] = w(keys[6], (L, h), 0.02)
     if cfg.sandwich_norms:  # Gemma-2 pre-residual output norms
         params["layers"]["post_attn_norm"] = jnp.ones((L, h), dtype)
         params["layers"]["post_ffn_norm"] = jnp.ones((L, h), dtype)

@@ -79,23 +79,27 @@ def _attn_opts(cfg: ModelConfig, window):
 
 
 def attention(cfg: ModelConfig, q: jax.Array, k: jax.Array, v: jax.Array,
-              mask: jax.Array, window=_UNSET) -> jax.Array:
-    """Self-attention, no cache. q: [B, S, N, D]; k/v: [B, S, kvN, D]."""
+              mask: jax.Array, window=_UNSET,
+              sinks: jax.Array | None = None) -> jax.Array:
+    """Self-attention, no cache. q: [B, S, N, D]; k/v: [B, S, kvN, D].
+    ``sinks`` [N]: GPT-OSS per-head attention-sink logits."""
     window, sm, cap = _attn_opts(cfg, window)
     s = q.shape[1]
     if _use_flash() and s > 1 and s % 128 == 0 and _lane_ok(q.shape[-1]):
         from simplellminference_tpu.ops.attention.flash_prefill import (
             flash_prefill)
         return flash_prefill(q, k, v, causal=True, window=window,
-                             sm_scale=sm, logit_cap=cap)
-    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap)
+                             sm_scale=sm, logit_cap=cap, sinks=sinks)
+    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap,
+                             sinks=sinks)
 
 
 def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
                      cv: jax.Array, mask: jax.Array, kv_lens: jax.Array,
                      prefill_from_zero: bool,
                      layer: jax.Array | None = None,
-                     window=_UNSET) -> jax.Array:
+                     window=_UNSET,
+                     sinks: jax.Array | None = None) -> jax.Array:
     """Attention against the cache.
 
     q: [B, S, N, D]; ck/cv: [B, kvN, Smax, D], or the full stacked arena
@@ -116,20 +120,21 @@ def attention_cached(cfg: ModelConfig, q: jax.Array, ck: jax.Array,
             return flash_decode(q[:, 0], ck, cv, kv_lens,
                                 layer=layer if stacked else None,
                                 window=window, sm_scale=sm,
-                                logit_cap=cap)[:, None]
+                                logit_cap=cap, sinks=sinks)[:, None]
         if (s > 1 and prefill_from_zero and s % 128 == 0 and not stacked):
             from simplellminference_tpu.ops.attention.flash_prefill import (
                 flash_prefill)
             return flash_prefill(q, ck[:, :, :s], cv[:, :, :s],
                                  causal=True, kv_layout="bnsd",
                                  window=window, sm_scale=sm,
-                                 logit_cap=cap)
+                                 logit_cap=cap, sinks=sinks)
     if stacked:
         ck = jax.lax.dynamic_index_in_dim(ck, layer, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv, layer, 0, keepdims=False)
     k = ck.transpose(0, 2, 1, 3)
     v = cv.transpose(0, 2, 1, 3)
-    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap)
+    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap,
+                             sinks=sinks)
 
 
 def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
@@ -139,7 +144,8 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
                             pool_ks: jax.Array | None = None,
                             pool_vs: jax.Array | None = None,
                             layer: jax.Array | None = None,
-                            window=_UNSET) -> jax.Array:
+                            window=_UNSET,
+                            sinks: jax.Array | None = None) -> jax.Array:
     """Chunked-prefill attention THROUGH the page tables: row b's queries
     sit at absolute positions chunk_offset[b] + 0..S-1 and attend to all
     cached positions < kv_len[b] up to the causal frontier.
@@ -162,7 +168,7 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
             bq=512 if s % 512 == 0 else (256 if s % 256 == 0 else 128),
             layer=layer if stacked else None,
             k_scale=pool_ks, v_scale=pool_vs,
-            window=window, sm_scale=sm, logit_cap=cap)
+            window=window, sm_scale=sm, logit_cap=cap, sinks=sinks)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
         if pool_v is not None:
@@ -185,7 +191,7 @@ def attention_paged_prefill(cfg: ModelConfig, q: jax.Array,
         mask = mask & (key_pos > q_pos[:, None, :, None] - window)
     return ref_ops.attention(q, ck.transpose(0, 2, 1, 3),
                              cv.transpose(0, 2, 1, 3), mask,
-                             scale=sm, logit_cap=cap)
+                             scale=sm, logit_cap=cap, sinks=sinks)
 
 
 def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
@@ -193,7 +199,8 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                     kv_lens: jax.Array, pool_ks: jax.Array | None = None,
                     pool_vs: jax.Array | None = None,
                     layer: jax.Array | None = None,
-                    window=_UNSET) -> jax.Array:
+                    window=_UNSET,
+                    sinks: jax.Array | None = None) -> jax.Array:
     """Paged decode attention. q: [B, 1, N, D]; pools: [P, kvN, ps, D] or
     stacked [L, P, kvN, ps, D] with a traced ``layer`` index.
 
@@ -217,7 +224,8 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                                       k_scale=pool_ks,
                                       v_scale=pool_vs,
                                       window=window, sm_scale=sm,
-                                      logit_cap=cap)[:, None]
+                                      logit_cap=cap,
+                                      sinks=sinks)[:, None]
         # speculative verify window: rows s of each sequence sit at
         # positions kv_len - s .. kv_len - 1 (in-window causal masking
         # happens in-kernel; KV page traffic == one decode step)
@@ -227,7 +235,7 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                                   layer=layer if stacked else None,
                                   k_scale=pool_ks, v_scale=pool_vs,
                                   window=window, sm_scale=sm,
-                                  logit_cap=cap)
+                                  logit_cap=cap, sinks=sinks)
     if stacked:
         pool_k = jax.lax.dynamic_index_in_dim(pool_k, layer, 0, False)
         if pool_v is not None:
@@ -257,4 +265,5 @@ def attention_paged(cfg: ModelConfig, q: jax.Array, pool_k: jax.Array,
                            > q_pos[:, None, :, None] - window)
     k = ck.transpose(0, 2, 1, 3)
     v = cv.transpose(0, 2, 1, 3)
-    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap)
+    return ref_ops.attention(q, k, v, mask, scale=sm, logit_cap=cap,
+                             sinks=sinks)

@@ -37,12 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
-                   m_ref, l_ref, acc_ref, *, scale: float, bk: int,
+def _decode_kernel(lens_ref, layer_ref, *refs, scale: float, bk: int,
                    group: int, hb: int, window: int | None,
-                   logit_cap: float | None):
+                   logit_cap: float | None, has_sinks: bool = False):
+    if has_sinks:
+        sinks_ref, *refs = refs
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
     del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
+    hi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     kv_len = lens_ref[bi]
@@ -53,6 +56,13 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if has_sinks:
+            # GPT-OSS sink: online softmax initialized at (m=sink, l=1);
+            # packed row r serves q head hi*rows + r
+            col = jnp.stack([sinks_ref[hi * rows + r]
+                             for r in range(rows)])
+            m_ref[:rows, :1] = col[:, None]
+            l_ref[:rows, :1] = jnp.ones((rows, 1), jnp.float32)
 
     run = ki * bk < kv_len
     if window is not None:
@@ -109,7 +119,8 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                  max_kv: int | None = None,
                  window: int | None = None,
                  sm_scale: float | None = None,
-                 logit_cap: float | None = None) -> jax.Array:
+                 logit_cap: float | None = None,
+                 sinks: jax.Array | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_cache: [B, kvN, Smax, D] — or the full stacked
     arena [L, B, kvN, Smax, D] with a traced ``layer`` index. kv_lens: [B]
     -> out [B, N, D]; attends to cache slots [0, kv_len) per sequence.
@@ -169,16 +180,22 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
             i_k = jnp.maximum(i_k, lo)
         return (layer_ref[0], i_b, i_h, i_k, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, hb, group, d),
+                     lambda i_b, i_h, i_k, lens, li:
+                     (i_b, i_h, 0, 0, 0)),
+        pl.BlockSpec((1, 1, hb, bk, d), kv_index),
+        pl.BlockSpec((1, 1, hb, bk, d), kv_index),
+    ]
+    operands = [qg, k_cache, v_cache]
+    has_sinks = sinks is not None
+    if has_sinks:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = [sinks.astype(jnp.float32)] + operands
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, kvn // hb, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, hb, group, d),
-                         lambda i_b, i_h, i_k, lens, li:
-                         (i_b, i_h, 0, 0, 0)),
-            pl.BlockSpec((1, 1, hb, bk, d), kv_index),
-            pl.BlockSpec((1, 1, hb, bk, d), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, hb, group, d),
                                lambda i_b, i_h, i_k, lens, li:
                                (i_b, i_h, 0, 0, 0)),
@@ -192,7 +209,7 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, bk=bk,
                           group=group, hb=hb, window=window,
-                          logit_cap=logit_cap),
+                          logit_cap=logit_cap, has_sinks=has_sinks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),
@@ -205,5 +222,5 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
             transcendentals=b * n * smax,
         ),
         interpret=interpret,
-    )(kv_lens.astype(jnp.int32), layer, qg, k_cache, v_cache)
+    )(kv_lens.astype(jnp.int32), layer, *operands)
     return out.reshape(b, n, d)

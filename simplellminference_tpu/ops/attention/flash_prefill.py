@@ -23,17 +23,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale: float, bq: int, bk: int, causal: bool,
-                  window: int | None, logit_cap: float | None):
+def _flash_kernel(*refs, scale: float, bq: int, bk: int, causal: bool,
+                  window: int | None, logit_cap: float | None,
+                  has_sinks: bool = False):
+    if has_sinks:
+        sinks_ref, *refs = refs
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    hi = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
 
     @pl.when(ki == 0)
     def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        if has_sinks:
+            # GPT-OSS sink: online softmax initialized at (m=sink, l=1)
+            m_ref[:] = jnp.full_like(m_ref, sinks_ref[hi])
+            l_ref[:] = jnp.ones_like(l_ref)
+        else:
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # Causal frontier: kv block strictly above the diagonal -> skip.
@@ -96,7 +105,8 @@ def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
                   interpret: bool = False,
                   window: int | None = None,
                   sm_scale: float | None = None,
-                  logit_cap: float | None = None) -> jax.Array:
+                  logit_cap: float | None = None,
+                  sinks: jax.Array | None = None) -> jax.Array:
     """q: [B, Sq, N, D]; k/v: [B, Sk, kvN, D] (kv_layout="bsnd") or
     [B, kvN, Sk, D] (kv_layout="bnsd", the KV-cache layout — no transpose
     of the cache needed) -> [B, Sq, N, D].
@@ -148,23 +158,29 @@ def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
             i_k = jnp.maximum(i_k, lo)
         return i_k
 
+    has_sinks = sinks is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d),
+                     lambda i_b, i_h, i_q, i_k: (i_b, i_h, i_q, 0)),
+        pl.BlockSpec((1, 1, bk, d),
+                     lambda i_b, i_h, i_q, i_k:
+                     (i_b, jax.lax.div(i_h, group),
+                      clamp_k(i_b, i_h, i_q, i_k), 0)),
+        pl.BlockSpec((1, 1, bk, d),
+                     lambda i_b, i_h, i_q, i_k:
+                     (i_b, jax.lax.div(i_h, group),
+                      clamp_k(i_b, i_h, i_q, i_k), 0)),
+    ]
+    operands = [qT, kT, vT]
+    if has_sinks:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = [sinks.astype(jnp.float32)] + operands
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, bq=bq, bk=bk,
                           causal=causal, window=window,
-                          logit_cap=logit_cap),
+                          logit_cap=logit_cap, has_sinks=has_sinks),
         grid=(b, n, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d),
-                         lambda i_b, i_h, i_q, i_k: (i_b, i_h, i_q, 0)),
-            pl.BlockSpec((1, 1, bk, d),
-                         lambda i_b, i_h, i_q, i_k:
-                         (i_b, jax.lax.div(i_h, group),
-                          clamp_k(i_b, i_h, i_q, i_k), 0)),
-            pl.BlockSpec((1, 1, bk, d),
-                         lambda i_b, i_h, i_q, i_k:
-                         (i_b, jax.lax.div(i_h, group),
-                          clamp_k(i_b, i_h, i_q, i_k), 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d),
                                lambda i_b, i_h, i_q, i_k: (i_b, i_h, i_q, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
@@ -183,5 +199,5 @@ def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=b * n * sq * sk,
         ),
         interpret=interpret,
-    )(qT, kT, vT)
+    )(*operands)
     return out.transpose(0, 2, 1, 3)

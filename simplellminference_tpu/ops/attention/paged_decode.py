@@ -21,11 +21,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref,
-                  *refs, scale: float, ps: int, group: int, hb: int,
+def _paged_kernel(lens_ref, tables_ref, layer_ref, *refs, scale: float,
+                  ps: int, group: int, hb: int,
                   logit_cap: float | None,
                   quant_kv: bool, wins: int = 1,
-                  window: int | None = None, shared_kv: bool = False):
+                  window: int | None = None, shared_kv: bool = False,
+                  has_sinks: bool = False):
+    # GPT-OSS attention sinks: a learned per-head logit in the softmax
+    # denominator with no value contribution — exactly an online-softmax
+    # accumulator initialized to (m = sink, l = 1, acc = 0).
+    if has_sinks:
+        sinks_ref, *refs = refs
+    q_ref, kp_ref, *refs = refs
     # shared_kv (absorbed MLA): K and V are the SAME latent row — one
     # pool operand, one page DMA per block, halving decode KV traffic.
     if shared_kv:
@@ -44,6 +51,7 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref,
         o_ref, m_ref, l_ref, acc_ref = refs
     del layer_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
+    hi = pl.program_id(1)
     pi = pl.program_id(2)
     np_ = pl.num_programs(2)
     kv_len = lens_ref[bi]
@@ -54,6 +62,12 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, q_ref, kp_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if has_sinks:
+            # packed row r serves q head (hi*rows + r) // wins
+            col = jnp.stack([sinks_ref[(hi * rows + r) // wins]
+                             for r in range(rows)])
+            m_ref[:rows, :1] = col[:, None]
+            l_ref[:rows, :1] = jnp.ones((rows, 1), jnp.float32)
 
     run = pi * ps < kv_len
     if window is not None:
@@ -119,7 +133,8 @@ def paged_flash_verify(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        v_scale: jax.Array | None = None,
                        window: int | None = None,
                        sm_scale: float | None = None,
-                       logit_cap: float | None = None) -> jax.Array:
+                       logit_cap: float | None = None,
+                       sinks: jax.Array | None = None) -> jax.Array:
     """Multi-row decode windows (speculative verify): q [B, S, N, D]
     where row s sits at position kv_len - S + s (in-window causal).
     Same page-table flash kernel as :func:`paged_flash_decode` with the
@@ -132,7 +147,7 @@ def paged_flash_verify(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                              interpret=interpret, layer=layer,
                              k_scale=k_scale, v_scale=v_scale,
                              wins=s, window=window, sm_scale=sm_scale,
-                             logit_cap=logit_cap)
+                             logit_cap=logit_cap, sinks=sinks)
     return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
 
 
@@ -148,7 +163,8 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        wins: int = 1,
                        window: int | None = None,
                        sm_scale: float | None = None,
-                       logit_cap: float | None = None) -> jax.Array:
+                       logit_cap: float | None = None,
+                       sinks: jax.Array | None = None) -> jax.Array:
     """q: [B, N, D]; k/v_pool: [P, kvN, ps, D] — or the stacked pools
     [L, P, kvN, ps, D] with a traced ``layer`` index (scalar-prefetched,
     zero-copy reads from inside a scan over layers); tables: [B, MP] int32
@@ -219,6 +235,12 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     in_specs = [q_spec] + [pl.BlockSpec((1, 1, hb, ps, d),
                                         page_index)] * n_kv
     operands = [qg, k_pool] + ([] if shared_kv else [v_pool])
+    has_sinks = sinks is not None
+    if has_sinks:
+        # per-head sink logits, whole [N] vector in SMEM (scalar reads
+        # at accumulator init only)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = [sinks.astype(jnp.float32)] + operands
     if quant_kv:
         # Head-block as its own dim so the block's last-two dims (hb, ps)
         # EQUAL the array dims — Mosaic rejects (hb, ps) blocks carved out
@@ -251,7 +273,7 @@ def paged_flash_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         functools.partial(_paged_kernel, scale=scale, ps=ps,
                           group=group // wins, hb=hb, quant_kv=quant_kv,
                           wins=wins, window=window, logit_cap=logit_cap,
-                          shared_kv=shared_kv),
+                          shared_kv=shared_kv, has_sinks=has_sinks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvn // hb, hb, group, d),
                                        q.dtype),

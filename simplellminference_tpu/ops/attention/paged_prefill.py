@@ -42,11 +42,15 @@ NEG_INF = -1e30
 
 
 def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
-                          q_ref, *refs, scale: float,
+                          *refs, scale: float,
                           bq: int, ps: int, pages_per_block: int,
                           quant_kv: bool, window: int | None = None,
                           logit_cap: float | None = None,
-                          shared_kv: bool = False):
+                          shared_kv: bool = False,
+                          has_sinks: bool = False):
+    if has_sinks:
+        sinks_ref, *refs = refs
+    q_ref, *refs = refs
     g = pages_per_block
     nkv = 1 if shared_kv else 2   # shared_kv (absorbed MLA): K == V,
     # one pool operand set, one page DMA per logical page
@@ -61,6 +65,7 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
         o_ref, m_ref, l_ref, acc_ref = refs[nkv * g:]
     del layer_ref, tables_ref  # consumed by the BlockSpec index maps
     bi = pl.program_id(0)
+    hi = pl.program_id(1)
     qi = pl.program_id(2)
     pi = pl.program_id(3)
     np_ = pl.num_programs(3)
@@ -70,8 +75,13 @@ def _paged_prefill_kernel(lens_ref, tables_ref, offs_ref, layer_ref,
 
     @pl.when(pi == 0)
     def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        if has_sinks:
+            # GPT-OSS sink = online softmax initialized at (m=sink, l=1)
+            m_ref[:] = jnp.full_like(m_ref, sinks_ref[hi])
+            l_ref[:] = jnp.ones_like(l_ref)
+        else:
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # run while the g-page block overlaps [0, min(kv_len, q_pos_max + 1))
@@ -153,7 +163,8 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
                         window: int | None = None,
                         pages_per_block: int | None = None,
                         sm_scale: float | None = None,
-                        logit_cap: float | None = None) -> jax.Array:
+                        logit_cap: float | None = None,
+                        sinks: jax.Array | None = None) -> jax.Array:
     """q: [B, Sq, N, D] — row b's queries sit at absolute positions
     chunk_offset[b] + 0..Sq-1 (the current prefill chunk, already written
     to its pages). k/v_pool: [P, kvN, ps, D] or stacked [L, P, kvN, ps, D]
@@ -245,6 +256,10 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
     in_specs = [q_spec] + kv_spec * nkv
     operands = ([qT] + [k_pool] * g
                 + ([] if shared_kv else [v_pool] * g))
+    has_sinks = sinks is not None
+    if has_sinks:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = [sinks.astype(jnp.float32)] + operands
     if quant_kv:
         # scales [L, P, kvN, ps]: dim-split a unit axis so the block tail
         # (1, ps) equals the array's last two dims (free view reshape)
@@ -274,7 +289,7 @@ def paged_flash_prefill(q: jax.Array, k_pool: jax.Array,
         functools.partial(_paged_prefill_kernel, scale=scale, bq=bq,
                           ps=ps, pages_per_block=g, quant_kv=quant_kv,
                           window=window, logit_cap=logit_cap,
-                          shared_kv=shared_kv),
+                          shared_kv=shared_kv, has_sinks=has_sinks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -70,8 +70,15 @@ def router_topk(x: jax.Array, w_router: jax.Array, top_k: int,
 
     ``scaling``: DeepSeek's routed_scaling_factor, applied after the
     optional renormalization.
+
+    With ``score_fn="softmax"``, ``bias`` is a true router LINEAR bias
+    (GPT-OSS: logits = x @ W + b, top-k, softmax over the k — identical
+    to softmax-all + renorm); with "sigmoid" it is the DeepSeek
+    selection-only correction bias.
     """
     logits = jnp.dot(x.astype(jnp.float32), w_router.astype(jnp.float32))
+    if bias is not None and score_fn == "softmax":
+        logits = logits + bias.astype(jnp.float32)[None]
     t, e = logits.shape
     k = min(top_k, e)
     if score_fn == "sigmoid":
@@ -122,12 +129,13 @@ def router_probs(x: jax.Array, w_router: jax.Array, top_k: int,
 
 def _router_kw(cfg: ModelConfig, lw: dict,
                li: Optional[jax.Array]) -> dict:
-    """Per-call router extras (DeepSeek grouped/sigmoid routing)."""
-    if cfg.router_score_fn == "softmax" and cfg.router_n_group <= 1:
-        return {}
+    """Per-call router extras (DeepSeek grouped/sigmoid routing; the
+    GPT-OSS router linear bias)."""
     bias = lw.get("router_bias")
     if bias is not None and li is not None:
         bias = jax.lax.dynamic_index_in_dim(bias, li, 0, keepdims=False)
+    if cfg.router_score_fn == "softmax" and cfg.router_n_group <= 1:
+        return {"bias": bias} if bias is not None else {}
     return dict(score_fn=cfg.router_score_fn, bias=bias,
                 n_group=cfg.router_n_group,
                 topk_group=cfg.router_topk_group)
@@ -211,17 +219,27 @@ def moe_ffn_grouped(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
     xg = jnp.take(xf, tok, axis=0)                              # [T*k, H]
     gsz = jnp.bincount(flat_e, length=e_loc).astype(jnp.int32)
 
+    row_e = jnp.take(flat_e, order)                             # [T*k]
+    g_row = jnp.take(gate, order)
     wgu = _dense_layer_weight(lw["w_gate_up"], li, xf.dtype)
     wgu = wgu.reshape(h, e_loc, 2 * ie).transpose(1, 0, 2)      # [E,H,2Ie]
     gu = jax.lax.ragged_dot(xg, wgu, gsz,
                             preferred_element_type=jnp.float32)
+    if cfg.moe_bias:
+        bgu = _layer_row(lw["w_gate_up_bias"], li).reshape(e_loc, 2 * ie)
+        gu = gu + bgu[row_e].astype(gu.dtype)
     act = ref_ops.glu_act(gu[..., :ie], gu[..., ie:], cfg.hidden_act)
-    act = act * jnp.take(gate, order)[:, None]
+    act = act * g_row[:, None]
 
     wd = _dense_layer_weight(lw["w_down"], li, xf.dtype)
     wd = wd.reshape(e_loc, ie, h)                               # [E,Ie,H]
     yg = jax.lax.ragged_dot(act.astype(xf.dtype), wd, gsz,
                             preferred_element_type=jnp.float32)
+    if cfg.moe_bias:
+        # down bias per selected expert, weighted by its gate (zero for
+        # remote/parked rows)
+        bd = _layer_row(lw["w_down_bias"], li)                  # [E_loc,H]
+        yg = yg + g_row[:, None] * bd[row_e].astype(jnp.float32)
     y = jnp.zeros((t, h), jnp.float32).at[tok].add(yg)
     if cfg.shared_expert_intermediate_size:
         y = y + _shared_expert(cfg, lw, li, xf)
@@ -265,15 +283,28 @@ def moe_ffn(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],
         gates = jax.lax.dynamic_slice_in_dim(gates, me * e_loc, e_loc, 1)
 
     gu = linear(xf, lw["w_gate_up"], layer=li)       # [T, E_loc * 2*Ie]
+    if cfg.moe_bias:
+        gu = gu + _layer_row(lw["w_gate_up_bias"], li)[None].astype(
+            gu.dtype)
     gu = gu.reshape(t, e_loc, 2 * ie)
     act = ref_ops.glu_act(gu[..., :ie], gu[..., ie:], cfg.hidden_act)
     act = act * gates[..., None].astype(act.dtype)   # zero unselected
     y = linear(act.reshape(t, e_loc * ie), lw["w_down"], layer=li)
+    if cfg.moe_bias:
+        # per-expert down bias rides each selected expert: sum_e g_e*bd_e
+        bd = _layer_row(lw["w_down_bias"], li)       # [E_loc, H]
+        y = y + jnp.dot(gates.astype(jnp.float32),
+                        bd.astype(jnp.float32)).astype(y.dtype)
     if cfg.shared_expert_intermediate_size:
         y = y + _shared_expert(cfg, lw, li, xf).astype(y.dtype)
     if tp_axis is not None:
         y = jax.lax.psum(y, tp_axis)
     return y.reshape(b, s, h)
+
+
+def _layer_row(w: jax.Array, li: Optional[jax.Array]) -> jax.Array:
+    return w if li is None else jax.lax.dynamic_index_in_dim(
+        w, li, 0, keepdims=False)
 
 
 def _shared_expert(cfg: ModelConfig, lw: dict, li: Optional[jax.Array],

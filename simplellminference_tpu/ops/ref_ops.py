@@ -53,6 +53,14 @@ def glu_act(gate, up, act: str = "silu"):
     import jax.numpy as jnp
 
     g = gate.astype(jnp.float32)
+    if act == "swiglu_oss":
+        # GPT-OSS clamped SwiGLU (HF GptOssExperts: alpha=1.702,
+        # limit=7.0): gate clamps above, up clamps both ways, and the
+        # "+1" feeds the gate through even at up == 0.
+        g = jnp.minimum(g, 7.0)
+        u = jnp.clip(up.astype(jnp.float32), -7.0, 7.0)
+        glu = g * jax.nn.sigmoid(g * 1.702)
+        return ((u + 1.0) * glu).astype(gate.dtype)
     if act == "silu":
         a = g * jax.nn.sigmoid(g)
     elif act in ("gelu_pytorch_tanh", "gelu_tanh"):
@@ -232,14 +240,17 @@ def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               mask: jax.Array | None = None,
               scale: float | None = None,
-              logit_cap: float | None = None) -> jax.Array:
+              logit_cap: float | None = None,
+              sinks: jax.Array | None = None) -> jax.Array:
     """Dense reference attention with fp32 softmax.
 
     q: [B, Sq, N, D]; k/v: [B, Sk, kvN, D]; mask: broadcastable to
     [B, N, Sq, Sk] (True = attend). GQA via head-group expansion
     (reference: mha_kernel.cpp:36-77 computes this per-head serially).
     ``logit_cap``: Gemma-2 score soft cap — cap * tanh(s / cap) before
-    masking/softmax.
+    masking/softmax. ``sinks`` [N]: GPT-OSS attention sinks — a learned
+    per-head logit that joins the softmax denominator but contributes
+    no value (equivalent to one always-visible zero-value key).
     """
     n_rep = q.shape[2] // k.shape[2]
     k = repeat_kv(k, n_rep)
@@ -252,7 +263,14 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
         logits = logit_cap * jnp.tanh(logits / logit_cap)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    probs = jax.nn.softmax(logits, axis=-1)
+    if sinks is not None:
+        b, n, sq, _ = logits.shape
+        col = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[None, :, None, None], (b, n, sq, 1))
+        probs = jax.nn.softmax(
+            jnp.concatenate([logits, col], axis=-1), axis=-1)[..., :-1]
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bnqk,bknd->bqnd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
 

@@ -65,7 +65,14 @@ def _layer_specs() -> dict[str, P]:
         # which makes the model axis double as the EXPERT-parallel axis
         # (ops/moe.py).
         "router": P(None, None, None),
-        "router_bias": P(None, None),   # [L, E] V3 selection bias
+        "router_bias": P(None, None),   # [L, E] V3 selection / OSS bias
+        # GPT-OSS: sinks [L, N] shard on heads; o bias [L, H] is added
+        # once post-psum (replicated); expert biases shard with their
+        # folded expert weights (contiguous chunks = whole experts).
+        "sinks": P(None, m),
+        "wo_bias": P(None, None),
+        "w_gate_up_bias": P(None, m),     # [L, E*2Ie] column blocks
+        "w_down_bias": P(None, m, None),  # [L, E, H] expert rows
         # Qwen2-MoE shared expert: plain megatron column/row shards; the
         # scalar sigmoid gate is replicated.
         "shared_gate_up": P(None, None, m),

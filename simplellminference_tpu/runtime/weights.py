@@ -61,6 +61,16 @@ _QUANTIZABLE = {"layers/wqkv", "layers/wo", "layers/w_gate_up",
                 "layers/q_proj", "layers/q_b", "layers/kv_b"}
 
 
+class Mapped:
+    """Param-map entry with a custom load transform: the HF tensor is
+    fetched RAW (no transpose) and ``fn(arr)`` returns it in our layout
+    (e.g. GPT-OSS stacked expert tensors with interleaved gate/up)."""
+
+    def __init__(self, name: str, fn: Callable):
+        self.name = name
+        self.fn = fn
+
+
 def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
     """Param map for the Llama graph family (llama, mistral, qwen2, ...).
 
@@ -72,25 +82,50 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
         # w_gate_up, per-expert row blocks for w_down. Mixtral names the
         # projections w1/w3/w2 under block_sparse_moe; Qwen2-MoE uses
         # gate/up/down_proj under mlp and adds the shared expert.
-        if cfg.model_type in ("qwen2_moe", "deepseek_v2", "deepseek_v3"):
+        if cfg.model_type == "gpt_oss":
+            # GPT-OSS experts are STACKED tensors with INTERLEAVED
+            # gate/up columns: gate_up_proj [E, H, 2Ie] where gate =
+            # [..., ::2], up = [..., 1::2] (HF GptOssExperts) — fold to
+            # our per-expert [gate_e | up_e] column-block layout.
             pre = "model.layers.{i}.mlp"
-            names = ("gate_proj", "up_proj")
-            down = "down_proj"
+            m["layers/router"] = pre + ".router.weight"
+            m["layers/router_bias"] = pre + ".router.bias"
+
+            def _deinterleave(t):
+                return jnp.concatenate([t[..., 0::2], t[..., 1::2]], -1)
+
+            m["layers/w_gate_up"] = Mapped(
+                pre + ".experts.gate_up_proj",
+                lambda t: _deinterleave(t).transpose(1, 0, 2).reshape(
+                    t.shape[1], -1))                     # [H, E*2Ie]
+            m["layers/w_gate_up_bias"] = Mapped(
+                pre + ".experts.gate_up_proj_bias",
+                lambda t: _deinterleave(t).reshape(-1))  # [E*2Ie]
+            m["layers/w_down"] = Mapped(
+                pre + ".experts.down_proj",
+                lambda t: t.reshape(-1, t.shape[-1]))    # [E*Ie, H]
+            m["layers/w_down_bias"] = pre + ".experts.down_proj_bias"
         else:
-            pre = "model.layers.{i}.block_sparse_moe"
-            names = ("w1", "w3")
-            down = "w2"
-        m["layers/router"] = pre + ".gate.weight"
-        if cfg.router_score_fn == "sigmoid":
-            # DeepSeek-V3 noaux_tc selection bias
-            m["layers/router_bias"] = (
-                pre + ".gate.e_score_correction_bias")
-        m["layers/w_gate_up"] = tuple(
-            pre + f".experts.{e}.{w}.weight"
-            for e in range(cfg.num_experts) for w in names)
-        m["layers/w_down"] = tuple(
-            pre + f".experts.{e}.{down}.weight"
-            for e in range(cfg.num_experts))
+            if cfg.model_type in ("qwen2_moe", "deepseek_v2",
+                                  "deepseek_v3"):
+                pre = "model.layers.{i}.mlp"
+                names = ("gate_proj", "up_proj")
+                down = "down_proj"
+            else:
+                pre = "model.layers.{i}.block_sparse_moe"
+                names = ("w1", "w3")
+                down = "w2"
+            m["layers/router"] = pre + ".gate.weight"
+            if cfg.router_score_fn == "sigmoid":
+                # DeepSeek-V3 noaux_tc selection bias
+                m["layers/router_bias"] = (
+                    pre + ".gate.e_score_correction_bias")
+            m["layers/w_gate_up"] = tuple(
+                pre + f".experts.{e}.{w}.weight"
+                for e in range(cfg.num_experts) for w in names)
+            m["layers/w_down"] = tuple(
+                pre + f".experts.{e}.{down}.weight"
+                for e in range(cfg.num_experts))
         if cfg.shared_expert_intermediate_size:
             # Qwen2-MoE: "shared_expert" + sigmoid gate;
             # DeepSeek: "shared_experts" (plural), no gate.
@@ -112,6 +147,10 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
     if cfg.qk_norm:  # Qwen3: per-head q/k RMSNorm before RoPE
         m["layers/q_norm"] = "model.layers.{i}.self_attn.q_norm.weight"
         m["layers/k_norm"] = "model.layers.{i}.self_attn.k_norm.weight"
+    if cfg.attn_sinks:  # GPT-OSS per-head attention-sink logits
+        m["layers/sinks"] = "model.layers.{i}.self_attn.sinks"
+    if cfg.o_bias:
+        m["layers/wo_bias"] = "model.layers.{i}.self_attn.o_proj.bias"
     if cfg.mla:  # DeepSeek MLA: latent KV + optional low-rank queries
         del m["layers/wqkv"]
         m["layers/kv_a"] = (
@@ -197,7 +236,11 @@ def params_from_fetcher(cfg: ModelConfig,
     pmap = llama_hf_param_map(cfg)
     params: dict = {}
 
-    def load_one(path: str, hf_name: str, layer: Optional[int]):
+    def load_one(path: str, hf_name, layer: Optional[int]):
+        if isinstance(hf_name, Mapped):
+            name = (hf_name.name.format(i=layer) if layer is not None
+                    else hf_name.name)
+            return hf_name.fn(jnp.asarray(fetch(name))).astype(dtype)
         name = hf_name.format(i=layer) if layer is not None else hf_name
         t = jnp.asarray(fetch(name))
         if path.replace("dense_layers/", "layers/") in _TRANSPOSED:

@@ -280,3 +280,87 @@ def test_paged_decode_and_prefill_logit_cap(rng):
         np.testing.assert_allclose(np.asarray(got2[i, :valid]),
                                    np.asarray(want2[i, :valid]),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_flash_kernels_attention_sinks(rng):
+    """GPT-OSS sinks in all four kernels (interpret): equivalent to one
+    always-visible zero-value key per head."""
+    b, s, n, kvn, d = 2, 256, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    mask = ref_ops.causal_mask(s, s)[None, None]
+    want = ref_ops.attention(q, k, v, mask, sinks=sinks)
+    got = flash_prefill(q, k, v, causal=True, bq=128, bk=128,
+                        interpret=True, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    # decode against a partially-filled cache
+    kc, vc = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+    kv_lens = jnp.asarray([100, 37], jnp.int32)
+    got_d = flash_decode(q[:, 0], kc, vc, kv_lens, bk=128,
+                         interpret=True, sinks=sinks)
+    m2 = (jnp.arange(s)[None, None, None, :]
+          < kv_lens[:, None, None, None])
+    want_d = ref_ops.attention(q[:, :1], k, v, m2, sinks=sinks)[:, 0]
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_paged_kernels_attention_sinks(rng):
+    """Sinks through the paged prefill + decode kernels (+ sliding
+    window on the decode side)."""
+    from simplellminference_tpu.memory.paged_kv import write_prefill
+    from simplellminference_tpu.ops.attention.paged_decode import (
+        paged_flash_decode)
+    from simplellminference_tpu.ops.attention.paged_prefill import (
+        paged_flash_prefill)
+    b, s, n, kvn, d, ps = 2, 128, 4, 2, 64, 16
+    npages, mp = 32, 8
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    pool_k = jnp.zeros((npages, kvn, ps, d), jnp.float32)
+    pool_v = jnp.zeros((npages, kvn, ps, d), jnp.float32)
+    tables = jnp.asarray(
+        rng.permutation(npages - 1)[:b * mp].reshape(b, mp) + 1,
+        jnp.int32)
+    pool_k, pool_v, _, _ = write_prefill(pool_k, pool_v, k, v, tables)
+    kv_lens = jnp.asarray([s, s - 40], jnp.int32)
+    offs = jnp.zeros((b,), jnp.int32)
+
+    got = paged_flash_prefill(q, pool_k, pool_v, tables, kv_lens, offs,
+                              bq=128, interpret=True, sinks=sinks)
+    want = _paged_ref_sinks(q, pool_k, pool_v, tables, kv_lens, offs,
+                            sinks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    got_d = paged_flash_decode(q[:, 0], pool_k, pool_v, tables, kv_lens,
+                               interpret=True, sinks=sinks, window=48)
+    from simplellminference_tpu.memory.paged_kv import gather_dense
+    ck, cv = gather_dense(pool_k, pool_v, tables)
+    kp = jnp.arange(ck.shape[2])[None, None, None, :]
+    m = ((kp < kv_lens[:, None, None, None])
+         & (kp >= (kv_lens - 48)[:, None, None, None]))
+    want_d = ref_ops.attention(q[:, :1], ck.transpose(0, 2, 1, 3),
+                               cv.transpose(0, 2, 1, 3), m,
+                               sinks=sinks)[:, 0]
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=2e-3, atol=2e-3)
+
+
+def _paged_ref_sinks(q, pool_k, pool_v, tables, kv_lens, offs, sinks):
+    from simplellminference_tpu.memory.paged_kv import gather_dense
+    ck, cv = gather_dense(pool_k, pool_v, tables)
+    s = q.shape[1]
+    key_pos = jnp.arange(ck.shape[2])[None, None, None, :]
+    q_pos = offs[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    mask = ((key_pos <= q_pos[:, None, :, None])
+            & (key_pos < kv_lens[:, None, None, None]))
+    return ref_ops.attention(q, ck.transpose(0, 2, 1, 3),
+                             cv.transpose(0, 2, 1, 3), mask, sinks=sinks)

@@ -328,3 +328,40 @@ def test_tp_paged_engine_deepseek_moe_dense_prefix():
     got = mk({"model": 4}).generate(prompts,
                                     SamplingParams(max_new_tokens=8))
     assert got == base
+
+
+def test_tp_paged_engine_gpt_oss():
+    """GPT-OSS under engine TP: sinks shard on heads, expert biases on
+    the folded expert blocks, router bias replicated, o_proj bias added
+    once post-psum. Tokens must equal the single-device engine."""
+    import transformers
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine import Engine
+
+    hf = transformers.GptOssConfig(
+        vocab_size=256, hidden_size=96, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=32,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        num_local_experts=4, num_experts_per_tok=2, sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"] * 2,
+        attention_bias=True)
+    cfg = ModelConfig.from_hf_dict(hf.to_dict(), dtype="float32")
+    assert cfg.attn_sinks and cfg.moe_bias
+    params = llama.init_params(cfg, jax.random.PRNGKey(13))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    def mk(mesh_shape):
+        ecfg = EngineConfig(
+            max_batch_size=2, mesh_shape=mesh_shape,
+            kv=KVCacheConfig(page_size=8, num_pages=64,
+                             max_pages_per_seq=16, kv_dtype="f32"))
+        return Engine(cfg, params, ecfg, decode_burst=3)
+
+    base = mk(None).generate(prompts, SamplingParams(max_new_tokens=8))
+    got = mk({"model": 2}).generate(prompts,
+                                    SamplingParams(max_new_tokens=8))
+    assert got == base

@@ -662,3 +662,78 @@ def test_gemma3_paged_engine_matches_dense():
     want = _generator_generate(cfg, params, prompts, 10)
     got = _engine_generate(cfg, params, prompts, 10)
     assert got == want
+
+
+# ------------------------------------------------------------- GPT-OSS
+
+
+def _gpt_oss_cfg(**kw):
+    base = dict(
+        vocab_size=256, hidden_size=96, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"] * 2,
+        attention_bias=True, attention_dropout=0.0,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 64,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "truncate": False},
+        attn_implementation="eager")
+    base.update(kw)
+    return transformers.GptOssConfig(**base)
+
+
+def test_gpt_oss_matches_hf():
+    """GPT-OSS: attention sinks, alternating sliding/full layers, yarn
+    rope, clamped-SwiGLU MoE with router/expert biases, q/k/v/o biases."""
+    hf_cfg = _gpt_oss_cfg()
+    torch.manual_seed(31)
+    hf = transformers.GptOssForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.attn_sinks and cfg.o_bias and cfg.moe_bias
+    assert cfg.hidden_act == "swiglu_oss"
+    assert cfg.window_pattern() == (2, (8, None))
+    assert get_model_family("gpt_oss").name == "llama"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert "sinks" in params["layers"] and "wo_bias" in params["layers"]
+    assert "w_gate_up_bias" in params["layers"]
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120, 9, 33, 2, 90]],
+                      np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_gpt_oss_paged_engine_matches_dense():
+    """Sinks + sliding windows + MoE biases through the paged serving
+    path must decode exactly like the dense path."""
+    cfg = ModelConfig.from_hf_dict(_gpt_oss_cfg().to_dict(),
+                                   dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(13))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 8)
+    got = _engine_generate(cfg, params, prompts, 8)
+    assert got == want
+
+
+def test_attention_sinks_reference_semantics():
+    """ref_ops.attention sinks == explicit concat-a-zero-value-key."""
+    from simplellminference_tpu.ops import ref_ops as ro
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (2, 4, 3, 16), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 3, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 3, 16))
+    sinks = jnp.asarray([0.5, -1.0, 2.0])
+    mask = ro.causal_mask(4, 4)[None, None]
+    got = ro.attention(q, k, v, mask, sinks=sinks)
+    # oracle: append a key whose score IS the sink and a zero value
+    scale = 16 ** -0.5
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k) * scale
+    logits = jnp.where(mask, logits, -1e30)
+    col = jnp.broadcast_to(sinks[None, :, None, None], (2, 3, 4, 1))
+    probs = jax.nn.softmax(jnp.concatenate([logits, col], -1), axis=-1)
+    want = jnp.einsum("bnqk,bknd->bqnd", probs[..., :-1], v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

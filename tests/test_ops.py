@@ -148,9 +148,13 @@ def test_sampling_topp_renormalizes_after_topk(rng):
     assert len(draws) > 1  # it is actually sampling, not argmaxing
 
 
-def test_sampling_penalties_and_min_p(rng):
+def test_sampling_penalties_and_min_p():
     from simplellminference_tpu.ops import sampling as S
 
+    # local generator: the min_p ~ 1.0 assertion below assumes a clear
+    # argmax margin, which the session-scoped shared stream can't
+    # guarantee (its state depends on which tests ran before)
+    rng = np.random.default_rng(42)
     b, v = 4, 64
     logits = jnp.asarray(rng.standard_normal((b, v)) * 3, jnp.float32)
     counts = jnp.asarray(rng.integers(0, 3, (b, v)), jnp.float32)
