@@ -38,6 +38,10 @@ def main(argv=None):
                          "pools over the model mesh axis)")
     ap.add_argument("--spec-tokens", type=int, default=0,
                     help="speculative decoding draft length (0 = off)")
+    ap.add_argument("--top-logprobs", type=int, default=0,
+                    help="top-K alternative logprobs per token the "
+                         "engine emits (OpenAI logprobs/top_logprobs "
+                         "capacity; 0 = off)")
     ap.add_argument("--lora", action="append", default=[],
                     metavar="NAME=DIR",
                     help="load a HF PEFT LoRA adapter (repeatable); "
@@ -81,6 +85,7 @@ def main(argv=None):
         max_batch_size=args.max_batch,
         mesh_shape={"model": args.tp} if args.tp > 1 else None,
         spec_tokens=args.spec_tokens,
+        top_logprobs=args.top_logprobs,
         kv=KVCacheConfig(page_size=args.page_size,
                          num_pages=args.num_pages,
                          max_pages_per_seq=args.max_pages_per_seq,

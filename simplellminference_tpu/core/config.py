@@ -667,6 +667,13 @@ class EngineConfig:
     # Per-request logit_bias capacity: (token, bias) pairs ride as static
     # [B, max_logit_bias] sampler rows (OpenAI caps the field at 300).
     max_logit_bias: int = 16
+    # Top-K per-token alternative logprobs (OpenAI `logprobs`/
+    # `top_logprobs`): every decode/prefill graph additionally emits the
+    # K highest-logprob token ids + logprobs per emitted token (one
+    # lax.top_k over the raw logits per step — linear scan, cheap next
+    # to the matmuls). 0 = off (the packed sync object stays [.., 2]).
+    # Incompatible with speculative decoding.
+    top_logprobs: int = 0
     kv: KVCacheConfig = dataclasses.field(default_factory=KVCacheConfig)
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
     # Mesh geometry: axis name -> size. Absent axes = 1.

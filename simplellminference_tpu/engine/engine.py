@@ -273,6 +273,20 @@ class Engine:
         cfg_ = cfg
         fwd = self._fwd
         use_lora = self.has_lora   # static: threads lora_idx into fwd
+        topk_lp = engine_cfg.top_logprobs
+        self.topk_lp = topk_lp
+        if topk_lp and engine_cfg.spec_tokens:
+            raise ValueError("top_logprobs is incompatible with "
+                             "speculative decoding (spec_tokens > 0)")
+
+        def _pack_cols(logits_last, tok, lp):
+            """One packed sync row per emitted token:
+            [token, logprob, top-K ids..., top-K logprobs...]."""
+            cols = [tok.astype(jnp.float32)[:, None], lp[:, None]]
+            if topk_lp:
+                ids, lps = sampling_ops.top_logprobs(logits_last, topk_lp)
+                cols += [ids.astype(jnp.float32), lps]
+            return jnp.concatenate(cols, -1)
 
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_fn(params, cache, tokens, tables, kv_len,
@@ -302,7 +316,7 @@ class Engine:
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
             # ONE host sync object: a second np.asarray would cost another
             # ~25 ms relay round trip per admit/burst
-            return jnp.stack([tok.astype(jnp.float32), lp], -1), cache
+            return _pack_cols(logits[:, -1], tok, lp), cache
 
         @partial(jax.jit, donate_argnums=(1,))
         def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
@@ -328,7 +342,7 @@ class Engine:
                                       bias_ids=bias_i, bias_vals=bias_v,
                                       allowed=allowed)
             lp = sampling_ops.token_logprob(logits[:, -1], tok)
-            return jnp.stack([tok.astype(jnp.float32), lp], -1), cache
+            return _pack_cols(logits[:, -1], tok, lp), cache
 
         @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4, 5))
         def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
@@ -372,13 +386,14 @@ class Engine:
                         active.astype(c.dtype)),
                     lambda c: c, counts)
                 pos = pos + active.astype(jnp.int32)
-                return (cache, nxt, pos, counts, key), (nxt, lp)
+                return ((cache, nxt, pos, counts, key),
+                        _pack_cols(logits[:, 0], nxt, lp))
 
-            (cache, tok, pos, counts, _), (toks, lps) = jax.lax.scan(
+            (cache, tok, pos, counts, _), rows = jax.lax.scan(
                 step, (cache, tokens, pos, counts0, key), None,
                 length=steps)
-            # pack (token, logprob) into ONE sync object [B, steps, 2]
-            packed = jnp.stack([toks.T.astype(jnp.float32), lps.T], -1)
+            # ONE sync object [B, steps, 2 (+2K top-logprob columns)]
+            packed = rows.transpose(1, 0, 2)
             return packed, tok, pos, counts, cache
 
         spec_g = engine_cfg.spec_tokens
@@ -1001,7 +1016,7 @@ class Engine:
         # one host sync for ALL admitted prefills (not one per request):
         # prefill dispatches queue back-to-back on the device.
         for reqs, packed in pending:
-            arr = np.asarray(packed)       # [n, 2]: (token, logprob)
+            arr = np.asarray(packed)   # [n, 2 (+2K)]: token, logprob, top-K
             for i, req in enumerate(reqs):
                 tok_id = int(arr[i, 0])
                 self._next_tok[req.slot] = tok_id
@@ -1011,7 +1026,8 @@ class Engine:
                     # the pending input token
                     self._hist_host[req.slot, self._pos[req.slot]] = tok_id
                 self._override[req.slot] = True  # fresh state for pipeline
-                self._emit_tokens(req, [tok_id], [float(arr[i, 1])])
+                self._emit_tokens(req, [tok_id], [float(arr[i, 1])],
+                                  tops=self._row_tops(arr[i:i + 1]))
 
     def _draft_prefill_admitted(self, reqs: list[Request]):
         """One batched draft prefill for a cycle's admits.
@@ -1101,6 +1117,17 @@ class Engine:
                 allowed=gm)
         return packed[:n]
 
+    def _row_tops(self, rows) -> Optional[list]:
+        """rows [T, 2+2K] -> per-token [(id, logprob), ...] lists (None
+        when top_logprobs is off)."""
+        k = self.topk_lp
+        if not k:
+            return None
+        ids = rows[..., 2:2 + k].astype(np.int64)
+        lps = rows[..., 2 + k:2 + 2 * k]
+        return [list(zip(ids[t].tolist(), lps[t].tolist()))
+                for t in range(rows.shape[0])]
+
     def _samp_extras(self, idx):
         """(min_p, counts, rep, freq, pres, seeds, bias) slot rows."""
         return (jnp.asarray(self._min_p[idx]),
@@ -1173,8 +1200,11 @@ class Engine:
         return packed
 
     def _emit_tokens(self, req: Request, toks: list[int],
-                     lps: Optional[list[float]] = None):
-        """Append sampled tokens, applying stop conditions. May finish."""
+                     lps: Optional[list[float]] = None,
+                     tops: Optional[list] = None):
+        """Append sampled tokens, applying stop conditions. May finish.
+        ``tops``: per-token top-K (id, logprob) alternatives, aligned
+        with ``toks`` (EngineConfig.top_logprobs)."""
         accepted = []
         finished = False
         matcher = req.stop_matcher
@@ -1187,6 +1217,8 @@ class Engine:
             req.output_ids.append(t)
             if lps is not None:
                 req.output_logprobs.append(float(lps[i]))
+            if tops is not None:
+                req.output_top_logprobs.append(tops[i])
             accepted.append(t)
             if req.guided_index is not None:
                 req.guided_state = req.guided_index.advance(
@@ -1508,11 +1540,12 @@ class Engine:
             *sampler_args, lidx, allowed=jnp.asarray(mask))
         self._override[:] = False
         self.metrics.decode_bursts += 1
-        arr = np.asarray(packed)        # [B, 1, 2] — sync NOW
+        arr = np.asarray(packed)        # [B, 1, 2 (+2K)] — sync NOW
         for req in running:
             slot = req.slot
             t = int(arr[slot, 0, 0])
-            self._emit_tokens(req, [t], [float(arr[slot, 0, 1])])
+            self._emit_tokens(req, [t], [float(arr[slot, 0, 1])],
+                              tops=self._row_tops(arr[slot]))
             if req.state == RequestState.RUNNING:
                 self._pos[slot] += 1
                 self._next_tok[slot] = t
@@ -1603,7 +1636,7 @@ class Engine:
                     self._pos[slot] += len(seq)
                     self._next_tok[slot] = seq[-1]
             return
-        arr = np.asarray(a)      # [B, burst, 2] — the one sync point
+        arr = np.asarray(a)   # [B, burst, 2 (+2K)] — the one sync point
         toks = arr[..., 0].astype(np.int64)
         blps = arr[..., 1]
         for slot, req in snapshot:
@@ -1615,7 +1648,8 @@ class Engine:
             # prefill/burst) and produced `burst` new tokens; the last one
             # doubles as the next burst's input.
             burst_toks = toks[slot].tolist()
-            self._emit_tokens(req, burst_toks, blps[slot].tolist())
+            self._emit_tokens(req, burst_toks, blps[slot].tolist(),
+                              tops=self._row_tops(arr[slot]))
             if req.state == RequestState.RUNNING:
                 self._pos[slot] += self.burst
                 self._next_tok[slot] = burst_toks[-1]

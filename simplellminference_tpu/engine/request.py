@@ -31,6 +31,9 @@ class Request:
     # log P(token) under the model's raw distribution, aligned with
     # output_ids
     output_logprobs: list[float] = dataclasses.field(default_factory=list)
+    # top-K alternative (token id, logprob) lists per emitted token
+    # (EngineConfig.top_logprobs > 0), aligned with output_ids
+    output_top_logprobs: list = dataclasses.field(default_factory=list)
     # streaming callback: (req, new_token_ids, finished) -> None
     on_tokens: Optional[Callable] = None
     error: Optional[str] = None

@@ -272,6 +272,16 @@ def sample(logits: jax.Array, key: jax.Array, temperature: jax.Array,
                         lambda _: draw(logits), operand=None)
 
 
+def top_logprobs(logits: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """(ids [B, k] int32, logprobs [B, k] f32) of the k most probable
+    tokens under the model's RAW distribution (OpenAI
+    logprobs/top_logprobs). One lax.top_k linear scan per step."""
+    lf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lf, axis=-1, keepdims=True)
+    vals, ids = jax.lax.top_k(lf, k)
+    return ids.astype(jnp.int32), vals - lse
+
+
 def token_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
     """log P(tok) under the model's raw distribution.
 

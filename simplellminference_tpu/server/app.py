@@ -274,6 +274,51 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             return req.output_logprobs[:req.final_ids_len]
         return req.output_logprobs
 
+    def _choice_tops(req, k):
+        """Per-token top-k alternatives as OpenAI maps
+        ({token: logprob}); requires EngineConfig.top_logprobs >= k."""
+        tops = req.output_top_logprobs
+        if req.final_ids_len is not None:
+            tops = tops[:req.final_ids_len]
+        out = []
+        for alts in tops:
+            row = {}
+            for tid, lp in alts[:k]:
+                tok_s = (tokenizer.decode([int(tid)]) if tokenizer
+                         else str(int(tid)))
+                row[tok_s] = lp
+            out.append(row)
+        return out
+
+    def _choice_tops_list(req, k):
+        """Chat format: per-token LIST of {token, token_id, logprob}
+        (no string-collision collapse, unlike the completions dict)."""
+        tops = req.output_top_logprobs
+        if req.final_ids_len is not None:
+            tops = tops[:req.final_ids_len]
+        return [[{"token": (tokenizer.decode([int(t)]) if tokenizer
+                            else str(int(t))),
+                  "token_id": int(t), "logprob": lp}
+                 for t, lp in alts[:k]] for alts in tops]
+
+    def _want_topk(body):
+        """Requested top-k alternatives count (0 = none), validated
+        against the engine's configured capacity."""
+        lp = body.get("logprobs")
+        k = 0
+        if isinstance(lp, (int, float)) and not isinstance(lp, bool):
+            k = int(lp)                       # completions: logprobs=N
+        if body.get("top_logprobs") is not None:
+            k = int(body["top_logprobs"])     # chat: top_logprobs=N
+        if k < 0:
+            raise ValueError("'logprobs'/'top_logprobs' must be >= 0")
+        cap = getattr(engine, "topk_lp", 0)
+        if k > cap:
+            raise ValueError(
+                f"top_logprobs={k} exceeds the engine's configured "
+                f"capacity {cap} (set EngineConfig.top_logprobs)")
+        return k
+
     async def _fanout(prompt_ids, sampling, n, lora=None):
         """n parallel samples of one prompt (prefix-cache shares pages)."""
         import dataclasses as _dc
@@ -356,6 +401,10 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 return sum(lp) / max(len(lp), 1)
             reqs = sorted(reqs, key=_score, reverse=True)[:n]
         want_lp = bool(body.get("logprobs"))
+        try:
+            want_k = _want_topk(body)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
         echo = (tokenizer.decode(prompt_ids)
                 if body.get("echo") and tokenizer else "")
         return web.json_response({
@@ -368,7 +417,9 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 "text": echo + (_choice_text(r) or ""),
                 "token_ids": _choice_ids(r),
                 **({"logprobs":
-                    {"token_logprobs": _choice_logprobs(r)}}
+                    {"token_logprobs": _choice_logprobs(r),
+                     **({"top_logprobs": _choice_tops(r, want_k)}
+                        if want_k else {})}}
                    if want_lp else {}),
                 "finish_reason": _finish_reason(r, sampling),
             } for i, r in enumerate(reqs)],
@@ -399,6 +450,10 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
             return web.json_response({"error": str(e)}, status=400)
         stream = bool(body.get("stream", False))
         lora = _lora_from(body)
+        try:
+            want_k = _want_topk(body)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
         n = max(int(body.get("n", 1)), 1)
         if stream and n > 1:
             return web.json_response(
@@ -426,8 +481,12 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
                 "message": {"role": "assistant",
                             "content": _choice_text(r)},
                 **({"logprobs": {"content": [
-                    {"token_id": t, "logprob": lp}
-                    for t, lp in zip(_choice_ids(r), _choice_logprobs(r))]}}
+                    {"token_id": t, "logprob": lp,
+                     **({"top_logprobs": alts} if want_k else {})}
+                    for t, lp, alts in zip(
+                        _choice_ids(r), _choice_logprobs(r),
+                        (_choice_tops_list(r, want_k) if want_k
+                         else [[]] * len(_choice_ids(r))))]}}
                    if body.get("logprobs") else {}),
                 "finish_reason": _finish_reason(r, sampling),
             } for i, r in enumerate(reqs)],

@@ -648,3 +648,52 @@ def test_engine_min_tokens_and_ignore_eos(model):
     got2 = eng.generate(prompts, SamplingParams(
         max_new_tokens=12, stop_token_ids=(stop,), ignore_eos=True))
     assert got2[0] == ref
+
+
+def test_engine_top_logprobs(model):
+    """EngineConfig.top_logprobs: every emitted token carries the K
+    most probable alternatives under the RAW distribution — checked
+    against a teacher-forced dense forward's log-softmax."""
+    cfg, params = model
+    ecfg = EngineConfig(
+        max_batch_size=2, top_logprobs=3,
+        kv=KVCacheConfig(page_size=8, num_pages=64, max_pages_per_seq=16,
+                         kv_dtype="f32"))
+    eng = Engine(cfg, params, ecfg, decode_burst=3)
+    prompt = [1, 2, 3, 4, 5]
+    req = eng.add_request(prompt_ids=prompt,
+                          sampling=SamplingParams(max_new_tokens=6))
+    eng.run()
+    assert len(req.output_top_logprobs) == len(req.output_ids) == 6
+
+    # teacher-forced reference logits over prompt + outputs
+    ids = prompt + req.output_ids
+    toks = jnp.asarray([ids], jnp.int32)
+    pos = jnp.arange(len(ids), dtype=jnp.int32)[None]
+    from simplellminference_tpu.models import llama as llama_mod
+    logits, _ = llama_mod.forward(cfg, params, toks, pos)
+    lsm = jax.nn.log_softmax(np.asarray(logits, np.float64)[0], axis=-1)
+    for i, (tok, alts) in enumerate(zip(req.output_ids,
+                                        req.output_top_logprobs)):
+        step_lp = lsm[len(prompt) - 1 + i]
+        want_ids = np.argsort(step_lp)[::-1][:3]
+        got_ids = [t for t, _ in alts]
+        assert got_ids[0] == tok == want_ids[0]   # greedy == top-1
+        assert set(got_ids) == set(want_ids.tolist())
+        for t, lp in alts:
+            np.testing.assert_allclose(lp, step_lp[t], rtol=2e-3,
+                                       atol=2e-3)
+        # chosen-token logprob field agrees with the top list
+        np.testing.assert_allclose(req.output_logprobs[i],
+                                   dict(alts)[tok], rtol=2e-3, atol=2e-3)
+
+
+def test_engine_top_logprobs_rejects_spec():
+    cfg = ModelConfig.tiny_test()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, top_logprobs=2, spec_tokens=2,
+                        kv=KVCacheConfig(page_size=8, num_pages=32,
+                                         max_pages_per_seq=8,
+                                         kv_dtype="f32"))
+    with pytest.raises(ValueError, match="top_logprobs"):
+        Engine(cfg, params, ecfg)

@@ -236,3 +236,51 @@ def test_guided_decoding_api():
         assert r.status == 400
 
     run_with_client(go)
+
+
+def test_top_logprobs_api():
+    """OpenAI logprobs=N (completions) / top_logprobs=N (chat)."""
+    from simplellminference_tpu.core.config import EngineConfig, KVCacheConfig
+    from simplellminference_tpu.engine import Engine
+    from simplellminference_tpu.models import llama as llama_mod
+    from simplellminference_tpu.core.config import ModelConfig
+
+    cfg = ModelConfig.tiny_test(vocab_size=258)
+    params = llama_mod.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, top_logprobs=3,
+                        kv=KVCacheConfig(page_size=8, num_pages=64,
+                                         max_pages_per_seq=24,
+                                         kv_dtype="f32"))
+    eng = Engine(cfg, params, ecfg, tokenizer=ByteTokenizer(),
+                 decode_burst=4)
+    app = build_app(eng, tokenizer=ByteTokenizer())
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "hi", "max_tokens": 4, "logprobs": 2})
+        assert r.status == 200
+        ch = (await r.json())["choices"][0]
+        tops = ch["logprobs"]["top_logprobs"]
+        assert len(tops) == len(ch["token_ids"])
+        for row in tops:
+            # dict keyed by token STRING (OpenAI format): distinct ids
+            # may collide on their text (byte-fallback tokens)
+            assert 1 <= len(row) <= 2
+            assert max(row.values()) <= 0.0 + 1e-6
+
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hey"}],
+            "max_tokens": 3, "logprobs": True, "top_logprobs": 3})
+        assert r.status == 200
+        content = (await r.json())["choices"][0]["logprobs"]["content"]
+        assert all(len(e["top_logprobs"]) == 3 for e in content)
+
+        # exceeding engine capacity is a client error
+        r = await client.post("/v1/completions", json={
+            "prompt": "hi", "max_tokens": 2, "logprobs": 9})
+        assert r.status == 400
+
+    async def runner():
+        async with TestClient(TestServer(app)) as client:
+            return await go(client)
+    asyncio.run(runner())
