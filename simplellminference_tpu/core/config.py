@@ -197,14 +197,20 @@ class ModelConfig:
             )
         # Configs are jit static args -> must be hashable; freeze the
         # rope_scaling dict into a sorted item tuple. (Lists appear when
-        # a checkpoint's JSON round-trips the tuple form.)
+        # a checkpoint's JSON round-trips the tuple form; LIST VALUES
+        # appear in longrope's per-dim short/long factor arrays.)
+        def _freeze(v):
+            return tuple(v) if isinstance(v, list) else v
         if isinstance(self.rope_scaling, dict):
-            object.__setattr__(self, "rope_scaling",
-                               tuple(sorted(self.rope_scaling.items())))
+            object.__setattr__(
+                self, "rope_scaling",
+                tuple(sorted((k, _freeze(v))
+                             for k, v in self.rope_scaling.items())))
         elif isinstance(self.rope_scaling, list):
             object.__setattr__(
                 self, "rope_scaling",
-                tuple(sorted((k, v) for k, v in self.rope_scaling)))
+                tuple(sorted((k, _freeze(v))
+                             for k, v in self.rope_scaling)))
         if isinstance(self.layer_types, list):
             object.__setattr__(self, "layer_types",
                                tuple(self.layer_types))
@@ -424,6 +430,24 @@ class ModelConfig:
                 # every layer dense: plain dense-FFN model
                 kw.update(num_experts=0, first_k_dense=0,
                           shared_expert_intermediate_size=None)
+        rs_ = d.get("rope_scaling") or {}
+        if rs_.get("rope_type", rs_.get("type")) == "longrope":
+            # Phi-3 longrope: per-dim short/long frequency factors chosen
+            # by position, sin/cos scaled by sqrt(1 + ln(f)/ln(orig));
+            # the factor and the pretrained length ride inside the
+            # frozen rope_scaling tuple (HF keeps orig at config top
+            # level). NOTE: factor selection here is PER POSITION
+            # (positions >= orig use long_factor — cache-consistent for
+            # serving, the vLLM convention); HF eager instead re-ropes
+            # the whole sequence once seq_len crosses orig.
+            rs_ = dict(rs_)
+            orig = int(d.get("original_max_position_embeddings")
+                       or rs_.get("original_max_position_embeddings")
+                       or d["max_position_embeddings"])
+            rs_["original_max_position_embeddings"] = orig
+            rs_.setdefault("factor",
+                           float(d["max_position_embeddings"]) / orig)
+            kw["rope_scaling"] = rs_
         if d.get("model_type") == "gpt_oss":
             # GPT-OSS: attention sinks + o_proj bias, clamped-SwiGLU MoE
             # with router/expert biases, alternating sliding/full layers
@@ -453,7 +477,7 @@ class ModelConfig:
         if not w:
             return None
         mt = d.get("model_type", "llama")
-        if mt == "mistral":
+        if mt in ("mistral", "phi3"):
             return int(w)
         if mt in ("gemma2", "gemma3_text", "gpt_oss"):
             # applies to the sliding_attention layers of layer_types

@@ -52,7 +52,8 @@ def _register_builtin():
         # for the sparse-MoE block via cfg.num_experts).
         aliases=("mistral", "tinyllama", "qwen2", "gemma", "mixtral",
                  "qwen2_moe", "qwen3", "qwen3_moe", "gemma2",
-                 "deepseek_v2", "deepseek_v3", "gemma3_text", "gpt_oss"),
+                 "deepseek_v2", "deepseek_v3", "gemma3_text", "gpt_oss",
+                 "phi3"),
     )
 
 

@@ -93,6 +93,8 @@ def rope_tables(positions: jax.Array, head_dim: int, theta: float,
         factor = float(rs.get("factor", 8.0))
         if kind == "linear":
             freqs = freqs / factor
+        elif kind == "longrope":
+            return _longrope_tables(positions, freqs, rs, factor, dtype)
         elif kind == "yarn":
             freqs, amp = _yarn_freqs(freqs, head_dim, theta, rs, factor)
         elif kind == "llama3":
@@ -114,6 +116,32 @@ def rope_tables(positions: jax.Array, head_dim: int, theta: float,
     angles = positions[..., None].astype(jnp.float32) * freqs  # [..., half]
     return ((amp * jnp.sin(angles)).astype(dtype),
             (amp * jnp.cos(angles)).astype(dtype))
+
+
+def _longrope_tables(positions: jax.Array, freqs: jax.Array, rs: dict,
+                     factor: float, dtype):
+    """Phi-3 longrope (HF ``_compute_longrope_parameters`` semantics):
+    per-dim inverse-frequency division by the short or long factor
+    array, sin/cos scaled by sqrt(1 + ln(factor)/ln(orig)).
+
+    Factor selection is PER POSITION (pos >= original_max uses
+    long_factor) — cache-consistent for incremental decoding (the vLLM
+    convention); HF eager instead switches the whole sequence once the
+    forward's seq_len crosses the boundary.
+    """
+    short = jnp.asarray(rs["short_factor"], jnp.float32)
+    long = jnp.asarray(rs["long_factor"], jnp.float32)
+    orig = int(rs.get("original_max_position_embeddings", 4096))
+    att = rs.get("attention_factor")
+    if att is None:
+        att = (1.0 if factor <= 1.0
+               else math.sqrt(1.0 + math.log(factor) / math.log(orig)))
+    pos = positions[..., None].astype(jnp.float32)
+    a_short = pos * (freqs / short)
+    a_long = pos * (freqs / long)
+    angles = jnp.where(positions[..., None] < orig, a_short, a_long)
+    return ((att * jnp.sin(angles)).astype(dtype),
+            (att * jnp.cos(angles)).astype(dtype))
 
 
 def yarn_mscale(scale: float, mscale: float = 1.0) -> float:

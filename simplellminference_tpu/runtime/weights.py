@@ -137,6 +137,12 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
             m["layers/shared_down"] = pre + f".{se}.down_proj.weight"
             if cfg.shared_expert_gate:
                 m["layers/shared_gate"] = pre + ".shared_expert_gate.weight"
+    if cfg.model_type == "phi3":
+        # Phi-3 ships its projections already fused, in our exact
+        # concat order: qkv_proj = [q|k|v], gate_up_proj = [gate|up].
+        m["layers/wqkv"] = "model.layers.{i}.self_attn.qkv_proj.weight"
+        m["layers/w_gate_up"] = (
+            "model.layers.{i}.mlp.gate_up_proj.weight")
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
     if cfg.attention_bias:

@@ -737,3 +737,74 @@ def test_attention_sinks_reference_semantics():
     want = jnp.einsum("bnqk,bknd->bqnd", probs[..., :-1], v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+# --------------------------------------------------------------- Phi-3
+
+
+def _phi3_cfg(**kw):
+    base = dict(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, pad_token_id=0,
+        attn_implementation="eager")
+    base.update(kw)
+    return transformers.Phi3Config(**base)
+
+
+def test_phi3_matches_hf():
+    """Phi-3: pre-fused qkv_proj/gate_up_proj checkpoints (HF ships them
+    in our exact concat order) on the plain Llama graph."""
+    hf_cfg = _phi3_cfg()
+    torch.manual_seed(41)
+    hf = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "phi3"
+    assert get_model_family("phi3").name == "llama"
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_phi3_longrope_matches_hf():
+    """Longrope scaling: per-dim short/long frequency factors + the
+    sqrt(1 + ln(f)/ln(orig)) attention factor. Positions below
+    original_max use the short factors — identical to HF eager there
+    (past the boundary we select per position, the vLLM convention)."""
+    half = 16  # head_dim 32
+    rs = {"type": "longrope",
+          "short_factor": [1.0 + 0.03 * i for i in range(half)],
+          "long_factor": [2.0 + 0.11 * i for i in range(half)]}
+    hf_cfg = _phi3_cfg(rope_scaling=rs, max_position_embeddings=512,
+                       original_max_position_embeddings=128)
+    torch.manual_seed(42)
+    hf = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    rs_f = dict(cfg.rope_scaling)
+    assert rs_f["factor"] == 4.0
+    assert rs_f["original_max_position_embeddings"] == 128
+    hash(cfg)  # frozen list values must stay hashable
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120, 31, 90]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_phi3_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        _phi3_cfg(rope_scaling={
+            "type": "longrope",
+            "short_factor": [1.0] * 16,
+            "long_factor": [3.0] * 16},
+            max_position_embeddings=512,
+            original_max_position_embeddings=16).to_dict(),
+        dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(17))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    # crosses the orig_max=16 boundary mid-decode: per-position factor
+    # selection must stay cache-consistent between the two paths
+    want = _generator_generate(cfg, params, prompts, 16)
+    got = _engine_generate(cfg, params, prompts, 16)
+    assert got == want
