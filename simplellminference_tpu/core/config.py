@@ -91,6 +91,21 @@ class ModelConfig:
     # Per-head RMSNorm on q and k BEFORE RoPE (Qwen3-style; weights
     # q_norm/k_norm [head_dim] shared across heads within a layer).
     qk_norm: bool = False
+    # qk_norm over the FULL concatenated projection instead of per-head
+    # (OLMo-2: weights [N*D]/[KV*D], ONE rms denominator across heads,
+    # applied before the head split).
+    qk_norm_full: bool = False
+    # Pre-norms exist (input_layernorm + the pre-FFN norm) — every
+    # family but OLMo-2. False = block inputs are used RAW and the only
+    # norms are the pre-residual output norms (sandwich_norms):
+    # OLMo-2's h += norm(attn(h)); h += norm(mlp(h)).
+    pre_norms: bool = True
+    # Residual-branch multiplier (Granite residual_multiplier, muP-style
+    # depth scaling): h = h + scale * block_out(h). 1.0 = plain adds.
+    residual_scale: float = 1.0
+    # Multiplicative LM-head logit scale (Granite: 1/logits_scaling;
+    # Cohere: logit_scale), applied before any final softcap.
+    logit_scale: float = 1.0
     # Gemma-2-style "sandwich" norms: RMSNorm the attention output
     # (post_attention_layernorm) and the FFN output
     # (post_feedforward_layernorm) BEFORE their residual adds; the
@@ -288,14 +303,21 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias",
                 d.get("model_type") in ("qwen2", "qwen2_moe")),
-            # Qwen3 and Gemma-3 use per-head q/k RMSNorm before RoPE.
+            # Qwen3 and Gemma-3 use per-head q/k RMSNorm before RoPE;
+            # OLMo-2 norms the FULL q/k projections (one denominator).
             qk_norm=d.get("model_type") in ("qwen3", "qwen3_moe",
-                                            "gemma3_text"),
+                                            "gemma3_text", "olmo2",
+                                            "olmoe"),
+            qk_norm_full=d.get("model_type") in ("olmo2", "olmoe"),
+            # OLMo-2 is post-norm only: no input/pre-FFN norms; its
+            # post_attention/post_feedforward norms are exactly the
+            # Gemma-2 pre-residual output norms.
+            pre_norms=d.get("model_type") != "olmo2",
             # Gemma-2/3: sandwich norms, logit soft caps (2 only), query
             # scale, alternating sliding/full attention layers; Gemma-3
             # adds a separate LOCAL rope base for the sliding layers.
             sandwich_norms=d.get("model_type") in ("gemma2",
-                                                   "gemma3_text"),
+                                                   "gemma3_text", "olmo2"),
             rope_local_theta=(float(d["rope_local_base_freq"])
                               if d.get("rope_local_base_freq") is not None
                               and d.get("model_type") == "gemma3_text"
@@ -332,11 +354,29 @@ class ModelConfig:
             # HF default: Mixtral always renormalizes; Qwen2-MoE's
             # norm_topk_prob defaults to False.
             norm_topk_prob=d.get(
-                "norm_topk_prob", d.get("model_type") != "qwen2_moe"),
+                "norm_topk_prob",
+                d.get("model_type") not in ("qwen2_moe", "olmoe")),
             shared_expert_intermediate_size=d.get(
                 "shared_expert_intermediate_size"),
             sliding_window=cls._resolve_sliding_window(d),
         )
+        if d.get("model_type") == "olmoe" and d.get("clip_qkv"):
+            # OLMo-1-era qkv clamp; no released OLMoE checkpoint sets it
+            raise ValueError("OLMoE clip_qkv is not supported")
+        if d.get("model_type") == "granite":
+            # Granite (IBM): Llama graph + four muP-style scalar
+            # multipliers. attention_multiplier IS the score scale, so
+            # it rides query_pre_attn_scalar = scale**-2 (the same
+            # carrier MLA uses for its true 1/sqrt(192) scale).
+            kw.update(
+                embed_scale=float(d.get("embedding_multiplier", 1.0)),
+                query_pre_attn_scalar=(
+                    float(d["attention_multiplier"]) ** -2.0
+                    if d.get("attention_multiplier") is not None
+                    else None),
+                residual_scale=float(d.get("residual_multiplier", 1.0)),
+                logit_scale=1.0 / float(d.get("logits_scaling", 1.0)),
+            )
         # Qwen2-MoE can interleave dense layers (decoder_sparse_step,
         # mlp_only_layers); heterogeneous layer stacks don't fit the
         # scanned stacked-layer layout, and every released Qwen-MoE

@@ -122,7 +122,7 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     # — n/kvn are already shard-local and the cache shards on kv heads)
     if (li is not None and kv_layer is None and s == 1
             and cache_k is not None and "q_norm" not in lw
-            and _use_fused_kernels()):
+            and cfg.pre_norms and _use_fused_kernels()):
         from simplellminference_tpu.ops import qkv_fused
         if qkv_fused.fused_qkv_available(lw, cfg, b, s, cache_k,
                                          n_heads=n, kv_heads=kvn):
@@ -143,7 +143,11 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                                    tp_axis, ring_collectives,
                                    cache_k, cache_v)
     sinks = norm_w(lw["sinks"]) if "sinks" in lw else None
-    attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]), cfg.rms_norm_eps)
+    # OLMo-2 (pre_norms=False): attention reads the raw residual stream;
+    # the only norms are the pre-residual output norms below.
+    attn_in = (ref_ops.rmsnorm(x, norm_w(lw["input_norm"]),
+                               cfg.rms_norm_eps)
+               if cfg.pre_norms else x)
     if cfg.mla:
         # DeepSeek MLA: latent-compressed K/V + shared rope key
         # (models/mla.py) — rope applied inside, padded to head_dim.
@@ -163,13 +167,23 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                      act_quant=cfg.act_quant)
         if "wqkv_bias" in lw:  # Qwen2-style QKV bias
             qkv = qkv + norm_w(lw["wqkv_bias"]).astype(qkv.dtype)
-        q = qkv[..., :n * d].reshape(b, s, n, d)
-        k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+        if "q_norm" in lw and cfg.qk_norm_full:
+            # OLMo-2: RMSNorm over the FULL projection width (one
+            # denominator across heads), applied before the head split.
+            q = ref_ops.rmsnorm(qkv[..., :n * d], norm_w(lw["q_norm"]),
+                                cfg.rms_norm_eps).reshape(b, s, n, d)
+            k = ref_ops.rmsnorm(qkv[..., n * d:(n + kvn) * d],
+                                norm_w(lw["k_norm"]),
+                                cfg.rms_norm_eps).reshape(b, s, kvn, d)
+        else:
+            q = qkv[..., :n * d].reshape(b, s, n, d)
+            k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+            if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
+                q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"]),
+                                    cfg.rms_norm_eps)
+                k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"]),
+                                    cfg.rms_norm_eps)
         v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
-
-        if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
-            q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"]), cfg.rms_norm_eps)
-            k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"]), cfg.rms_norm_eps)
 
         q = ref_ops.apply_rope(q, sin, cos)
         k = ref_ops.apply_rope(k, sin, cos)
@@ -236,6 +250,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
     if "post_attn_norm" in lw:  # Gemma-2: norm the attn output pre-residual
         attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"]),
                                cfg.rms_norm_eps)
+    if cfg.residual_scale != 1.0:  # Granite residual_multiplier
+        attn = cfg.residual_scale * attn
     x = x + attn
 
     # --- FFN block (reference: model.cpp:93-128) ---
@@ -243,11 +259,15 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         # Sparse-MoE FFN (folded dense-expert matmuls; psum inside under
         # TP — each shard owns whole experts, ops/moe.py).
         from simplellminference_tpu.ops import moe
-        ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"]),
-                                 cfg.rms_norm_eps)
-        x = x + moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
+        ffn_in = (ref_ops.rmsnorm(x, norm_w(lw["post_norm"]),
+                                  cfg.rms_norm_eps)
+                  if cfg.pre_norms else x)
+        out = moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
+        if cfg.residual_scale != 1.0:
+            out = cfg.residual_scale * out
+        x = x + out
         return x, cache_k, cache_v
-    if li is not None and _use_fused_kernels():
+    if li is not None and cfg.pre_norms and _use_fused_kernels():
         from simplellminference_tpu.ops import ffn_fused
         i_loc = cfg.intermediate_size if tp_axis is None else (
             cfg.intermediate_size // jax.lax.axis_size(tp_axis))
@@ -268,8 +288,13 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
                 # this shard's PARTIAL down product: all-reduce only the
                 # partial (out - x), then re-add the residual.
                 out = xf + jax.lax.psum(out - xf, tp_axis)
+            if cfg.residual_scale != 1.0:
+                # rescale only the branch the kernel residual-added
+                out = xf + cfg.residual_scale * (out - xf)
             return out.reshape(b, s, h), cache_k, cache_v
-    ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"]), cfg.rms_norm_eps)
+    ffn_in = (ref_ops.rmsnorm(x, norm_w(lw["post_norm"]),
+                              cfg.rms_norm_eps)
+              if cfg.pre_norms else x)
     i = cfg.intermediate_size if tp_axis is None else (
         cfg.intermediate_size // jax.lax.axis_size(tp_axis))
     gate_up = linear(ffn_in, lw["w_gate_up"], layer=li,
@@ -289,6 +314,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
     if "post_ffn_norm" in lw:  # Gemma-2: norm the FFN output pre-residual
         down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"]),
                                cfg.rms_norm_eps)
+    if cfg.residual_scale != 1.0:  # Granite residual_multiplier
+        down = cfg.residual_scale * down
     x = x + down
     return x, cache_k, cache_v
 
@@ -326,8 +353,9 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     lw = dict(params["layers"])
     # hoist the fused kernels' [L,H]->[L,1,H] norm reshapes out of the
     # layer scan (see forward_paged)
-    lw["_input_norm3"] = lw["input_norm"][:, None, :]
-    lw["_post_norm3"] = lw["post_norm"][:, None, :]
+    if cfg.pre_norms:
+        lw["_input_norm3"] = lw["input_norm"][:, None, :]
+        lw["_post_norm3"] = lw["post_norm"][:, None, :]
 
     # Alternating sliding/full stacks (Gemma-2 layer_types): scan over
     # the pattern's period — p compiled sub-bodies per step, each with
@@ -430,6 +458,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
                          preferred_element_type=jnp.float32)
     else:
         logits = linear(x, lm_head, out_dtype=jnp.float32)
+    if cfg.logit_scale != 1.0:  # Granite 1/logits_scaling
+        logits = cfg.logit_scale * logits
     if cfg.final_logit_softcap:  # Gemma-2 final-logit soft cap
         logits = cfg.final_logit_softcap * jnp.tanh(
             logits / cfg.final_logit_softcap)
@@ -512,8 +542,9 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         lw = dict(lw_src)
         # hoist the fused kernels' [L,H]->[L,1,H] norm reshapes out of the
         # layer scan (inside it, XLA re-lays the arrays out per layer step)
-        lw["_input_norm3"] = lw["input_norm"][:, None, :]
-        lw["_post_norm3"] = lw["post_norm"][:, None, :]
+        if cfg.pre_norms:
+            lw["_input_norm3"] = lw["input_norm"][:, None, :]
+            lw["_post_norm3"] = lw["post_norm"][:, None, :]
 
         def norm_w(w, li):
             return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
@@ -521,7 +552,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         use_fqkv = False
         if (not prefill and s == 1 and not quant_kv and "q_norm" not in lw
                 and not (lora_t and "wqkv" in lora_t) and kv_off == 0
-                and _use_fused_kernels()):
+                and cfg.pre_norms and _use_fused_kernels()):
             # kv_off > 0 would decouple the weight and cache indices the
             # fused kernel couples in-kernel
             from simplellminference_tpu.ops import qkv_fused
@@ -549,8 +580,9 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                            else None))
                 return _paged_post_attn(x, attn, pk, pv, pks, pvs, li)
             sinks = norm_w(lw["sinks"], li) if "sinks" in lw else None
-            attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
-                                      cfg.rms_norm_eps)
+            attn_in = (ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
+                                       cfg.rms_norm_eps)
+                       if cfg.pre_norms else x)  # OLMo-2: raw input
             if cfg.mla:
                 # DeepSeek MLA (models/mla.py): rope applied inside,
                 # padded to the pool lane dim; absorbed mode caches one
@@ -573,14 +605,24 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                                               attn_in, li, qkv)
                 if "wqkv_bias" in lw:  # Qwen2-style QKV bias
                     qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
-                q = qkv[..., :n * d].reshape(b, s, n, d)
-                k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+                if "q_norm" in lw and cfg.qk_norm_full:
+                    # OLMo-2: full-width q/k RMSNorm before the head split
+                    q = ref_ops.rmsnorm(
+                        qkv[..., :n * d], norm_w(lw["q_norm"], li),
+                        cfg.rms_norm_eps).reshape(b, s, n, d)
+                    k = ref_ops.rmsnorm(
+                        qkv[..., n * d:(n + kvn) * d],
+                        norm_w(lw["k_norm"], li),
+                        cfg.rms_norm_eps).reshape(b, s, kvn, d)
+                else:
+                    q = qkv[..., :n * d].reshape(b, s, n, d)
+                    k = qkv[..., n * d:(n + kvn) * d].reshape(b, s, kvn, d)
+                    if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm
+                        q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
+                                            cfg.rms_norm_eps)
+                        k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
+                                            cfg.rms_norm_eps)
                 v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
-                if "q_norm" in lw:  # Qwen3: per-head q/k RMSNorm before RoPE
-                    q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
-                                        cfg.rms_norm_eps)
-                    k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
-                                        cfg.rms_norm_eps)
                 q = ref_ops.apply_rope(q, sin, cos)
                 k = ref_ops.apply_rope(k, sin, cos)
 
@@ -649,17 +691,23 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             if "post_attn_norm" in lw:  # Gemma-2 pre-residual attn norm
                 attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"], li),
                                        cfg.rms_norm_eps)
+            if cfg.residual_scale != 1.0:  # Granite residual_multiplier
+                attn = cfg.residual_scale * attn
             x = x + attn
 
             if experts:
                 from simplellminference_tpu.ops import moe
-                ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
-                                         cfg.rms_norm_eps)
-                x = x + moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
+                ffn_in = (ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
+                                          cfg.rms_norm_eps)
+                          if cfg.pre_norms else x)
+                out = moe.moe_ffn(cfg, lw, li, ffn_in, tp_axis=tp_axis)
+                if cfg.residual_scale != 1.0:
+                    out = cfg.residual_scale * out
+                x = x + out
                 return (x, pk, pv, pks, pvs), None
             lora_ffn = lora_t and ("w_gate_up" in lora_t
                                    or "w_down" in lora_t)
-            if _use_fused_kernels() and not lora_ffn:
+            if cfg.pre_norms and _use_fused_kernels() and not lora_ffn:
                 from simplellminference_tpu.ops import ffn_fused
                 i_loc = cfg.intermediate_size if tp_axis is None else (
                     cfg.intermediate_size // jax.lax.axis_size(tp_axis))
@@ -677,10 +725,13 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                         # all-reduce only the shard-partial down product (the
                         # kernel residual-added the replicated x in-tile)
                         xo = xf + jax.lax.psum(xo - xf, tp_axis)
+                    if cfg.residual_scale != 1.0:
+                        xo = xf + cfg.residual_scale * (xo - xf)
                     return (xo.reshape(b, s, cfg.hidden_size), pk, pv, pks,
                             pvs), None
-            ffn_in = ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
-                                     cfg.rms_norm_eps)
+            ffn_in = (ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
+                                      cfg.rms_norm_eps)
+                      if cfg.pre_norms else x)
             i = cfg.intermediate_size if tp_axis is None else (
                 cfg.intermediate_size // jax.lax.axis_size(tp_axis))
             gate_up = linear(ffn_in, lw["w_gate_up"], layer=li,
@@ -700,6 +751,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             if "post_ffn_norm" in lw:  # Gemma-2 pre-residual FFN norm
                 down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"], li),
                                        cfg.rms_norm_eps)
+            if cfg.residual_scale != 1.0:  # Granite residual_multiplier
+                down = cfg.residual_scale * down
             x = x + down
             return (x, pk, pv, pks, pvs), None
 
@@ -739,6 +792,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                          preferred_element_type=jnp.float32)
     else:
         logits = linear(x, lm_head, out_dtype=jnp.float32)
+    if cfg.logit_scale != 1.0:  # Granite 1/logits_scaling
+        logits = cfg.logit_scale * logits
     if cfg.final_logit_softcap:  # Gemma-2 final-logit soft cap
         logits = cfg.final_logit_softcap * jnp.tanh(
             logits / cfg.final_logit_softcap)
@@ -803,11 +858,13 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             "wqkv": w(keys[1], (L, h, (n + 2 * kvn) * d)),
             "wo": w(keys[4], (L, n * d, h)),
         }
+    pre = ({"input_norm": jnp.ones((L, h), dtype),
+            "post_norm": jnp.ones((L, h), dtype)}
+           if cfg.pre_norms else {})  # OLMo-2 has no pre-norms
     params: Params = {
         "embed": w(keys[0], (v, h), 0.02),
         "layers": {
-            "input_norm": jnp.ones((L, h), dtype),
-            "post_norm": jnp.ones((L, h), dtype),
+            **pre,
             **attn_w,
             **ffn,
         },
@@ -816,9 +873,10 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     if cfg.attention_bias:
         params["layers"]["wqkv_bias"] = w(keys[9],
                                           (L, (n + 2 * kvn) * d), 0.02)
-    if cfg.qk_norm:  # Qwen3: per-head q/k RMSNorm weights
-        params["layers"]["q_norm"] = jnp.ones((L, d), dtype)
-        params["layers"]["k_norm"] = jnp.ones((L, d), dtype)
+    if cfg.qk_norm:  # Qwen3 per-head / OLMo-2 full-width q/k RMSNorm
+        qd, kd_ = ((n * d, kvn * d) if cfg.qk_norm_full else (d, d))
+        params["layers"]["q_norm"] = jnp.ones((L, qd), dtype)
+        params["layers"]["k_norm"] = jnp.ones((L, kd_), dtype)
     if cfg.attn_sinks:  # GPT-OSS attention-sink logits
         params["layers"]["sinks"] = w(keys[11], (L, n), 1.0)
     if cfg.o_bias:

@@ -107,7 +107,7 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
             m["layers/w_down_bias"] = pre + ".experts.down_proj_bias"
         else:
             if cfg.model_type in ("qwen2_moe", "deepseek_v2",
-                                  "deepseek_v3"):
+                                  "deepseek_v3", "olmoe"):
                 pre = "model.layers.{i}.mlp"
                 names = ("gate_proj", "up_proj")
                 down = "down_proj"
@@ -182,6 +182,10 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
             "model.layers.{i}.pre_feedforward_layernorm.weight")
         m["layers/post_ffn_norm"] = (
             "model.layers.{i}.post_feedforward_layernorm.weight")
+    if not cfg.pre_norms:
+        # OLMo-2: no input_layernorm / pre-FFN norm exist at all; its
+        # post_attention/post_feedforward norms mapped just above.
+        del m["layers/input_norm"], m["layers/post_norm"]
     if cfg.first_k_dense:
         # DeepSeek dense-prefix layers: every "layers/" path also exists
         # as "dense_layers/" except the MoE pieces, whose place the plain

@@ -808,3 +808,125 @@ def test_phi3_paged_engine_matches_dense():
     want = _generator_generate(cfg, params, prompts, 16)
     got = _engine_generate(cfg, params, prompts, 16)
     assert got == want
+
+
+def test_granite_matches_hf():
+    """Granite (IBM): Llama graph + four muP-style scalar multipliers —
+    embedding_multiplier, attention_multiplier (the score scale),
+    residual_multiplier on every block output, logits / logits_scaling."""
+    hf_cfg = transformers.GraniteConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True,
+        embedding_multiplier=12.0, attention_multiplier=0.0078125,
+        residual_multiplier=0.22, logits_scaling=16.0,
+        attention_bias=False, mlp_bias=False)
+    torch.manual_seed(43)
+    hf = transformers.GraniteForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "granite"
+    assert get_model_family("granite").name == "llama"
+    assert cfg.embed_scale == 12.0
+    assert cfg.residual_scale == 0.22
+    assert cfg.logit_scale == 1.0 / 16.0
+    # attention_multiplier rides query_pre_attn_scalar = scale**-2
+    assert np.isclose(cfg.query_pre_attn_scalar ** -0.5, 0.0078125)
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_granite_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        dict(model_type="granite", vocab_size=256, hidden_size=64,
+             intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=256, rms_norm_eps=1e-5,
+             embedding_multiplier=12.0, attention_multiplier=0.125,
+             residual_multiplier=0.22, logits_scaling=8.0),
+        dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(19))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 12)
+    got = _engine_generate(cfg, params, prompts, 12)
+    assert got == want
+
+
+def test_olmo2_matches_hf():
+    """OLMo-2: post-norm-only stack (h += norm(attn(h)); h += norm(mlp(h)),
+    NO input/pre-FFN norms) with FULL-WIDTH q/k RMSNorm before the head
+    split (one rms denominator across heads, unlike Qwen3's per-head)."""
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False)
+    torch.manual_seed(44)
+    hf = transformers.Olmo2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "olmo2"
+    assert get_model_family("olmo2").name == "llama"
+    assert not cfg.pre_norms and cfg.qk_norm and cfg.qk_norm_full
+    assert cfg.sandwich_norms
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    lw = params["layers"]
+    assert "input_norm" not in lw and "post_norm" not in lw
+    assert lw["q_norm"].shape == (2, 128) and lw["k_norm"].shape == (2, 64)
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_olmo2_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        dict(model_type="olmo2", vocab_size=256, hidden_size=64,
+             intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=256, rms_norm_eps=1e-5),
+        dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(23))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 12)
+    got = _engine_generate(cfg, params, prompts, 12)
+    assert got == want
+
+
+def test_olmoe_matches_hf():
+    """OLMoE: pre-norm Llama stack + OLMo-style FULL-WIDTH q/k RMSNorm
+    + Mixtral-semantics sparse MoE (softmax over all experts, top-k,
+    norm_topk_prob defaulting OFF like Qwen2-MoE)."""
+    hf_cfg = transformers.OlmoeConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        num_experts=8, num_experts_per_tok=2, norm_topk_prob=False)
+    torch.manual_seed(45)
+    hf = transformers.OlmoeForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "olmoe"
+    assert cfg.pre_norms and cfg.qk_norm and cfg.qk_norm_full
+    assert cfg.num_experts == 8 and not cfg.norm_topk_prob
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    assert params["layers"]["q_norm"].shape == (2, 128)
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_olmoe_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        dict(model_type="olmoe", vocab_size=256, hidden_size=64,
+             intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=256, rms_norm_eps=1e-5,
+             num_experts=8, num_experts_per_tok=2,
+             norm_topk_prob=False),
+        dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(29))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 12)
+    got = _engine_generate(cfg, params, prompts, 12)
+    assert got == want
