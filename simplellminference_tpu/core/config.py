@@ -106,6 +106,13 @@ class ModelConfig:
     # Multiplicative LM-head logit scale (Granite: 1/logits_scaling;
     # Cohere: logit_scale), applied before any final softcap.
     logit_scale: float = 1.0
+    # Partial rotary (GLM-4 0.5, Nemotron/StableLM): only the first
+    # head_dim * factor dims rotate, the rest pass through. 1.0 = full.
+    partial_rotary_factor: float = 1.0
+    # Pairing inside the rotary slice: True = interleaved lanes
+    # (2i, 2i+1) share frequency f_i (GLM-4's rotate_half); False =
+    # half-split NeoX pairing (Nemotron/StableLM partial rotary).
+    rope_interleaved: bool = False
     # Gemma-2-style "sandwich" norms: RMSNorm the attention output
     # (post_attention_layernorm) and the FFN output
     # (post_feedforward_layernorm) BEFORE their residual adds; the
@@ -317,7 +324,14 @@ class ModelConfig:
             # scale, alternating sliding/full attention layers; Gemma-3
             # adds a separate LOCAL rope base for the sliding layers.
             sandwich_norms=d.get("model_type") in ("gemma2",
-                                                   "gemma3_text", "olmo2"),
+                                                   "gemma3_text", "olmo2",
+                                                   "glm4"),
+            # GLM-4: rope over the first half of head_dim with the
+            # repeat-interleaved frequency layout; Qwen2-style QKV bias
+            partial_rotary_factor=(
+                float(d.get("partial_rotary_factor", 0.5))
+                if d.get("model_type") == "glm4" else 1.0),
+            rope_interleaved=d.get("model_type") == "glm4",
             rope_local_theta=(float(d["rope_local_base_freq"])
                               if d.get("rope_local_base_freq") is not None
                               and d.get("model_type") == "gemma3_text"

@@ -122,7 +122,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     # — n/kvn are already shard-local and the cache shards on kv heads)
     if (li is not None and kv_layer is None and s == 1
             and cache_k is not None and "q_norm" not in lw
-            and cfg.pre_norms and _use_fused_kernels()):
+            and cfg.pre_norms and cfg.partial_rotary_factor == 1.0
+            and _use_fused_kernels()):
         from simplellminference_tpu.ops import qkv_fused
         if qkv_fused.fused_qkv_available(lw, cfg, b, s, cache_k,
                                          n_heads=n, kv_heads=kvn):
@@ -185,8 +186,14 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                                     cfg.rms_norm_eps)
         v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
 
-        q = ref_ops.apply_rope(q, sin, cos)
-        k = ref_ops.apply_rope(k, sin, cos)
+        if cfg.partial_rotary_factor < 1.0:  # GLM-4: partial rotary
+            q = ref_ops.apply_rope_partial(q, sin, cos,
+                                           cfg.rope_interleaved)
+            k = ref_ops.apply_rope_partial(k, sin, cos,
+                                           cfg.rope_interleaved)
+        else:
+            q = ref_ops.apply_rope(q, sin, cos)
+            k = ref_ops.apply_rope(k, sin, cos)
 
     if cache_k is not None:
         if cache_k.ndim == 5:
@@ -552,7 +559,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         use_fqkv = False
         if (not prefill and s == 1 and not quant_kv and "q_norm" not in lw
                 and not (lora_t and "wqkv" in lora_t) and kv_off == 0
-                and cfg.pre_norms and _use_fused_kernels()):
+                and cfg.pre_norms and cfg.partial_rotary_factor == 1.0
+                and _use_fused_kernels()):
             # kv_off > 0 would decouple the weight and cache indices the
             # fused kernel couples in-kernel
             from simplellminference_tpu.ops import qkv_fused
@@ -623,8 +631,14 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                         k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
                                             cfg.rms_norm_eps)
                 v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
-                q = ref_ops.apply_rope(q, sin, cos)
-                k = ref_ops.apply_rope(k, sin, cos)
+                if cfg.partial_rotary_factor < 1.0:  # GLM-4
+                    q = ref_ops.apply_rope_partial(q, sin, cos,
+                                                   cfg.rope_interleaved)
+                    k = ref_ops.apply_rope_partial(k, sin, cos,
+                                                   cfg.rope_interleaved)
+                else:
+                    q = ref_ops.apply_rope(q, sin, cos)
+                    k = ref_ops.apply_rope(k, sin, cos)
 
             scale_args = (pks, pvs) if quant_kv else (None, None)
             if spec:

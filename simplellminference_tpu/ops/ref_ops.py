@@ -202,6 +202,10 @@ def rope_tables_for(cfg, positions: jax.Array, dtype=jnp.float32):
     (qk_rope_head_dim) and are consumed INTERLEAVED
     (:func:`apply_rope_interleaved`)."""
     d = cfg.qk_rope_head_dim if cfg.mla else cfg.head_dim
+    if cfg.partial_rotary_factor < 1.0 and not cfg.mla:
+        return rope_tables_partial(
+            positions, d, cfg.partial_rotary_factor, cfg.rope_theta,
+            dtype, rope_scaling=cfg.rope_scaling)
     return rope_tables(positions, d, cfg.rope_theta, dtype,
                        rope_scaling=cfg.rope_scaling)
 
@@ -236,6 +240,35 @@ def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     r1 = xf1 * cos - xf2 * sin
     r2 = xf2 * cos + xf1 * sin
     return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+
+
+def rope_tables_partial(positions: jax.Array, head_dim: int,
+                        rotary_factor: float, theta: float,
+                        dtype=jnp.float32, rope_scaling=None
+                        ) -> tuple[jax.Array, jax.Array]:
+    """sin/cos of width rd/2 for partial rotary (rd = head_dim *
+    rotary_factor): frequencies run over rotary_dim, matching HF's
+    inv_freq built with dim = head_dim * partial_rotary_factor."""
+    rd = int(head_dim * rotary_factor)
+    return rope_tables(positions, rd, theta, dtype,
+                       rope_scaling=rope_scaling)          # [..., rd/2]
+
+
+def apply_rope_partial(x: jax.Array, sin: jax.Array, cos: jax.Array,
+                       interleaved: bool = False) -> jax.Array:
+    """Rotate only the FIRST 2 * sin.shape[-1] dims; the trailing dims
+    pass through unrotated (partial rotary: GLM-4, Nemotron, StableLM).
+
+    x: [B, S, N, D]; sin/cos: [B, S, rd/2] with rd <= D. GLM-4's
+    rotate_half is the INTERLEAVED pairing (lanes (2i, 2i+1) share
+    frequency f_i — its apply repeat-interleaves the truncated tables);
+    Nemotron/StableLM keep the half-split pairing."""
+    rd = 2 * sin.shape[-1]
+    rot = (apply_rope_interleaved if interleaved else apply_rope)(
+        x[..., :rd], sin, cos)
+    if rd == x.shape[-1]:
+        return rot
+    return jnp.concatenate([rot, x[..., rd:]], axis=-1)
 
 
 def apply_rope_interleaved(x: jax.Array, sin: jax.Array,

@@ -173,15 +173,26 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
             m["layers/q_proj"] = (
                 "model.layers.{i}.self_attn.q_proj.weight")
     if cfg.sandwich_norms:
-        # Gemma-2: post_attention_layernorm norms the attention OUTPUT
-        # (our post_attn_norm); the pre-FFN norm (our post_norm role)
-        # loads from pre_feedforward_layernorm instead.
-        m["layers/post_attn_norm"] = (
-            "model.layers.{i}.post_attention_layernorm.weight")
-        m["layers/post_norm"] = (
-            "model.layers.{i}.pre_feedforward_layernorm.weight")
-        m["layers/post_ffn_norm"] = (
-            "model.layers.{i}.post_feedforward_layernorm.weight")
+        if cfg.model_type == "glm4":
+            # GLM-4 keeps the standard pre-norm names (input_layernorm /
+            # post_attention_layernorm) and ADDS pre-residual output
+            # norms under its own names; its gate_up ships pre-fused.
+            m["layers/post_attn_norm"] = (
+                "model.layers.{i}.post_self_attn_layernorm.weight")
+            m["layers/post_ffn_norm"] = (
+                "model.layers.{i}.post_mlp_layernorm.weight")
+            m["layers/w_gate_up"] = (
+                "model.layers.{i}.mlp.gate_up_proj.weight")
+        else:
+            # Gemma-2: post_attention_layernorm norms the attention
+            # OUTPUT (our post_attn_norm); the pre-FFN norm (our
+            # post_norm role) loads from pre_feedforward_layernorm.
+            m["layers/post_attn_norm"] = (
+                "model.layers.{i}.post_attention_layernorm.weight")
+            m["layers/post_norm"] = (
+                "model.layers.{i}.pre_feedforward_layernorm.weight")
+            m["layers/post_ffn_norm"] = (
+                "model.layers.{i}.post_feedforward_layernorm.weight")
     if not cfg.pre_norms:
         # OLMo-2: no input_layernorm / pre-FFN norm exist at all; its
         # post_attention/post_feedforward norms mapped just above.

@@ -930,3 +930,44 @@ def test_olmoe_paged_engine_matches_dense():
     want = _generator_generate(cfg, params, prompts, 12)
     got = _engine_generate(cfg, params, prompts, 12)
     assert got == want
+
+
+def test_glm4_matches_hf():
+    """GLM-4: partial rotary (first half of head_dim, repeat-interleaved
+    frequency layout with half-split rotation), QKV bias, pre-fused
+    gate_up checkpoint, and BOTH pre-norms and pre-residual output norms
+    (post_self_attn/post_mlp_layernorm)."""
+    hf_cfg = transformers.Glm4Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        partial_rotary_factor=0.5, attention_bias=True,
+        pad_token_id=0, eos_token_id=2)  # defaults exceed the tiny vocab
+    torch.manual_seed(46)
+    hf = transformers.Glm4ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "glm4"
+    assert cfg.partial_rotary_factor == 0.5 and cfg.rope_interleaved
+    assert cfg.sandwich_norms and cfg.pre_norms and cfg.attention_bias
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    lw = params["layers"]
+    assert "post_attn_norm" in lw and "input_norm" in lw
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_glm4_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        dict(model_type="glm4", vocab_size=256, hidden_size=64,
+             intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+             max_position_embeddings=256, rms_norm_eps=1e-5,
+             partial_rotary_factor=0.5, attention_bias=True),
+        dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(31))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 12)
+    got = _engine_generate(cfg, params, prompts, 12)
+    assert got == want
