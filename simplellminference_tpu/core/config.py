@@ -113,6 +113,10 @@ class ModelConfig:
     # (2i, 2i+1) share frequency f_i (GLM-4's rotate_half); False =
     # half-split NeoX pairing (Nemotron/StableLM partial rotary).
     rope_interleaved: bool = False
+    # Per-layer NoPE (SmolLM3 no_rope_layers): True = this layer applies
+    # NO rotary embedding (identity rotation; position information flows
+    # only through the causal mask). None = every layer rotates.
+    nope_layers: Optional[tuple] = None
     # Gemma-2-style "sandwich" norms: RMSNorm the attention output
     # (post_attention_layernorm) and the FFN output
     # (post_feedforward_layernorm) BEFORE their residual adds; the
@@ -172,6 +176,11 @@ class ModelConfig:
     attn_sinks: bool = False
     o_bias: bool = False
     moe_bias: bool = False
+    # Dense-FFN projection biases (Ernie-4.5 use_bias, Llama mlp_bias):
+    # gate/up biases fold into one stacked w_gate_up_bias [L, 2I] (gate
+    # columns first, matching the fused w_gate_up layout), down_proj
+    # bias into w_down_bias [L, H].
+    mlp_bias: bool = False
     # Activation quantization for the PREFILL matmuls ("int8" | None):
     # per-token symmetric int8 activations feed the MXU's double-rate
     # int8 path against the int8 weights (W8A8) — measured 329 vs 184
@@ -236,6 +245,14 @@ class ModelConfig:
         if isinstance(self.layer_types, list):
             object.__setattr__(self, "layer_types",
                                tuple(self.layer_types))
+        if isinstance(self.nope_layers, list):
+            object.__setattr__(self, "nope_layers",
+                               tuple(self.nope_layers))
+        if (self.nope_layers is not None
+                and len(self.nope_layers) != self.num_layers):
+            raise ValueError(
+                f"nope_layers has {len(self.nope_layers)} entries for "
+                f"{self.num_layers} layers")
         if self.first_k_dense:
             if not (0 < self.first_k_dense < self.num_layers):
                 raise ValueError(
@@ -280,6 +297,26 @@ class ModelConfig:
         return len(wins), wins  # unreachable (p = L always matches)
 
     @property
+    def layer_nope(self) -> tuple:
+        """Per-layer NoPE flag (True = skip rotary on this layer)."""
+        if self.nope_layers is None:
+            return (False,) * self.num_layers
+        return tuple(bool(v) for v in self.nope_layers)
+
+    def scan_pattern(self) -> tuple[int, tuple, tuple]:
+        """(period p, windows[:p], nope[:p]) — like
+        :meth:`window_pattern` but the period also respects the
+        per-layer NoPE pattern, so SmolLM3's every-4th-layer no-rope
+        stack scans as 4 sub-bodies with per-sublayer rope tables."""
+        keys = tuple(zip(self.layer_windows, self.layer_nope))
+        for p in range(1, len(keys) + 1):
+            if len(keys) % p == 0 and keys == keys[:p] * (len(keys) // p):
+                wins, nope = zip(*keys[:p])
+                return p, tuple(wins), tuple(nope)
+        wins, nope = zip(*keys)  # unreachable (p = L always matches)
+        return len(keys), tuple(wins), tuple(nope)
+
+    @property
     def rope_scaling_dict(self) -> Optional[dict]:
         if self.rope_scaling is None:
             return None
@@ -306,10 +343,18 @@ class ModelConfig:
             max_seq_len=d.get("max_position_embeddings", 2048),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             rope_scaling=d.get("rope_scaling"),
-            # Qwen2 has QKV bias unconditionally; Llama exposes a flag.
+            # Qwen2 has QKV bias unconditionally; Llama exposes a flag;
+            # Ernie-4.5 calls it use_bias.
             attention_bias=d.get(
                 "attention_bias",
-                d.get("model_type") in ("qwen2", "qwen2_moe")),
+                d.get("model_type") in ("qwen2", "qwen2_moe"))
+            or bool(d.get("use_bias")),
+            # Ernie-4.5's use_bias puts a bias on EVERY projection
+            # (o_proj and gate/up/down too); Llama/SeedOss expose
+            # mlp_bias / attention_out_bias separately.
+            o_bias=bool(d.get("use_bias"))
+            or bool(d.get("attention_out_bias")),
+            mlp_bias=bool(d.get("mlp_bias")) or bool(d.get("use_bias")),
             # Qwen3 and Gemma-3 use per-head q/k RMSNorm before RoPE;
             # OLMo-2 norms the FULL q/k projections (one denominator).
             qk_norm=d.get("model_type") in ("qwen3", "qwen3_moe",
@@ -331,7 +376,12 @@ class ModelConfig:
             partial_rotary_factor=(
                 float(d.get("partial_rotary_factor", 0.5))
                 if d.get("model_type") == "glm4" else 1.0),
-            rope_interleaved=d.get("model_type") == "glm4",
+            # Helium and Ernie-4.5 rotate the FULL head_dim with the
+            # interleaved pairing (their apply repeat-interleaves
+            # truncated tables exactly like GLM-4, just with
+            # rotary_dim == head_dim).
+            rope_interleaved=d.get("model_type") in ("glm4", "helium",
+                                                     "ernie4_5"),
             rope_local_theta=(float(d["rope_local_base_freq"])
                               if d.get("rope_local_base_freq") is not None
                               and d.get("model_type") == "gemma3_text"
@@ -346,6 +396,10 @@ class ModelConfig:
             layer_types=(tuple(d["layer_types"])
                          if d.get("layer_types")
                          and len(set(d["layer_types"])) > 1 else None),
+            # SmolLM3 no_rope_layers: HF stores 1 = rope ON, 0 = NoPE.
+            nope_layers=(tuple(not bool(v) for v in d["no_rope_layers"])
+                         if d.get("no_rope_layers")
+                         and not all(d["no_rope_layers"]) else None),
             model_type=d.get("model_type", "llama"),
             # HF resolves the FFN activation from `hidden_activation`
             # first; stock Gemma checkpoints carry a legacy

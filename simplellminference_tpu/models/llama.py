@@ -123,7 +123,7 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
     if (li is not None and kv_layer is None and s == 1
             and cache_k is not None and "q_norm" not in lw
             and cfg.pre_norms and cfg.partial_rotary_factor == 1.0
-            and _use_fused_kernels()):
+            and not cfg.rope_interleaved and _use_fused_kernels()):
         from simplellminference_tpu.ops import qkv_fused
         if qkv_fused.fused_qkv_available(lw, cfg, b, s, cache_k,
                                          n_heads=n, kv_heads=kvn):
@@ -186,7 +186,8 @@ def decoder_layer(cfg: ModelConfig, lw: Params, li: Optional[jax.Array],
                                     cfg.rms_norm_eps)
         v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
 
-        if cfg.partial_rotary_factor < 1.0:  # GLM-4: partial rotary
+        if (cfg.partial_rotary_factor < 1.0
+                or cfg.rope_interleaved):  # GLM-4 partial / Helium
             q = ref_ops.apply_rope_partial(q, sin, cos,
                                            cfg.rope_interleaved)
             k = ref_ops.apply_rope_partial(k, sin, cos,
@@ -279,6 +280,7 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         i_loc = cfg.intermediate_size if tp_axis is None else (
             cfg.intermediate_size // jax.lax.axis_size(tp_axis))
         if (cfg.hidden_act == "silu" and "post_ffn_norm" not in lw
+                and "w_gate_up_bias" not in lw
                 and ffn_fused.fused_ffn_available(lw, h, i_loc, b * s)):
             # decode hot path: rmsnorm+gate_up+SwiGLU+down+residual as ONE
             # pallas call — no inter-matmul DMA ramp/drain, no XLA fusion
@@ -306,6 +308,9 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
         cfg.intermediate_size // jax.lax.axis_size(tp_axis))
     gate_up = linear(ffn_in, lw["w_gate_up"], layer=li,
                      act_quant=cfg.act_quant)
+    if "w_gate_up_bias" in lw:  # Ernie-4.5 use_bias dense-FFN bias
+        gate_up = gate_up + norm_w(lw["w_gate_up_bias"]).astype(
+            gate_up.dtype)
     gate, up = gate_up[..., :i], gate_up[..., i:]
     swi = ref_ops.glu_act(gate, up, cfg.hidden_act)
     if tp_axis is not None and ring_collectives and _is_quant(lw["w_down"]):
@@ -318,6 +323,8 @@ def _post_attention(cfg, lw, li, x, attn, b, s, h, n, d, tp_axis,
                       act_quant=cfg.act_quant)
         if tp_axis is not None:
             down = jax.lax.psum(down, tp_axis)
+    if "w_down_bias" in lw:  # Ernie-4.5 (added ONCE, post-psum)
+        down = down + norm_w(lw["w_down_bias"]).astype(down.dtype)
     if "post_ffn_norm" in lw:  # Gemma-2: norm the FFN output pre-residual
         down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"]),
                                cfg.rms_norm_eps)
@@ -367,10 +374,11 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     # Alternating sliding/full stacks (Gemma-2 layer_types): scan over
     # the pattern's period — p compiled sub-bodies per step, each with
     # its own static window, over the same stacked-layer weights.
-    period, wins = cfg.window_pattern()
-    # per-window rope tables (Gemma-3 sliding layers use a local theta)
-    ropes = ref_ops.rope_tables_by_window(cfg, positions, wins)
-    sin, cos = ropes[wins[0]]
+    period, wins, nope = cfg.scan_pattern()
+    # per-sublayer rope tables (Gemma-3 sliding layers use a local
+    # theta; SmolLM3 NoPE sublayers get identity tables)
+    ropes_j = ref_ops.rope_tables_by_sublayer(cfg, positions, wins, nope)
+    sin, cos = ropes_j[0]
     # DeepSeek first-k-dense layers: their own stacked group, scanned
     # BEFORE the main (sparse) stack; cache layers 0..kd-1 are theirs.
     kd = cfg.first_k_dense
@@ -408,7 +416,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             x, ck, cv = carry
             for j, w in enumerate(wins):
                 li = base_li + j
-                sj, cj = ropes[w]
+                sj, cj = ropes_j[j]
                 x, ck, cv = decoder_layer(cfg, lw, li, x, sj,
                                           cj, ck, cv, offsets, masks[w],
                                           kv_lens, prefill_from_zero,
@@ -435,7 +443,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
         def body(x, base_li):
             for j, w in enumerate(wins):
-                sj, cj = ropes[w]
+                sj, cj = ropes_j[j]
                 x, _, _ = decoder_layer(cfg, lw, base_li + j, x, sj, cj,
                                         None, None, None, masks[w], None,
                                         False, window=w)
@@ -523,9 +531,10 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         x = x * jnp.asarray(cfg.embed_scale, dtype)
     chunked = prefill and chunk_offset is not None
     spec = (not prefill) and s > 1  # speculative-decoding verify window
-    period, wins = cfg.window_pattern()
-    # per-window rope tables (Gemma-3 sliding layers use a local theta)
-    ropes = ref_ops.rope_tables_by_window(cfg, positions, wins)
+    period, wins, nope = cfg.scan_pattern()
+    # per-sublayer rope tables (Gemma-3 sliding layers use a local
+    # theta; SmolLM3 NoPE sublayers get identity tables)
+    ropes_j = ref_ops.rope_tables_by_sublayer(cfg, positions, wins, nope)
     if chunked or spec or not prefill:
         masks = {w: None for w in set(wins)}  # masking happens in-kernel
     else:
@@ -560,16 +569,16 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
         if (not prefill and s == 1 and not quant_kv and "q_norm" not in lw
                 and not (lora_t and "wqkv" in lora_t) and kv_off == 0
                 and cfg.pre_norms and cfg.partial_rotary_factor == 1.0
-                and _use_fused_kernels()):
+                and not cfg.rope_interleaved and _use_fused_kernels()):
             # kv_off > 0 would decouple the weight and cache indices the
             # fused kernel couples in-kernel
             from simplellminference_tpu.ops import qkv_fused
             use_fqkv = qkv_fused.fused_qkv_available(lw, cfg, b, s, cache.k,
                                                      n_heads=n, kv_heads=kvn)
 
-        def sub_body(carry, li, window, mask):
+        def sub_body(carry, li, window, mask, rope):
             x, pk, pv, pks, pvs = carry
-            sin, cos = ropes[window]
+            sin, cos = rope
             kli = li + kv_off if kv_off else li
             if use_fqkv:
                 # decode hot path: rmsnorm + qkv dequant-matmul + RoPE +
@@ -631,7 +640,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                         k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
                                             cfg.rms_norm_eps)
                 v = qkv[..., (n + kvn) * d:].reshape(b, s, kvn, d)
-                if cfg.partial_rotary_factor < 1.0:  # GLM-4
+                if (cfg.partial_rotary_factor < 1.0
+                        or cfg.rope_interleaved):  # GLM-4 / Helium
                     q = ref_ops.apply_rope_partial(q, sin, cos,
                                                    cfg.rope_interleaved)
                     k = ref_ops.apply_rope_partial(k, sin, cos,
@@ -726,6 +736,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 i_loc = cfg.intermediate_size if tp_axis is None else (
                     cfg.intermediate_size // jax.lax.axis_size(tp_axis))
                 if (cfg.hidden_act == "silu" and "post_ffn_norm" not in lw
+                        and "w_gate_up_bias" not in lw
                         and ffn_fused.fused_ffn_available(
                             lw, cfg.hidden_size, i_loc, b * s)):
                     gu, dn = lw["w_gate_up"], lw["w_down"]
@@ -753,6 +764,9 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             if lora_t is not None:
                 gate_up = lora_lib.apply_lora(lora_t, lora_idx, "w_gate_up",
                                               ffn_in, li, gate_up)
+            if "w_gate_up_bias" in lw:  # Ernie-4.5 use_bias FFN bias
+                gate_up = gate_up + norm_w(lw["w_gate_up_bias"],
+                                           li).astype(gate_up.dtype)
             swi = ref_ops.glu_act(gate_up[..., :i], gate_up[..., i:],
                                   cfg.hidden_act)
             down = linear(swi, lw["w_down"], layer=li,
@@ -762,6 +776,9 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                                            li, down)
             if tp_axis is not None:
                 down = jax.lax.psum(down, tp_axis)
+            if "w_down_bias" in lw:  # Ernie-4.5 (once, post-psum)
+                down = down + norm_w(lw["w_down_bias"],
+                                     li).astype(down.dtype)
             if "post_ffn_norm" in lw:  # Gemma-2 pre-residual FFN norm
                 down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"], li),
                                        cfg.rms_norm_eps)
@@ -772,7 +789,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
         def body(carry, base_li):
             for j, w in enumerate(wins):
-                carry, _ = sub_body(carry, base_li + j, w, masks[w])
+                carry, _ = sub_body(carry, base_li + j, w, masks[w],
+                                    ropes_j[j])
             return carry, None
         return body
 
@@ -895,6 +913,9 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         params["layers"]["sinks"] = w(keys[11], (L, n), 1.0)
     if cfg.o_bias:
         params["layers"]["wo_bias"] = w(keys[6], (L, h), 0.02)
+    if cfg.mlp_bias and not cfg.num_experts:
+        params["layers"]["w_gate_up_bias"] = w(keys[10], (L, 2 * i), 0.02)
+        params["layers"]["w_down_bias"] = w(keys[11], (L, h), 0.02)
     if cfg.sandwich_norms:  # Gemma-2 pre-residual output norms
         params["layers"]["post_attn_norm"] = jnp.ones((L, h), dtype)
         params["layers"]["post_ffn_norm"] = jnp.ones((L, h), dtype)

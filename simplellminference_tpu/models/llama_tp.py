@@ -160,9 +160,10 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
     # Alternating sliding/full stacks (Gemma-2): same period-scan as
     # llama.forward — p sub-bodies with static windows per scan step.
-    period, wins = cfg.window_pattern()
-    # per-window rope tables (Gemma-3 sliding layers use a local theta)
-    ropes = ref_ops.rope_tables_by_window(cfg, positions, wins)
+    period, wins, nope = cfg.scan_pattern()
+    # per-sublayer rope tables (Gemma-3 sliding layers use a local
+    # theta; SmolLM3 NoPE sublayers get identity tables)
+    ropes_j = ref_ops.rope_tables_by_sublayer(cfg, positions, wins, nope)
     steps = jnp.arange(cfg.num_layers // period, dtype=jnp.int32) * period
 
     if cache_k is not None:
@@ -181,7 +182,7 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
         def body(carry, base_li):
             x, ck, cv = carry
             for j, w in enumerate(wins):
-                sj, cj = ropes[w]
+                sj, cj = ropes_j[j]
                 x, ck, cv = llama.decoder_layer(
                     cfg, lw, base_li + j, x, sj, cj, ck, cv, offsets,
                     masks[w], kv_lens, prefill_from_zero,
@@ -197,7 +198,7 @@ def _forward_local(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
         def body(x, base_li):
             for j, w in enumerate(wins):
-                sj, cj = ropes[w]
+                sj, cj = ropes_j[j]
                 x, _, _ = llama.decoder_layer(
                     cfg, lw, base_li + j, x, sj, cj, None, None, None,
                     masks[w], None, False, tp_axis=MODEL_AXIS,

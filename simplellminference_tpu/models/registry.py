@@ -53,7 +53,8 @@ def _register_builtin():
         aliases=("mistral", "tinyllama", "qwen2", "gemma", "mixtral",
                  "qwen2_moe", "qwen3", "qwen3_moe", "gemma2",
                  "deepseek_v2", "deepseek_v3", "gemma3_text", "gpt_oss",
-                 "phi3", "granite", "olmo2", "olmoe", "glm4"),
+                 "phi3", "granite", "olmo2", "olmoe", "glm4", "helium",
+                 "smollm3", "seed_oss", "ernie4_5"),
     )
 
 

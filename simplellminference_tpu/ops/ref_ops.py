@@ -225,6 +225,20 @@ def rope_tables_by_window(cfg, positions: jax.Array, wins,
     return {w: (loc if w is not None else g) for w in set(wins)}
 
 
+def rope_tables_by_sublayer(cfg, positions: jax.Array, wins, nope,
+                            dtype=jnp.float32) -> list:
+    """Per-sublayer (sin, cos) for one scan period (cfg.scan_pattern()):
+    window-keyed tables (Gemma-3 sliding layers use a local theta) with
+    IDENTITY tables (sin=0, cos=1 — apply_rope becomes a no-op) for
+    NoPE sublayers (SmolLM3 no_rope_layers)."""
+    byw = rope_tables_by_window(cfg, positions, wins, dtype)
+    if not any(nope):
+        return [byw[w] for w in wins]
+    sh = (*positions.shape, cfg.head_dim // 2)
+    ident = (jnp.zeros(sh, dtype), jnp.ones(sh, dtype))
+    return [ident if np_ else byw[w] for w, np_ in zip(wins, nope)]
+
+
 def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     """Half-split (NeoX/Llama-style) rotation of the last dim.
 

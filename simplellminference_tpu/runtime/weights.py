@@ -157,6 +157,13 @@ def llama_hf_param_map(cfg: ModelConfig) -> dict[str, Any]:
         m["layers/sinks"] = "model.layers.{i}.self_attn.sinks"
     if cfg.o_bias:
         m["layers/wo_bias"] = "model.layers.{i}.self_attn.o_proj.bias"
+    if cfg.mlp_bias and not cfg.num_experts:
+        # Dense-FFN biases (Ernie-4.5 use_bias): gate/up fuse in the
+        # w_gate_up column order, down stays [H].
+        m["layers/w_gate_up_bias"] = (
+            "model.layers.{i}.mlp.gate_proj.bias",
+            "model.layers.{i}.mlp.up_proj.bias")
+        m["layers/w_down_bias"] = "model.layers.{i}.mlp.down_proj.bias"
     if cfg.mla:  # DeepSeek MLA: latent KV + optional low-rank queries
         del m["layers/wqkv"]
         m["layers/kv_a"] = (

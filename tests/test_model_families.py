@@ -971,3 +971,167 @@ def test_glm4_paged_engine_matches_dense():
     want = _generator_generate(cfg, params, prompts, 12)
     got = _engine_generate(cfg, params, prompts, 12)
     assert got == want
+
+
+def test_helium_matches_hf():
+    """Helium (kyutai): Llama graph with INTERLEAVED rope over the full
+    head_dim — HF's apply repeat-interleaves the truncated cos/sin
+    tables so lanes (2i, 2i+1) share frequency f_i (GLM-4's pairing
+    with rotary_dim == head_dim)."""
+    hf_cfg = transformers.HeliumConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-8,
+        rope_theta=100000.0, tie_word_embeddings=False,
+        attention_bias=False, mlp_bias=False,
+        pad_token_id=0, eos_token_id=2, bos_token_id=1)
+    torch.manual_seed(47)
+    hf = transformers.HeliumForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "helium"
+    assert cfg.rope_interleaved and cfg.partial_rotary_factor == 1.0
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_helium_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        dict(model_type="helium", vocab_size=256, hidden_size=64,
+             intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+             max_position_embeddings=256, rms_norm_eps=1e-8),
+        dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(32))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 12)
+    got = _engine_generate(cfg, params, prompts, 12)
+    assert got == want
+
+
+def test_smollm3_matches_hf():
+    """SmolLM3: Llama graph with NoPE — every no_rope_layers==0 layer
+    applies NO rotary at all (identity rotation; the scan period covers
+    the 3-rope + 1-nope repeat), tied embeddings."""
+    hf_cfg = transformers.SmolLM3Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=2000000.0, tie_word_embeddings=True,
+        attention_bias=False, pad_token_id=0, eos_token_id=2)
+    assert hf_cfg.no_rope_layers == [1, 1, 1, 0]
+    torch.manual_seed(48)
+    hf = transformers.SmolLM3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "smollm3"
+    assert cfg.nope_layers == (False, False, False, True)
+    assert cfg.scan_pattern() == (
+        4, (None,) * 4, (False, False, False, True))
+    assert cfg.window_pattern() == (1, (None,))  # windows alone: period 1
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_smollm3_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        dict(model_type="smollm3", vocab_size=256, hidden_size=64,
+             intermediate_size=128, num_hidden_layers=4,
+             num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=256, rms_norm_eps=1e-6,
+             no_rope_layers=[1, 1, 1, 0], tie_word_embeddings=True),
+        dtype="float32")
+    assert cfg.layer_nope == (False, False, False, True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(33))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 12)
+    got = _engine_generate(cfg, params, prompts, 12)
+    assert got == want
+
+
+def test_seed_oss_matches_hf():
+    """Seed-OSS (ByteDance): Llama graph with QKV bias
+    (attention_bias=True, o_proj bias off) and explicit head_dim."""
+    hf_cfg = transformers.SeedOssConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attention_bias=True, attention_out_bias=False, mlp_bias=False,
+        attention_dropout=0.0, residual_dropout=0.0,
+        pad_token_id=0, eos_token_id=2)
+    torch.manual_seed(49)
+    hf = transformers.SeedOssForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "seed_oss" and cfg.attention_bias
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_ernie4_5_matches_hf():
+    """Ernie-4.5 dense: Llama graph with Helium-style INTERLEAVED rope
+    over the full head_dim ("glm rope style with full dim"), tied
+    embeddings, use_bias-named QKV bias flag."""
+    hf_cfg = transformers.Ernie4_5Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=500000.0, tie_word_embeddings=True, use_bias=False,
+        pad_token_id=0, eos_token_id=2)
+    torch.manual_seed(50)
+    hf = transformers.Ernie4_5ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.model_type == "ernie4_5"
+    assert cfg.rope_interleaved and cfg.partial_rotary_factor == 1.0
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    tokens = np.array([[1, 5, 9, 200, 17, 3, 77, 120]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_ernie4_5_with_bias_matches_hf():
+    """use_bias=True puts a bias on EVERY projection (qkv, o_proj, AND
+    gate/up/down). HF zero-inits biases, so randomize them first — a
+    dropped bias must actually move the logits."""
+    hf_cfg = transformers.Ernie4_5Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=500000.0, tie_word_embeddings=True, use_bias=True,
+        pad_token_id=0, eos_token_id=2)
+    torch.manual_seed(51)
+    hf = transformers.Ernie4_5ForCausalLM(hf_cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if name.endswith(".bias"):
+                p.uniform_(-0.1, 0.1)
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict(), dtype="float32")
+    assert cfg.attention_bias and cfg.o_bias and cfg.mlp_bias
+    params = params_from_torch_state_dict(cfg, hf.state_dict(),
+                                          dtype="float32")
+    lw = params["layers"]
+    assert "wqkv_bias" in lw and "wo_bias" in lw
+    assert "w_gate_up_bias" in lw and "w_down_bias" in lw
+    tokens = np.array([[1, 5, 9, 200, 17, 3]], np.int32)
+    _logits_match(hf, cfg, params, tokens, rtol=5e-4, atol=5e-4)
+
+
+def test_ernie4_5_bias_paged_engine_matches_dense():
+    cfg = ModelConfig.from_hf_dict(
+        dict(model_type="ernie4_5", vocab_size=256, hidden_size=64,
+             intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+             max_position_embeddings=256, rms_norm_eps=1e-5,
+             tie_word_embeddings=True, use_bias=True),
+        dtype="float32")
+    assert cfg.o_bias and cfg.mlp_bias
+    params = llama.init_params(cfg, jax.random.PRNGKey(34))
+    assert "w_gate_up_bias" in params["layers"]
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    want = _generator_generate(cfg, params, prompts, 12)
+    got = _engine_generate(cfg, params, prompts, 12)
+    assert got == want
