@@ -1,0 +1,193 @@
+"""7B-shape quantization quality ladder, on-chip (VERDICT r3 item 5).
+
+Teacher-forced decode perplexity at Llama-2-7B shape with FIXED-SEED
+pseudo-random weights, through the real paged decode path on the TPU:
+
+    bf16 (baseline) -> int8 -> int4 -> w8a8 -> int8-KV -> fp8-KV
+
+No real 7B safetensors exist in this environment (BASELINE config #2's
+WikiText-2 gate needs real weights), so absolute PPL is meaningless —
+but RELATIVE deltas at the real 7B shape measure numeric fidelity of
+each storage tier through the exact serving kernels (fused dequant
+matmuls, paged attention, quantizing KV appends) with 32 layers of
+error compounding. Weights are hash-generated with 16-bit value
+richness (quantization genuinely loses information, unlike weights
+born int8) and identical across configs by construction.
+
+    python benchmarks/quality_ladder.py [--ctx 384] [--json-out PATH]
+
+Prints one JSON line {"ladder": {cfg: {"ppl":..., "delta_pct":...}}}
+and (default) writes QUALITY_LADDER.json at the repo root.
+
+Ref scope: the correct-math obligation of SURVEY §2.7 vs the broken
+reference SwiGLU (swiglu_kernel.cpp:12-13) — quality is measured, not
+assumed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "salt"))
+def _hash_floats(shape, salt: int):
+    """Deterministic pseudo-random floats in [-1, 1) with 16-bit value
+    richness — cheap enough to regenerate per config (threefry at 7B
+    costs minutes through the dispatch tunnel)."""
+    a = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+    b = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 2)
+    h = a * jnp.uint32(2654435761) + b * jnp.uint32(40503) + jnp.uint32(salt)
+    h = (h ^ (h >> 15)) * jnp.uint32(2246822519)
+    h = h ^ (h >> 13)
+    return ((h & jnp.uint32(0xFFFF)).astype(jnp.float32)
+            / 32768.0 - 1.0)
+
+
+def _make_params(cfg, quant_mode: str, act_quant: bool):
+    """Leaf-wise generate-then-quantize (peak memory stays ~one config,
+    not fp + quantized simultaneously)."""
+    from simplellminference_tpu.core.config import QuantConfig
+    from simplellminference_tpu.runtime.weights import _maybe_quantize
+
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    n, kvn, d, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, \
+        cfg.num_layers
+    dtype = jnp.dtype(cfg.dtype)
+    qc = QuantConfig(mode=quant_mode, group_size=0, act_quant=act_quant) \
+        if quant_mode != "none" else None
+
+    def w(path, shape, salt, sigma):
+        x = (_hash_floats(shape, salt) * sigma).astype(dtype)
+        if qc is not None:
+            q = _maybe_quantize(path.replace("L/", "layers/"), x, qc)
+            return q
+        return x
+
+    params = {
+        "embed": (_hash_floats((v, h), 1) * 0.02).astype(dtype),
+        "layers": {
+            "input_norm": jnp.ones((L, h), dtype),
+            "post_norm": jnp.ones((L, h), dtype),
+            "wqkv": w("L/wqkv", (L, h, (n + 2 * kvn) * d), 2, h ** -0.5),
+            "wo": w("L/wo", (L, n * d, h), 3, (n * d) ** -0.5),
+            "w_gate_up": w("L/w_gate_up", (L, h, 2 * i), 4, h ** -0.5),
+            "w_down": w("L/w_down", (L, i, h), 5, i ** -0.5),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": w("lm_head", (h, v), 6, h ** -0.5),
+    }
+    jax.block_until_ready(params)
+    return params
+
+
+def decode_ppl(cfg, params, ids, kv_dtype: str, prefill_len: int) -> float:
+    """Prefill ``prefill_len`` tokens, teacher-force the rest one decode
+    step at a time through the paged path (the serving decode kernels,
+    including quantized KV append + in-kernel dequant attention)."""
+    from simplellminference_tpu.core.config import next_power_of_2
+    from simplellminference_tpu.memory.allocator import PageAllocator
+    from simplellminference_tpu.memory.paged_kv import (PagedKVCache,
+                                                        kv_storage_dtype)
+    from simplellminference_tpu.models import llama
+
+    ps = 128
+    n = len(ids)
+    npages = n // ps + 2
+    alloc = PageAllocator(npages, ps, 1, npages)
+    assert alloc.alloc_seq(0, n)
+    tables = jnp.asarray(alloc.row(0)[None])
+    cache = PagedKVCache.create(cfg.num_layers, npages, cfg.num_kv_heads,
+                                ps, cfg.head_dim,
+                                kv_storage_dtype(kv_dtype))
+
+    bucket = next_power_of_2(prefill_len)
+    tokens = np.zeros((1, bucket), np.int32)
+    tokens[0, :prefill_len] = ids[:prefill_len]
+    positions = np.arange(bucket, dtype=np.int32)[None]
+    logits, cache = llama.forward_paged(
+        cfg, params, jnp.asarray(tokens), jnp.asarray(positions), cache,
+        tables, jnp.asarray([prefill_len], np.int32), prefill=True,
+        last_token_only=True)
+    nll = [-float(jax.nn.log_softmax(
+        logits[0, -1].astype(jnp.float32))[ids[prefill_len]])]
+
+    @jax.jit
+    def step(params, cache, tok, pos, kv_len):
+        lg, cache = llama.forward_paged(
+            cfg, params, tok, pos, cache, tables, kv_len, prefill=False)
+        return jax.nn.log_softmax(lg[0, 0].astype(jnp.float32)), cache
+
+    for t in range(prefill_len, n - 1):
+        lsm, cache = step(params, cache,
+                          jnp.asarray([[ids[t]]], jnp.int32),
+                          jnp.asarray([[t]], jnp.int32),
+                          jnp.asarray([t + 1], np.int32))
+        nll.append(-float(lsm[ids[t + 1]]))
+    return float(np.exp(np.mean(nll)))
+
+
+LADDER = [
+    # (name, weight quant, act_quant, kv dtype)
+    ("bf16", "none", False, "bf16"),
+    ("int8", "int8", False, "bf16"),
+    ("int4", "int4", False, "bf16"),
+    ("w8a8", "int8", True, "bf16"),
+    ("int8-kv", "int8", False, "int8"),
+    ("fp8-kv", "int8", False, "fp8"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ctx", type=int, default=384,
+                    help="total tokens (prefill 128 + teacher-forced rest)")
+    ap.add_argument("--prefill", type=int, default=128)
+    ap.add_argument("--json-out", default="QUALITY_LADDER.json")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of ladder names")
+    args = ap.parse_args()
+
+    from simplellminference_tpu.core.config import ModelConfig
+
+    cfg = ModelConfig.llama2_7b(max_seq_len=1024, dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.vocab_size, args.ctx).tolist()
+
+    want = set(args.only.split(",")) if args.only else None
+    out, base = {}, None
+    for name, mode, aq, kvd in LADDER:
+        if want and name not in want:
+            continue
+        import dataclasses
+        c = dataclasses.replace(cfg, act_quant=aq)
+        t0 = time.time()
+        params = _make_params(c, mode, aq)
+        ppl = decode_ppl(c, params, ids, kvd, args.prefill)
+        del params
+        if base is None:
+            base = ppl
+        out[name] = {"ppl": round(ppl, 4),
+                     "delta_pct": round((ppl - base) / base * 100, 4)}
+        print(f"[{name}: ppl={ppl:.4f} delta={out[name]['delta_pct']:+.4f}%"
+              f" ({time.time() - t0:.0f}s)]", file=sys.stderr, flush=True)
+    rec = {"metric": "decode_ppl_ladder_llama2_7b_shape",
+           "ctx": args.ctx, "prefill": args.prefill, "ladder": out}
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Perf-regression guard: run bench.py and fail below a pinned floor.
+
+VERDICT r3 item 1: round 3's model-family generalization silently cost
+the vanilla-Llama hot path 2.2% (734.3 -> 717.8 tok/s) because nothing
+compared bench output against a floor. This script is that guard:
+
+    python benchmarks/regress.py              # full bench, floor 0.86
+    python benchmarks/regress.py --floor 0.87 --steps 64
+
+Exit code 1 if ``vs_baseline`` lands under the floor. Pair with the
+structural tripwire in tests/test_perf_guard.py (op counts of the
+compiled burst graph), which catches regressions without TPU time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+
+
+# The pinned floor for bench.py's default config (7B INT8, batch 8,
+# THROUGH the engine). History: r2 0.8758, r3 0.8562 (regression this
+# guard exists to catch), r4 restored the r2 level.
+FLOOR = 0.86
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--floor", type=float, default=FLOOR)
+    ap.add_argument("--steps", type=int, default=128)
+    args, extra = ap.parse_known_args()
+
+    cmd = [sys.executable, "bench.py", "--steps", str(args.steps), *extra]
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    sys.stderr.write(out.stderr)
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    print(line)
+    if out.returncode != 0:
+        print(f"regress: bench failed rc={out.returncode}", file=sys.stderr)
+        return 1
+    rec = json.loads(line)
+    frac = rec["vs_baseline"]
+    if frac < args.floor:
+        print(f"regress: FAIL {frac:.4f} < floor {args.floor:.4f} "
+              f"({rec['value']} {rec['unit']})", file=sys.stderr)
+        return 1
+    print(f"regress: OK {frac:.4f} >= floor {args.floor:.4f}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

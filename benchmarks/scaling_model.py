@@ -1,0 +1,173 @@
+"""Config-#5 scaling evidence within one chip's limits (VERDICT r3 item 10).
+
+Only one real TPU chip exists in this environment, so the >=90% linear
+multi-chip scaling target (BASELINE config #5) cannot be measured
+directly. This script puts arithmetic behind the claim instead:
+
+1. MEASURED collective bytes: lower the actual shard_map TP decode/
+   prefill step for the real 7B/13B shapes over a virtual CPU mesh and
+   count every all-reduce's bytes straight from the StableHLO — the
+   same graph XLA compiles for real ICI, so the psum traffic is the
+   deployed graph's, not a hand model.
+2. ANALYTIC roofline: decode is HBM-bound (weights/tp + KV per step);
+   a ring all-reduce moves 2(tp-1)/tp x bytes per chip over ICI.
+   Per-step time bounds: serialized (no overlap) t_hbm + t_ici, and
+   overlapped max(t_hbm, t_ici) (XLA's latency-hiding scheduler /
+   collective-matmul decomposition; the repo's ring collective matmuls
+   in parallel/collective.py implement the overlap path explicitly).
+   Scaling efficiency at tp = throughput(tp) / (tp * throughput(1)).
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling_model.py
+
+Prints a table (stderr) + one JSON line; the README cites the result.
+
+ICI assumption: v5e — 4 links/chip, ~45 GB/s usable per direction per
+ring (2D torus: a TP ring rides one link pair; public "How to Scale
+Your Model" numbers). Override with --ici-gbps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+_DT_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "i32": 4, "ui32": 4, "i8": 1,
+             "f64": 8, "i64": 8}
+
+
+def _allreduce_bytes(stablehlo: str) -> list[int]:
+    """Byte sizes of every all_reduce result tensor in the lowering."""
+    out = []
+    for m in re.finditer(
+            r'"?stablehlo\.all_reduce"?.*?tensor<([0-9x]*)x?([a-z0-9]+)>',
+            stablehlo):
+        dims, dt = m.group(1), m.group(2)
+        n = 1
+        for d in dims.split("x"):
+            if d:
+                n *= int(d)
+        out.append(n * _DT_BYTES.get(dt, 4))
+    return out
+
+
+def measure_psum_bytes(cfg, tp: int, batch: int, seq: int,
+                       prefill: bool) -> tuple[int, int]:
+    """(total all-reduce bytes, count) for ONE TP step of the REAL
+    shape, from the lowered StableHLO of the shard_map body."""
+    from simplellminference_tpu.models import llama, llama_tp
+    from simplellminference_tpu.parallel.mesh import MeshConfig, build_mesh
+    from simplellminference_tpu.runtime.kv_cache import DenseKVCache
+
+    mesh = build_mesh(MeshConfig(data=1, model=tp),
+                      devices=jax.devices()[:tp])
+    params = jax.eval_shape(lambda: llama.init_params(cfg, jax.random.PRNGKey(0)))
+    # abstract params in the TP layout (no memory materialized)
+    tp_params = jax.eval_shape(
+        lambda: llama_tp.permute_params_for_tp(
+            cfg, llama.init_params(cfg, jax.random.PRNGKey(0)), tp))
+    _, fwd = llama_tp.make_tp_forward(
+        cfg, mesh, jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tp_params))
+
+    cache = DenseKVCache.create(cfg.num_layers, batch, 2048,
+                                cfg.num_kv_heads, cfg.head_dim,
+                                jnp.bfloat16)
+    toks = jnp.zeros((batch, seq), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(seq, dtype=jnp.int32), (batch, seq))
+    offs = jnp.zeros((batch,), jnp.int32)
+    lens = jnp.full((batch,), seq, jnp.int32)
+    real = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tp_params)
+    from simplellminference_tpu.parallel import sharding
+    real = sharding.shard_params(cfg, real, mesh)
+    low = jax.jit(fwd).lower(real, toks, pos, cache, offs, lens)
+    sizes = _allreduce_bytes(low.as_text())
+    return sum(sizes), len(sizes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ici-gbps", type=float, default=45.0,
+                    help="usable one-way GB/s per TP-ring direction")
+    ap.add_argument("--hbm-gbps", type=float, default=740.0,
+                    help="achieved HBM stream GB/s (measured ceiling)")
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from simplellminference_tpu.core.config import ModelConfig
+
+    ici = args.ici_gbps * 1e9
+    hbm = args.hbm_gbps * 1e9
+    rows = []
+    for model, mk in (("llama2-7b", ModelConfig.llama2_7b),
+                      ("llama2-13b", ModelConfig.llama2_13b)):
+        cfg = mk(max_seq_len=2048, dtype="bfloat16")
+        wbytes_int8 = sum(
+            np.prod(s) for s in [
+                (cfg.num_layers, cfg.hidden_size,
+                 (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim),
+                (cfg.num_layers, cfg.num_heads * cfg.head_dim,
+                 cfg.hidden_size),
+                (cfg.num_layers, cfg.hidden_size,
+                 2 * cfg.intermediate_size),
+                (cfg.num_layers, cfg.intermediate_size, cfg.hidden_size),
+                (cfg.hidden_size, cfg.vocab_size),
+            ]) + cfg.vocab_size * cfg.hidden_size * 2  # bf16 embed
+        ctx = 1024
+        kv_bytes = (2 * cfg.num_layers * ctx * cfg.num_kv_heads
+                    * cfg.head_dim * 2)
+        for tp in (4, 8):
+            for phase, seq in (("decode", 1), ("prefill", 512)):
+                psum_b, n_ar = measure_psum_bytes(cfg, tp, args.batch, seq,
+                                                  phase == "prefill")
+                # per chip: ring all-reduce moves 2(tp-1)/tp x bytes
+                t_ici = psum_b * 2 * (tp - 1) / tp / ici
+                if phase == "decode":
+                    t_hbm = (wbytes_int8 / tp
+                             + args.batch * kv_bytes / tp) / hbm
+                else:
+                    # prefill is MXU-bound; estimate at 160 TFLOP/s
+                    # achieved bf16 (measured W8A16 kernel ~184)
+                    flops = 2 * args.batch * seq * wbytes_int8  # int8=1B/w
+                    t_hbm = flops / tp / 160e12
+                eff_overlap = t_hbm / max(t_hbm, t_ici)
+                eff_serial = t_hbm / (t_hbm + t_ici)
+                rows.append(dict(
+                    model=model, tp=tp, phase=phase,
+                    psum_mb_per_step=round(psum_b / 1e6, 3),
+                    all_reduces=n_ar,
+                    t_compute_ms=round(t_hbm * 1e3, 3),
+                    t_ici_ms=round(t_ici * 1e3, 3),
+                    eff_overlapped=round(eff_overlap, 4),
+                    eff_serialized=round(eff_serial, 4)))
+                print(f"{model} tp={tp} {phase}: psum {psum_b/1e6:.2f} MB"
+                      f"/step ({n_ar} all-reduces), t_hbm "
+                      f"{t_hbm*1e3:.2f} ms, t_ici {t_ici*1e3:.2f} ms -> "
+                      f"eff {eff_overlap:.1%} overlapped / "
+                      f"{eff_serial:.1%} serialized",
+                      file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "tp_scaling_model",
+                      "ici_gbps": args.ici_gbps,
+                      "hbm_gbps": args.hbm_gbps, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

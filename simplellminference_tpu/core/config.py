@@ -806,6 +806,16 @@ class EngineConfig:
     # to the matmuls). 0 = off (the packed sync object stays [.., 2]).
     # Incompatible with speculative decoding.
     top_logprobs: int = 0
+    # Guided decoding co-tenancy: while guided requests run, the engine
+    # dispatches pipelined bursts of this depth in which guided rows are
+    # live only at step 0 — their NEXT mask is selected in-graph from
+    # the device-carried token via an uploaded FSM successor-mask table
+    # (fan-out), so unguided co-tenants keep multi-step pipelining and
+    # guided rows emit one token per burst without any host sync stall.
+    # States with more than guided_fanout distinct successors fall back
+    # to the serialized mask->step->sync path for that dispatch.
+    guided_burst: int = 4
+    guided_fanout: int = 8
     kv: KVCacheConfig = dataclasses.field(default_factory=KVCacheConfig)
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
     # Mesh geometry: axis name -> size. Absent axes = 1.

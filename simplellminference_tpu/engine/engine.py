@@ -348,7 +348,9 @@ class Engine:
         def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
                       ov_tok, ov_pos, ov_counts, ov_mask, tables, active,
                       key, temp, top_k, top_p, min_p, rp, fp, pp, seeds,
-                      bias_i, bias_v, lidx=None, allowed=None):
+                      bias_i, bias_v, lidx=None, allowed=None,
+                      live_steps=None, g_rows=None, g_t2s=None,
+                      g_masks=None):
             lkw = {"lora_idx": lidx} if use_lora else {}
             # Device-carried decode state: dev_tok/dev_pos/dev_counts come
             # back from the PREVIOUS burst (still in flight when the host
@@ -360,9 +362,31 @@ class Engine:
             counts0 = jnp.where(ov_mask[:, None], ov_counts, dev_counts)
             pen_on = ~(jnp.all(rp == 1.0) & jnp.all(fp == 0.0)
                        & jnp.all(pp == 0.0))
+            if g_rows is not None:
+                # Guided fan-out (live_steps rides along): row g_rows[i]
+                # is a guided request live only at step 0; its mask is
+                # allowed(successor(state, t)) where t is the token the
+                # IN-FLIGHT burst emitted — selected here in-graph from
+                # the device-carried token via the uploaded successor
+                # table, so guided requests never stall the pipeline.
+                # Rows ride a spare row (index B) so padding entries of
+                # g_rows never clobber a live slot's all-True mask.
+                bsz = dev_tok.shape[0]
+                v = g_masks.shape[-1]
+                gtok = jnp.clip(tokens[g_rows], 0, g_t2s.shape[1] - 1)
+                sel = jnp.take_along_axis(g_t2s, gtok[:, None],
+                                          axis=1)[:, 0]
+                gm = jnp.take_along_axis(
+                    g_masks, sel[:, None, None], axis=1)[:, 0]  # [G, V]
+                allowed = jnp.ones((bsz + 1, v), bool
+                                   ).at[g_rows].set(gm)[:bsz]
 
-            def step(carry, _):
+            def step(carry, i):
                 cache, tok, pos, counts, key = carry
+                if live_steps is None:
+                    live = active
+                else:
+                    live = active & (i < live_steps)
                 kv_lens = pos + 1
                 logits, cache = fwd(cfg_, params, tok[:, None],
                                     pos[:, None], cache, tables, kv_lens,
@@ -378,20 +402,24 @@ class Engine:
                                           bias_ids=bias_i,
                                           bias_vals=bias_v,
                                           allowed=allowed)
-                nxt = jnp.where(active, nxt, 0)
+                # frozen guided rows keep their pending input token (the
+                # next burst re-reads it for the in-graph mask selection
+                # and as its step-0 input); plain inactive slots zero it
+                nxt = jnp.where(live, nxt,
+                                0 if live_steps is None else tok)
                 lp = sampling_ops.token_logprob(logits[:, 0], nxt)
                 counts = jax.lax.cond(
                     pen_on,
                     lambda c: c.at[jnp.arange(c.shape[0]), nxt].add(
-                        active.astype(c.dtype)),
+                        live.astype(c.dtype)),
                     lambda c: c, counts)
-                pos = pos + active.astype(jnp.int32)
+                pos = pos + live.astype(jnp.int32)
                 return ((cache, nxt, pos, counts, key),
                         _pack_cols(logits[:, 0], nxt, lp))
 
             (cache, tok, pos, counts, _), rows = jax.lax.scan(
-                step, (cache, tokens, pos, counts0, key), None,
-                length=steps)
+                step, (cache, tokens, pos, counts0, key),
+                jnp.arange(steps, dtype=jnp.int32), length=steps)
             # ONE sync object [B, steps, 2 (+2K top-logprob columns)]
             packed = rows.transpose(1, 0, 2)
             return packed, tok, pos, counts, cache
@@ -492,8 +520,10 @@ class Engine:
                 # acceptance must match the biased non-speculative greedy;
                 # rejection sampling must target the biased distribution);
                 # reported logprobs stay on the model's raw logits.
-                logits_b = sampling_ops.apply_logit_bias(logits, bias_i,
-                                                         bias_v)
+                # None = no live bias rows (graph compiled scatter-free).
+                logits_b = (sampling_ops.apply_logit_bias(
+                    logits, bias_i, bias_v)
+                    if bias_i is not None else logits)
                 pred = jnp.argmax(logits_b, -1).astype(jnp.int32)
                 key, sub = jax.random.split(key)
                 first = sampling_ops.sample(
@@ -711,6 +741,79 @@ class Engine:
                               prompt_len=len(req.prompt_ids))
         return req
 
+    def adopt_prefill(self, prompt_ids: Sequence[int], first_token: int,
+                      write_cache_fn,
+                      sampling: SamplingParams = SamplingParams(),
+                      first_logprob: float = 0.0,
+                      on_tokens=None) -> Request:
+        """Admit a request whose prompt was prefilled EXTERNALLY and
+        continue DECODE here.
+
+        The SP->TP handoff (models/llama_sp.py): the sequence-parallel
+        ring computes the long prompt's K/V and first token across a
+        (seq x model) mesh, then this engine serves the decode from its
+        paged pools. ``write_cache_fn(cache, tables_row [1, MP])`` must
+        return the cache with the prompt's K/V written through the page
+        tables (e.g. llama_sp.sp_kv_to_paged). ``first_token`` is the
+        token sampled from the external prefill's last-position logits.
+
+        Raises RuntimeError when no slot/pages are available (this is a
+        programmatic API — queueing externally-prefilled requests would
+        hold their K/V alive host-side with no backpressure story).
+        """
+        free = self._free_slots()
+        if not free:
+            raise RuntimeError("no free decode slot for adopt_prefill")
+        req = Request(req_id=next(self._req_ids),
+                      prompt_ids=list(prompt_ids), sampling=sampling,
+                      on_tokens=on_tokens)
+        slot = free[0]
+        while not self.allocator.alloc_seq(slot, req.total_len):
+            if not self._evict_prefix_lru():
+                raise RuntimeError("KV page pool cannot fit the adopted "
+                                   "prompt")
+        req.slot = slot
+        req.state = RequestState.RUNNING
+        self.slots[slot] = req
+        s = req.sampling
+        self._temp[slot] = s.temperature
+        self._top_k[slot] = s.top_k
+        self._top_p[slot] = s.top_p
+        self._min_p[slot] = s.min_p
+        self._rep_p[slot] = s.repetition_penalty
+        self._freq_p[slot] = s.frequency_penalty
+        self._pres_p[slot] = s.presence_penalty
+        self._seed[slot] = np.uint32(
+            s.seed if s.seed is not None else (0x9E3779B9 ^ req.req_id))
+        self._counts_host[slot] = np.bincount(
+            np.asarray(req.prompt_ids, np.int64),
+            minlength=self.cfg.vocab_size)[:self.cfg.vocab_size]
+        self._bias_ids[slot] = -1
+        self._bias_vals[slot] = 0.0
+        for j, (t, v) in enumerate(s.logit_bias):
+            self._bias_ids[slot, j] = int(t)
+            self._bias_vals[slot, j] = float(v)
+        tables_row = jnp.asarray(self.allocator.row(slot)[None])
+        self.cache = write_cache_fn(self.cache, tables_row)
+        self._pos[slot] = len(req.prompt_ids)
+        self._next_tok[slot] = int(first_token)
+        self._counts_host[slot, int(first_token)] += 1
+        if self.spec:
+            ids = list(req.prompt_ids)
+            self._hist_host[slot] = 0
+            self._hist_host[slot, :len(ids)] = ids
+            self._hist_host[slot, len(ids)] = int(first_token)
+        self._override[slot] = True
+        self._active_dirty = True
+        self._tables_dirty = True
+        self._samp_dirty = True
+        self.metrics.prefills += 1
+        self.metrics.prompt_tokens += req.total_len
+        metrics_lib.log_event("request_adopted", req_id=req.req_id,
+                              slot=slot, prompt_len=len(req.prompt_ids))
+        self._emit_tokens(req, [int(first_token)], [float(first_logprob)])
+        return req
+
     def _guided_index(self, pattern: str):
         """TokenIndex for ``pattern``, cached per engine (the vocabulary
         trie is shared; FSM/state masks accumulate per pattern)."""
@@ -741,6 +844,68 @@ class Engine:
                 m[i, len(a):] = False   # vocab-padding logits
         return m
 
+    def _guided_fanout_args(self, running, guided,
+                            steps: int) -> Optional[dict]:
+        """Extra burst args for a PIPELINED dispatch with guided rows,
+        or None to fall back to the serialized masked single-step path.
+
+        Guided rows ride the burst live only at step 0 (live_steps);
+        their step-0 mask is chosen in-graph from the device-carried
+        token through an uploaded successor-mask table (g_rows/g_t2s/
+        g_masks), so unguided co-tenants keep full multi-step burst
+        pipelining and the host never syncs mid-pipeline to advance an
+        FSM. Fallback cases: no unguided co-tenants (a plain masked
+        step serves a guided-only batch with fewer wasted forwards),
+        a state with more than ``guided_fanout`` distinct successors,
+        or a reachable dead-end successor (the serialized path fails
+        that request exactly when it is hit)."""
+        cap = self.ecfg.guided_fanout
+        if cap <= 0 or len(guided) == len(running):
+            return None
+        b = len(self.slots)
+        v = self.cfg.vocab_size
+        inflight_slots = (set() if self._inflight is None else
+                          {s for s, _r, _n in self._inflight[1]})
+        rows, t2s_rows, mask_rows = [], [], []
+        for r in guided:
+            # fresh rows (admitted/overridden since the last dispatch,
+            # or no burst in flight): host FSM state is exact — a
+            # 1-entry table keyed to every token. Continuing rows: the
+            # in-flight burst emitted ONE token from guided_state, so
+            # the next mask is that state's successor table entry.
+            fresh = (self._dev_tok is None or self._override[r.slot]
+                     or r.slot not in inflight_slots)
+            if fresh:
+                states = [r.guided_state]
+                t2s = np.zeros(r.guided_index.vocab, np.int32)
+            else:
+                states, t2s = r.guided_index.successors(r.guided_state)
+            if not states or len(states) > cap:
+                return None
+            sm = np.zeros((cap, v), bool)
+            for i, s in enumerate(states):
+                a = r.guided_index.allowed(s)
+                if not a.any():
+                    return None
+                sm[i, :len(a)] = a
+            rows.append(r.slot)
+            t2s_rows.append(t2s)
+            mask_rows.append(sm)
+        # pad the row count to a power of 2 (log-many compile variants);
+        # padding rows target the spare mask row (index b) — inert.
+        g = next_power_of_2(len(rows))
+        while len(rows) < g:
+            rows.append(b)
+            t2s_rows.append(np.zeros_like(t2s_rows[0]))
+            mask_rows.append(np.zeros((cap, v), bool))
+        live = np.full(b, steps, np.int32)
+        for r in guided:
+            live[r.slot] = 1
+        return dict(live_steps=jnp.asarray(live),
+                    g_rows=jnp.asarray(np.asarray(rows, np.int32)),
+                    g_t2s=jnp.asarray(np.stack(t2s_rows)),
+                    g_masks=jnp.asarray(np.stack(mask_rows)))
+
     def flush_prefix_cache(self) -> int:
         """Release every retained prefix (persistent prefix cache) back
         to the page pool. Returns entries released. Useful before model
@@ -764,6 +929,7 @@ class Engine:
             except ValueError:
                 return False
         elif req.state == RequestState.RUNNING:
+            self._release_slot_bias(req.slot)
             self.allocator.free_seq(req.slot)
             self.slots[req.slot] = None
             self._active_dirty = True
@@ -1129,15 +1295,24 @@ class Engine:
                 for t in range(rows.shape[0])]
 
     def _samp_extras(self, idx):
-        """(min_p, counts, rep, freq, pres, seeds, bias) slot rows."""
+        """(min_p, counts, rep, freq, pres, seeds, bias) slot rows.
+
+        Bias rows are ``None`` when no selected slot uses logit_bias —
+        jit then specializes a graph WITHOUT the [B, V] scatter-add
+        (measurable per-step cost on TPU; the bias-on variant compiles
+        lazily the first time a bias request arrives)."""
+        if (self._bias_ids[idx] >= 0).any():
+            bias = (jnp.asarray(self._bias_ids[idx]),
+                    jnp.asarray(self._bias_vals[idx]))
+        else:
+            bias = (None, None)
         return (jnp.asarray(self._min_p[idx]),
                 jnp.asarray(self._counts_host[idx]),
                 jnp.asarray(self._rep_p[idx]),
                 jnp.asarray(self._freq_p[idx]),
                 jnp.asarray(self._pres_p[idx]),
                 jnp.asarray(self._seed[idx]),
-                jnp.asarray(self._bias_ids[idx]),
-                jnp.asarray(self._bias_vals[idx]))
+                *bias)
 
     def _prefill(self, req: Request, start: int = 0) -> jax.Array:
         """B=1 prefill of tokens [start, total) — ``start`` > 0 means the
@@ -1248,9 +1423,18 @@ class Engine:
         if finished:
             self._finish(req)
 
+    def _release_slot_bias(self, slot: int):
+        """Drop a departing request's logit_bias rows so bias-free
+        batches return to the scatter-free burst graph."""
+        if slot >= 0 and (self._bias_ids[slot] >= 0).any():
+            self._bias_ids[slot] = -1
+            self._bias_vals[slot] = 0.0
+            self._samp_dirty = True
+
     def _finish(self, req: Request):
         req.state = RequestState.FINISHED
         self._retain_prefix(req)
+        self._release_slot_bias(req.slot)
         self.allocator.free_seq(req.slot)
         self.slots[req.slot] = None
         self._active_dirty = True
@@ -1268,6 +1452,7 @@ class Engine:
         if len(running) <= 1:
             return False
         victim = max(running, key=lambda r: r.req_id)
+        self._release_slot_bias(victim.slot)
         self.allocator.free_seq(victim.slot)
         self.slots[victim.slot] = None
         self._active_dirty = True
@@ -1297,11 +1482,17 @@ class Engine:
                        + (self.spec or 0))
                 target = min(int(self._pos[req.slot])
                              + 2 * self.burst * per_step + 1, lim)
-                if self.allocator.seq_len(req.slot) < target:
+                cur = self.allocator.seq_len(req.slot)
+                if cur < target:
                     if not self.allocator.extend(req.slot, target):
                         ok = False
                         break
-                    self._tables_dirty = True
+                    # re-upload the device tables only when the PAGE map
+                    # actually grew — a within-page length bump must not
+                    # cost steady-state bursts a tables upload
+                    ps = self.ecfg.kv.page_size
+                    if -(-target // ps) != -(-cur // ps):
+                        self._tables_dirty = True
             if ok:
                 return True
             # retained prefixes are strictly lower priority than live
@@ -1338,16 +1529,14 @@ class Engine:
             self.metrics.requests_failed += 1
             req.emit([], finished=True)
             return
-        if any(r.guided_index is not None for r in running):
-            self._guided_decode_step()
-            return
-        if self._inflight is not None and all(
-                r.sampling.max_new_tokens - r.num_generated <= self.burst
-                for r in running):
-            # the in-flight burst already finishes every running request —
-            # don't dispatch a burst of pure waste.
-            self._process_inflight()
-            return
+        if self._inflight is not None:
+            got = {id(req): n for _s, req, n in self._inflight[1]}
+            if all(r.sampling.max_new_tokens - r.num_generated
+                   <= got.get(id(r), 0) for r in running):
+                # the in-flight burst already finishes every running
+                # request — don't dispatch a burst of pure waste.
+                self._process_inflight()
+                return
         if not self._ensure_burst_pages():
             self._process_inflight()  # finishes may free pages
             if not self._ensure_burst_pages():
@@ -1374,6 +1563,16 @@ class Engine:
         if not running:
             self._process_inflight()
             return
+        guided = [r for r in running if r.guided_index is not None]
+        steps = self.burst
+        fan = None
+        if guided:
+            steps = max(1, min(self.burst, self.ecfg.guided_burst))
+            fan = self._guided_fanout_args(running, guided, steps)
+            if fan is None:
+                self._guided_decode_step()
+                return
+            self.metrics.guided_fanout_bursts += 1
         active_np = np.asarray([s is not None for s in self.slots], bool)
         active, tables, sampler_args, lidx, sub = \
             self._dispatch_args(running)
@@ -1437,14 +1636,17 @@ class Engine:
         else:
             (packed, self._dev_tok, self._dev_pos, self._dev_counts,
              self.cache) = self._burst_fn(
-                self.burst, self.params, self.cache, dev_tok, dev_pos,
+                steps, self.params, self.cache, dev_tok, dev_pos,
                 dev_counts, ov_tok, ov_pos, ov_counts,
-                ov_mask_dev, tables, active, sub, *sampler_args, lidx)
+                ov_mask_dev, tables, active, sub, *sampler_args, lidx,
+                **(fan or {}))
             payload = ("std", packed, None)
         self._override[:] = False
         self.metrics.decode_bursts += 1
         prev = self._inflight
-        self._inflight = (payload, [(r.slot, r) for r in running])
+        self._inflight = (payload, [
+            (r.slot, r, 1 if r.guided_index is not None else steps)
+            for r in running])
         if prev is not None:
             self._bookkeep(*prev)
         self.metrics.observe_step(
@@ -1470,8 +1672,15 @@ class Engine:
                 jnp.asarray(a.copy())
                 for a in (self._temp, self._top_k, self._top_p,
                           self._min_p, self._rep_p, self._freq_p,
-                          self._pres_p, self._seed, self._bias_ids,
-                          self._bias_vals))
+                          self._pres_p, self._seed))
+            # logit_bias rows ride as None while NO live slot uses them:
+            # the jitted burst then contains no [B, V] scatter-add at all
+            # (it costs ~1% of the 7B decode step when compiled in).
+            if (self._bias_ids >= 0).any():
+                self._samp_dev += (jnp.asarray(self._bias_ids.copy()),
+                                   jnp.asarray(self._bias_vals.copy()))
+            else:
+                self._samp_dev += (None, None)
             self._samp_dirty = False
         if self.has_lora and (self._lora_dirty or self._lora_dev is None):
             self._lora_dev = jnp.asarray(self._lora_idx.copy())
@@ -1540,6 +1749,7 @@ class Engine:
             *sampler_args, lidx, allowed=jnp.asarray(mask))
         self._override[:] = False
         self.metrics.decode_bursts += 1
+        self.metrics.guided_serial_steps += 1
         arr = np.asarray(packed)        # [B, 1, 2 (+2K)] — sync NOW
         for req in running:
             slot = req.slot
@@ -1618,7 +1828,7 @@ class Engine:
             ems = arr[..., :g1].astype(np.int64)
             elps = arr[..., g1:2 * g1]
             nems = arr[..., -1].astype(np.int64)
-            for slot, req in snapshot:
+            for slot, req, _n in snapshot:
                 if self.slots[slot] is not req \
                         or req.state != RequestState.RUNNING:
                     continue
@@ -1639,17 +1849,19 @@ class Engine:
         arr = np.asarray(a)   # [B, burst, 2 (+2K)] — the one sync point
         toks = arr[..., 0].astype(np.int64)
         blps = arr[..., 1]
-        for slot, req in snapshot:
+        for slot, req, n_valid in snapshot:
             # skip slots whose request was replaced/finished since dispatch
             if self.slots[slot] is not req \
                     or req.state != RequestState.RUNNING:
                 continue
             # The burst consumed _next_tok (emitted by the previous
-            # prefill/burst) and produced `burst` new tokens; the last one
-            # doubles as the next burst's input.
-            burst_toks = toks[slot].tolist()
-            self._emit_tokens(req, burst_toks, blps[slot].tolist(),
-                              tops=self._row_tops(arr[slot]))
+            # prefill/burst) and produced n_valid new tokens for this row
+            # (guided rows are live only at step 0 of a fan-out burst);
+            # the last one doubles as the next burst's input.
+            burst_toks = toks[slot][:n_valid].tolist()
+            self._emit_tokens(req, burst_toks,
+                              blps[slot][:n_valid].tolist(),
+                              tops=self._row_tops(arr[slot][:n_valid]))
             if req.state == RequestState.RUNNING:
-                self._pos[slot] += self.burst
+                self._pos[slot] += n_valid
                 self._next_tok[slot] = burst_toks[-1]

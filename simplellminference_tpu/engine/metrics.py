@@ -35,6 +35,10 @@ class EngineMetrics:
     prompt_tokens_cached: int = 0  # prompt tokens served by shared pages
     spec_steps: int = 0            # speculative verify steps (active rows)
     spec_accepted: int = 0         # draft tokens accepted
+    # guided decoding dispatch modes: pipelined fan-out bursts (unguided
+    # co-tenants keep multi-step bursts) vs serialized masked steps
+    guided_fanout_bursts: int = 0
+    guided_serial_steps: int = 0
     # time integrals for occupancy/utilization averages
     busy_slot_steps: int = 0
     total_slot_steps: int = 0

@@ -566,12 +566,14 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
 
         use_fqkv = False
-        if (not prefill and s == 1 and not quant_kv and "q_norm" not in lw
+        if (not prefill and s == 1 and "q_norm" not in lw
                 and not (lora_t and "wqkv" in lora_t) and kv_off == 0
                 and cfg.pre_norms and cfg.partial_rotary_factor == 1.0
                 and not cfg.rope_interleaved and _use_fused_kernels()):
             # kv_off > 0 would decouple the weight and cache indices the
-            # fused kernel couples in-kernel
+            # fused kernel couples in-kernel. INT8-KV pools quantize
+            # IN-KERNEL (ops/qkv_fused.py quant variant) — capacity mode
+            # keeps the megakernel (VERDICT r3 item 3).
             from simplellminference_tpu.ops import qkv_fused
             use_fqkv = qkv_fused.fused_qkv_available(lw, cfg, b, s, cache.k,
                                                      n_heads=n, kv_heads=kvn)
@@ -585,13 +587,24 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 # paged KV append as ONE pallas call (ops/qkv_fused.py)
                 from simplellminference_tpu.ops import qkv_fused
                 w = lw["wqkv"]
-                q2, pk, pv = qkv_fused.fused_qkv_append(
-                    x[:, 0], lw["_input_norm3"], w.q, w.scales,
-                    sin[:, 0], cos[:, 0], pk, pv, kli, positions[:, 0],
-                    n_heads=n, kv_heads=kvn, eps=cfg.rms_norm_eps,
-                    tables=tables, interpret=FORCE_FUSED_INTERPRET)
+                if quant_kv:
+                    q2, pk, pv, pks, pvs = qkv_fused.fused_qkv_append(
+                        x[:, 0], lw["_input_norm3"], w.q, w.scales,
+                        sin[:, 0], cos[:, 0], pk, pv, kli,
+                        positions[:, 0], n_heads=n, kv_heads=kvn,
+                        eps=cfg.rms_norm_eps, tables=tables,
+                        cache_ks=pks, cache_vs=pvs,
+                        interpret=FORCE_FUSED_INTERPRET)
+                else:
+                    q2, pk, pv = qkv_fused.fused_qkv_append(
+                        x[:, 0], lw["_input_norm3"], w.q, w.scales,
+                        sin[:, 0], cos[:, 0], pk, pv, kli,
+                        positions[:, 0], n_heads=n, kv_heads=kvn,
+                        eps=cfg.rms_norm_eps, tables=tables,
+                        interpret=FORCE_FUSED_INTERPRET)
                 attn = dispatch.attention_paged(
-                    cfg, q2[:, None], pk, pv, tables, kv_lens, None, None,
+                    cfg, q2[:, None], pk, pv, tables, kv_lens,
+                    *((pks, pvs) if quant_kv else (None, None)),
                     layer=kli, window=window,
                     sinks=(norm_w(lw["sinks"], li) if "sinks" in lw
                            else None))

@@ -2,17 +2,32 @@
 
 The long-context scaling axis the reference structurally lacks (SURVEY
 §2.8: max_length hard-coded 1024, attention a dense O(pos) loop on one
-device, config.h:11 / mha_kernel.cu:76): here the SEQUENCE dim of a long
+device, config.h:11 / mha_kernel.cu:76): the SEQUENCE dim of a long
 prompt shards across the mesh, every shard computes projections/FFN on
-its local chunk (weights replicated), and attention runs as a
-``lax.ppermute`` ring with online-softmax merging
-(parallel/ring_attention.py) — per-device activation and score memory is
-O(S / n_devices), so max prompt length scales with the ring size.
+its local chunk, and attention runs as a ``lax.ppermute`` ring with
+online-softmax merging (parallel/ring_attention.py) — per-device
+activation and score memory is O(S / ring), so max prompt length scales
+with the ring size.
 
-Scope: prefill/scoring (returns logits for every local position — e.g.
-long-document PPL, prefix scoring, or TTFT-critical first-pass compute).
-Decode continues on the TP/paged path; a future step could scatter the
-ring shards' K/V into the paged pools to hand off.
+Three entry points:
+
+* :func:`make_sp_prefill` — 1-D seq mesh, weights replicated. Prefill /
+  scoring (long-document PPL, prefix scoring).
+* :func:`make_sp_tp_prefill` — 2-D (seq × model) mesh: weights AND kv
+  heads shard over ``model`` (the megatron layout of models/llama_tp.py)
+  while the sequence shards over ``seq`` — long context past one chip's
+  HBM without giving up tensor parallelism. Also returns the per-layer
+  K/V chunks for the paged handoff.
+* :func:`sp_kv_to_paged` — scatter the ring prefill's K/V into the
+  engine's TP-sharded paged pools so DECODE continues on the serving
+  engine (Engine.adopt_prefill); the ring does the long prefill, the
+  paged TP engine does the decode (VERDICT r3 item 4).
+
+Sliding-window models (Mistral / Gemma-2/3 / GPT-OSS) are supported:
+the ring mask composes the window with global-position causality per
+rotated block, alternating window/full stacks scan as per-sublayer
+bodies (cfg.scan_pattern), and GPT-OSS sinks / Gemma-2 soft caps ride
+the ring's online softmax (VERDICT r3 item 7).
 """
 
 from __future__ import annotations
@@ -34,6 +49,7 @@ from simplellminference_tpu.parallel.ring_attention import ring_attention
 Params = dict[str, Any]
 
 SEQ_AXIS = "seq"
+MODEL_AXIS = "model"
 
 
 def seq_mesh(n_devices: int | None = None) -> Mesh:
@@ -41,50 +57,145 @@ def seq_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs).reshape(len(devs)), (SEQ_AXIS,))
 
 
-def _local_forward(cfg: ModelConfig, params: Params, tokens: jax.Array):
-    """Per-shard body: tokens [B, S_local] (global S = Sl * ring)."""
+def sp_tp_mesh(seq: int, tp: int, devices=None) -> Mesh:
+    """(seq × model) mesh; the model axis is innermost (ICI-contiguous —
+    the per-layer psums ride the fastest links, the per-ring-step
+    ppermute the next ring)."""
+    devs = devices if devices is not None else jax.devices()[:seq * tp]
+    return Mesh(np.asarray(devs).reshape(seq, tp), (SEQ_AXIS, MODEL_AXIS))
+
+
+def _check_sp_supported(cfg: ModelConfig):
+    if cfg.mla:
+        raise NotImplementedError("MLA under the SP ring is not wired up")
+    if not cfg.pre_norms:
+        raise NotImplementedError("post-norm stacks under SP")
+    if cfg.partial_rotary_factor != 1.0 or cfg.rope_interleaved:
+        raise NotImplementedError("partial/interleaved rotary under SP")
+    if cfg.num_experts:
+        raise NotImplementedError("MoE FFN under the SP ring")
+
+
+def _local_forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                   tp_axis: str | None = None,
+                   vocab_shard: int | None = None,
+                   collect_kv: bool = False):
+    """Per-shard body: tokens [B, S_local] (global S = Sl * ring).
+
+    With ``tp_axis``: params are the MODEL-axis shards (megatron layout,
+    llama_tp.permute_params_for_tp), head counts are shard-local, and
+    the row-sharded wo / w_down matmuls psum over ``tp_axis``. With
+    ``collect_kv``: also returns the post-rope local K/V chunks stacked
+    [L, B, Sl, kvn_local, D] (the paged-handoff payload).
+    """
     b, sl = tokens.shape
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     dtype = jnp.dtype(cfg.dtype)
     me = jax.lax.axis_index(SEQ_AXIS)
+    if tp_axis is not None:
+        tp = jax.lax.axis_size(tp_axis)
+        n, kvn = n // tp, kvn // tp
 
-    x = params["embed"][tokens].astype(dtype)
+    if tp_axis is not None:
+        # vocab-parallel embedding (same scheme as llama.forward_paged)
+        mi = jax.lax.axis_index(tp_axis)
+        v0 = mi * vocab_shard
+        local_ids = jnp.clip(tokens - v0, 0, vocab_shard - 1)
+        hit = (tokens >= v0) & (tokens < v0 + vocab_shard)
+        x = jnp.where(hit[..., None], params["embed"][local_ids], 0)
+        x = jax.lax.psum(x.astype(jnp.float32), tp_axis).astype(dtype)
+    else:
+        x = params["embed"][tokens].astype(dtype)
     if cfg.embed_scale != 1.0:
         x = x * jnp.asarray(cfg.embed_scale, dtype)
     positions = me * sl + jnp.arange(sl, dtype=jnp.int32)[None]  # global
     positions = jnp.broadcast_to(positions, (b, sl))
-    sin, cos = ref_ops.rope_tables_for(cfg, positions)
+    period, wins, nope = cfg.scan_pattern()
+    ropes = ref_ops.rope_tables_by_sublayer(cfg, positions, wins, nope)
     lw = params["layers"]
+    sm_scale = (None if cfg.query_pre_attn_scalar is None
+                else cfg.query_pre_attn_scalar ** -0.5)
 
-    def body(x, li):
-        def norm_w(w):
-            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+    def norm_w(w, li):
+        return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
 
-        attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"]),
+    def sublayer(x, li, window, rope):
+        sin, cos = rope
+        attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
                                   cfg.rms_norm_eps)
         qkv = linear(attn_in, lw["wqkv"], layer=li)
         if "wqkv_bias" in lw:
-            qkv = qkv + norm_w(lw["wqkv_bias"]).astype(qkv.dtype)
-        q = qkv[..., :n * d].reshape(b, sl, n, d)
-        k = qkv[..., n * d:(n + kvn) * d].reshape(b, sl, kvn, d)
+            qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
+        if "q_norm" in lw and cfg.qk_norm_full:
+            q = ref_ops.rmsnorm(qkv[..., :n * d],
+                                norm_w(lw["q_norm"], li),
+                                cfg.rms_norm_eps).reshape(b, sl, n, d)
+            k = ref_ops.rmsnorm(qkv[..., n * d:(n + kvn) * d],
+                                norm_w(lw["k_norm"], li),
+                                cfg.rms_norm_eps).reshape(b, sl, kvn, d)
+        else:
+            q = qkv[..., :n * d].reshape(b, sl, n, d)
+            k = qkv[..., n * d:(n + kvn) * d].reshape(b, sl, kvn, d)
+            if "q_norm" in lw:      # Qwen3/Gemma-3: per-head q/k norms
+                q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
+                                    cfg.rms_norm_eps)
+                k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
+                                    cfg.rms_norm_eps)
         v = qkv[..., (n + kvn) * d:].reshape(b, sl, kvn, d)
         q = ref_ops.apply_rope(q, sin, cos)
         k = ref_ops.apply_rope(k, sin, cos)
 
-        attn = ring_attention(q, k, v, SEQ_AXIS, causal=True)
+        sinks = norm_w(lw["sinks"], li) if "sinks" in lw else None
+        attn = ring_attention(q, k, v, SEQ_AXIS, causal=True,
+                              window=window, sm_scale=sm_scale,
+                              logit_cap=cfg.attn_logit_softcap,
+                              sinks=sinks)
 
         attn = linear(attn.reshape(b, sl, n * d), lw["wo"], layer=li)
+        if tp_axis is not None:
+            attn = jax.lax.psum(attn, tp_axis)
+        if "wo_bias" in lw:
+            attn = attn + norm_w(lw["wo_bias"], li).astype(attn.dtype)
+        if "post_attn_norm" in lw:   # Gemma-2 pre-residual attn norm
+            attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"], li),
+                                   cfg.rms_norm_eps)
+        if cfg.residual_scale != 1.0:
+            attn = cfg.residual_scale * attn
         x2 = x + attn
-        ffn_in = ref_ops.rmsnorm(x2, norm_w(lw["post_norm"]),
+        ffn_in = ref_ops.rmsnorm(x2, norm_w(lw["post_norm"], li),
                                  cfg.rms_norm_eps)
         gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
-        i = cfg.intermediate_size
+        if "w_gate_up_bias" in lw:
+            gate_up = gate_up + norm_w(lw["w_gate_up_bias"],
+                                       li).astype(gate_up.dtype)
+        i = gate_up.shape[-1] // 2
         act = ref_ops.glu_act(gate_up[..., :i], gate_up[..., i:],
                               cfg.hidden_act)
-        return x2 + linear(act, lw["w_down"], layer=li), None
+        down = linear(act, lw["w_down"], layer=li)
+        if tp_axis is not None:
+            down = jax.lax.psum(down, tp_axis)
+        if "w_down_bias" in lw:
+            down = down + norm_w(lw["w_down_bias"], li).astype(down.dtype)
+        if "post_ffn_norm" in lw:    # Gemma-2 pre-residual ffn norm
+            down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"], li),
+                                   cfg.rms_norm_eps)
+        if cfg.residual_scale != 1.0:
+            down = cfg.residual_scale * down
+        return x2 + down, (k, v)
 
-    x, _ = jax.lax.scan(body, x,
-                        jnp.arange(cfg.num_layers, dtype=jnp.int32))
+    def body(x, gi):
+        kvs = []
+        for j in range(period):
+            x, kv = sublayer(x, gi * period + j, wins[j], ropes[j])
+            kvs.append(kv)
+        if collect_kv:
+            ks = jnp.stack([k_ for k_, _ in kvs])   # [period, B, Sl, kvn, D]
+            vs = jnp.stack([v_ for _, v_ in kvs])
+            return x, (ks, vs)
+        return x, None
+
+    groups = cfg.num_layers // period
+    x, kv_out = jax.lax.scan(body, x, jnp.arange(groups, dtype=jnp.int32))
     x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
@@ -92,23 +203,25 @@ def _local_forward(cfg: ModelConfig, params: Params, tokens: jax.Array):
                          preferred_element_type=jnp.float32)
     else:
         logits = linear(x, lm_head, out_dtype=jnp.float32)
-    return logits.astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcap:
+        c = cfg.final_logit_softcap
+        logits = c * jnp.tanh(logits / c)
+    if not collect_kv:
+        return logits
+    ks, vs = kv_out                  # [groups, period, B, Sl, kvn, D]
+    ks = ks.reshape(cfg.num_layers, b, sl, kvn, d)
+    vs = vs.reshape(cfg.num_layers, b, sl, kvn, d)
+    return logits, ks, vs
 
 
 def make_sp_prefill(cfg: ModelConfig, mesh: Mesh):
     """Returns forward_fn(params, tokens [B, S]) -> logits [B, S, V]
     with the sequence dim sharded over ``mesh``'s seq axis. S must be a
-    multiple of the ring size; weights are replicated (combine with TP
-    on a 2-D mesh as a follow-up)."""
+    multiple of the ring size; weights are replicated (use
+    :func:`make_sp_tp_prefill` for the 2-D seq × model mesh)."""
+    _check_sp_supported(cfg)
     ring = mesh.shape[SEQ_AXIS]
-    if cfg.sliding_window is not None:
-        # The ring schedule's online-softmax merge assumes full causal
-        # attention over every rotated KV chunk; windowed masking across
-        # rotated chunks is not wired up. (A window shorter than the
-        # per-device shard would also make the ring pointless.)
-        raise NotImplementedError(
-            "sliding-window attention is not supported by the "
-            "sequence-parallel ring prefill")
 
     def forward_fn(params, tokens):
         b, s = tokens.shape
@@ -122,6 +235,88 @@ def make_sp_prefill(cfg: ModelConfig, mesh: Mesh):
         return f(params, tokens)
 
     return forward_fn
+
+
+def make_sp_tp_prefill(cfg: ModelConfig, mesh: Mesh, params: Params):
+    """SP × TP ring prefill over a 2-D (seq × model) mesh.
+
+    Weights, heads, and the vocabulary shard over ``model`` (the
+    megatron layout of models/llama_tp.py); the sequence shards over
+    ``seq``; attention rings over ``seq`` with shard-local heads.
+
+    Returns (tp_params, prefill_fn) where
+    ``prefill_fn(tp_params, tokens [B, S]) ->
+    (logits [B, S, V], k [L, B, S, kvN, D], v [...])`` — logits are
+    vocab-sharded over ``model`` and seq-sharded over ``seq``; k/v are
+    seq-sharded over ``seq`` and kv-head-sharded over ``model``, i.e.
+    exactly the layout :func:`sp_kv_to_paged` scatters into the TP
+    engine's paged pools.
+    """
+    from simplellminference_tpu.models import llama_tp
+    from simplellminference_tpu.parallel import sharding
+
+    _check_sp_supported(cfg)
+    ring = mesh.shape[SEQ_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    assert cfg.vocab_size % tp == 0 and cfg.num_kv_heads % tp == 0, (
+        cfg.vocab_size, cfg.num_kv_heads, tp)
+    vocab_shard = cfg.vocab_size // tp
+    tp_params = llama_tp.permute_params_for_tp(cfg, params, tp)
+    pspecs = sharding.spec_tree(cfg, tp_params)
+
+    def prefill_fn(params, tokens):
+        b, s = tokens.shape
+        assert s % ring == 0, (s, ring)
+        f = shard_map(
+            lambda p, t: _local_forward(cfg, p, t, tp_axis=MODEL_AXIS,
+                                        vocab_shard=vocab_shard,
+                                        collect_kv=True),
+            mesh=mesh,
+            in_specs=(pspecs, P(None, SEQ_AXIS)),
+            out_specs=(P(None, SEQ_AXIS, MODEL_AXIS),
+                       P(None, None, SEQ_AXIS, MODEL_AXIS, None),
+                       P(None, None, SEQ_AXIS, MODEL_AXIS, None)),
+            check_vma=False)
+        return f(params, tokens)
+
+    return tp_params, prefill_fn
+
+
+def sp_kv_to_paged(cache, k_stack: jax.Array, v_stack: jax.Array,
+                   tables: jax.Array):
+    """Scatter ring-prefill K/V into the engine's paged pools.
+
+    cache: the engine's PagedKVCache (pools [L, P, kvN, ps, D], possibly
+    kv-head-sharded over the model axis); k/v_stack: [L, B, S, kvN, D]
+    from :func:`make_sp_tp_prefill` (seq- and head-sharded). tables:
+    [B, MP] page ids. Runs the standard per-layer prefill page write
+    under GSPMD — the kv-head dim lines up shard-for-shard with the
+    pools and XLA all-gathers the sequence shards per model shard (the
+    pools are replicated along seq/data). bf16/f32 pools only (matching
+    write_prefill_stacked's GSPMD scatter path).
+    """
+    from simplellminference_tpu.memory import paged_kv as pkv
+    from simplellminference_tpu.memory.paged_kv import PagedKVCache
+
+    assert cache.k_scale is None, "int8 pools: prefill quantized writes " \
+        "are not wired through the SP handoff"
+    pk, pv = cache.k, cache.v
+
+    def write(pk, pv, k_stack, v_stack, tables):
+        def body(carry, li):
+            pk, pv = carry
+            pk, pv, _, _ = pkv.write_prefill_stacked(
+                pk, pv, k_stack[li], v_stack[li], tables, li)
+            return (pk, pv), None
+
+        (pk, pv), _ = jax.lax.scan(
+            body, (pk, pv),
+            jnp.arange(k_stack.shape[0], dtype=jnp.int32))
+        return pk, pv
+
+    pk, pv = jax.jit(write, donate_argnums=(0, 1))(
+        pk, pv, k_stack, v_stack, tables)
+    return PagedKVCache(k=pk, v=pv)
 
 
 def init_for_tests(cfg: ModelConfig, key):

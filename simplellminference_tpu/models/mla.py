@@ -17,11 +17,16 @@ every score and zero-padded value lanes emit 0 columns that
 post-attention slicing drops. The true score scale rides in
 cfg.query_pre_attn_scalar.
 
-This is the "naive" MLA cache (per-head K/V materialized, like HF's
-modeling_deepseek_v2.py). The compressed-latent ("absorbed") decode
-path — caching only [kv_lora_rank + rope] = ~576 B/token/layer — is the
-headline MLA win and a planned follow-up; the graph boundary here is
-already shaped for it (everything downstream consumes q/k/v).
+Two cache modes live here:
+
+* "naive" (``mla_qkv``): per-head K/V materialized, like HF's
+  modeling_deepseek_v2.py — the correctness baseline.
+* "absorbed" (``mla_qkv_absorbed`` + ``mla_unabsorb``): the DEFAULT
+  (core/config.py ``mla_absorbed=True``) and the headline MLA win —
+  only the compressed [kv_lora_rank | rope] latent row is cached (ONE
+  shared pool, K row == V row), with the kv_b expansion absorbed into
+  the query/output projections; measured 2426 vs 1340 tok/s decode on
+  chip (README "Measured" table).
 
 Reference scope: succeeds the same rmsnorm->projections->rope slot of
 the reference decode step (model.cpp:52-67) for the DeepSeek family.

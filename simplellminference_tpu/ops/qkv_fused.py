@@ -34,12 +34,23 @@ from simplellminference_tpu.ops.matmul import _best_tile, _largest_divisor
 _ROWS = 8
 
 
-def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, x_ref, nw_ref, wq_ref,
-            ws_ref,
-            sin_ref, cos_ref, ck_in, cv_in, q_out, ck_out, cv_out,
-            xn_ref, acc_ref, qkv_ref, krot_ref, vloc_ref, *, eps: float,
+def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, *refs, eps: float,
             k1: int, n1: int, bk1: int, bn1: int, n_heads: int,
-            kv_heads: int, d: int, m_rows: int, b_rows: int, out_dtype):
+            kv_heads: int, d: int, m_rows: int, b_rows: int, out_dtype,
+            quant: bool = False):
+    if quant:
+        # INT8-KV: full-page slot index + scale-pool page blocks ride
+        # along; K/V quantize in-kernel (per-row-per-head symmetric
+        # absmax/127, the exact math of memory/paged_kv.quantize_kv)
+        # so int8 serving keeps this megakernel.
+        (relps_ref, x_ref, nw_ref, wq_ref, ws_ref, sin_ref, cos_ref,
+         ck_in, cv_in, cks_in, cvs_in, q_out, ck_out, cv_out, cks_out,
+         cvs_out, xn_ref, acc_ref, qkv_ref, krot_ref, vloc_ref,
+         ksc_ref, vsc_ref) = refs
+    else:
+        (x_ref, nw_ref, wq_ref, ws_ref, sin_ref, cos_ref, ck_in, cv_in,
+         q_out, ck_out, cv_out, xn_ref, acc_ref, qkv_ref, krot_ref,
+         vloc_ref) = refs
     i = pl.program_id(0)
     t1 = n1 * k1
     half = d // 2
@@ -98,17 +109,38 @@ def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, x_ref, nw_ref, wq_ref,
         # d < 128), and phase B reads a whole [kvN, 8, D] block by one
         # dynamic LEADING index.
         slot8 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+        ps_lanes = 0 if not quant else ksc_ref.shape[-1]
         for h in range(kv_heads):
             r1, r2 = rot((n_heads + h) * d)
             v1, v2 = head_cols((n_heads + kv_heads + h) * d)
             kr = jnp.concatenate([r1, r2], axis=1)    # [m, d]
             vr = jnp.concatenate([v1, v2], axis=1)
+            if quant:
+                # match the unfused path bit-for-bit: it quantizes the
+                # bf16 rope output (apply_rope casts back to x.dtype)
+                kr = kr.astype(jnp.bfloat16).astype(jnp.float32)
+                vr = vr.astype(jnp.bfloat16).astype(jnp.float32)
+                ksc = jnp.maximum(
+                    jnp.max(jnp.abs(kr), axis=1, keepdims=True) / 127.0,
+                    1e-8)                              # [m, 1]
+                vsc = jnp.maximum(
+                    jnp.max(jnp.abs(vr), axis=1, keepdims=True) / 127.0,
+                    1e-8)
+                kr = jnp.clip(jnp.round(kr / ksc), -127, 127)
+                vr = jnp.clip(jnp.round(vr / vsc), -127, 127)
             for bi in range(b_rows):
                 sel = slot8 == rel_ref[bi]
                 krot_ref[bi, h] = jnp.where(
                     sel, kr[bi:bi + 1], 0.0).astype(krot_ref.dtype)
                 vloc_ref[bi, h] = jnp.where(
                     sel, vr[bi:bi + 1], 0.0).astype(vloc_ref.dtype)
+                if quant:
+                    # scale slabs: the row's scale splat over the page
+                    # lanes; phase B masks in the one live lane
+                    ksc_ref[bi, h] = jnp.broadcast_to(
+                        ksc[bi:bi + 1, 0:1], (1, ps_lanes))
+                    vsc_ref[bi, h] = jnp.broadcast_to(
+                        vsc[bi:bi + 1, 0:1], (1, ps_lanes))
 
     @pl.when(i >= t1)
     def _():
@@ -119,6 +151,15 @@ def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, x_ref, nw_ref, wq_ref,
         mask = rows == rel
         ck_out[0, 0] = jnp.where(mask, krot_ref[bi], ck_in[0, 0])
         cv_out[0, 0] = jnp.where(mask, vloc_ref[bi], cv_in[0, 0])
+        if quant:
+            kvn = cks_in.shape[2]
+            ps = cks_in.shape[3]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (kvn, ps), 1)
+            smask = lane == relps_ref[bi]
+            cks_out[0, 0] = jnp.where(smask, ksc_ref[bi, :, 0, :],
+                                      cks_in[0, 0])
+            cvs_out[0, 0] = jnp.where(smask, vsc_ref[bi, :, 0, :],
+                                      cvs_in[0, 0])
 
 
 def qkv_tiles(h: int, nq: int, d: int, m_pad: int) -> tuple[int, int] | None:
@@ -154,12 +195,21 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
                      n_heads: int | None = None,
                      kv_heads: int | None = None,
                      eps: float = 1e-5, interpret: bool = False,
-                     tables: jax.Array | None = None):
+                     tables: jax.Array | None = None,
+                     cache_ks: jax.Array | None = None,
+                     cache_vs: jax.Array | None = None):
     """x: [B, H]; wq: [L, H, (N+2kvN)*D] int8 + per-channel ws [L, 1, Nq];
     sin/cos: [B, D/2]; cache_k/v: [L, B, kvN, Smax, D] (aliased in/out) —
     or, with ``tables`` [B, MP], the PAGED pools [L, P, kvN, ps, D]
     (unmapped positions redirect to the trash page);
     offsets: [B] target slot per sequence (decode: one token each).
+
+    ``cache_ks``/``cache_vs`` [L, P, kvN, ps] f32 (INT8-KV serving):
+    K/V quantize IN-KERNEL (per-token-per-head absmax/127, the math of
+    memory/paged_kv.quantize_kv) and the scale pages RMW alongside the
+    8-row data windows — int8 capacity mode keeps the fused megakernel
+    instead of paying a separate full-page quantizing append
+    (VERDICT r3 item 3). Returns (q, ck', cv', cks', cvs') then.
 
     Returns (q [B, N, D] rotated, cache_k', cache_v') — k/v are already
     appended in place.
@@ -192,6 +242,9 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
     # pre-write bytes still sitting in the (un-re-DMA'd) input buffer
     grid = (t1 + b,)
 
+    quant = cache_ks is not None
+    assert not quant or tables is not None, \
+        "in-kernel quantizing append is a paged-pool path"
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     offsets = jnp.asarray(offsets, jnp.int32)
     if tables is None:
@@ -220,49 +273,86 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
         bi = jnp.clip(i - t1, 0, b - 1)
         return (li[0], pg[bi], 0, wb[bi], 0)
 
-    const2 = lambda i, li, pg, wb, rl: (0, 0)
-    const3 = lambda i, li, pg, wb, rl: (li[0], 0, 0)
+    nsp = 5 if quant else 4
+
+    def arg(f):
+        # index maps take (grid idx, *scalar prefetch refs); the quant
+        # variant threads one extra (rel_ps) prefetch operand
+        if quant:
+            return lambda i, li, pg, wb, rl, rp: f(i, li, pg, wb, rl)
+        return f
+
+    const2 = arg(lambda i, li, pg, wb, rl: (0, 0))
+    const3 = arg(lambda i, li, pg, wb, rl: (li[0], 0, 0))
+    w_index = arg(w_index)
+    s_index = arg(s_index)
+    win_index = arg(win_index)
+
+    in_specs = [
+        pl.BlockSpec((m_pad, h), const2),                  # x
+        pl.BlockSpec((1, 1, h), const3),                   # norm w
+        pl.BlockSpec((1, bk1, bn1), w_index),              # wqkv int8
+        pl.BlockSpec((1, 1, bn1), s_index),                # scales
+        pl.BlockSpec((m_pad, d // 2), const2),             # sin
+        pl.BlockSpec((m_pad, d // 2), const2),             # cos
+        pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),    # cache k in
+        pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),    # cache v in
+    ]
+    out_specs = [
+        pl.BlockSpec((m_pad, n * d), const2),              # q
+        pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),
+        pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m_pad, n * d), x.dtype),
+        jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+        jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((k1, m_pad, bk1), jnp.bfloat16),   # xn slabs
+        pltpu.VMEM((m_pad, bn1), jnp.float32),        # acc
+        pltpu.VMEM((n1, m_pad, bn1), jnp.float32),    # qkv blocks
+        pltpu.VMEM((b, kvn, _ROWS, d), cache_k.dtype),  # k window slabs
+        pltpu.VMEM((b, kvn, _ROWS, d), cache_v.dtype),  # v window slabs
+    ]
+    operands = [layer, page, wblk, rel]
+    if quant:
+        ps = smax
+        spage_index = arg(lambda i, li, pg, wb, rl: (
+            li[0], pg[jnp.clip(i - t1, 0, b - 1)], 0, 0))
+        in_specs += [pl.BlockSpec((1, 1, kvn, ps), spage_index),
+                     pl.BlockSpec((1, 1, kvn, ps), spage_index)]
+        out_specs += [pl.BlockSpec((1, 1, kvn, ps), spage_index),
+                      pl.BlockSpec((1, 1, kvn, ps), spage_index)]
+        out_shape += [jax.ShapeDtypeStruct(cache_ks.shape, jnp.float32),
+                      jax.ShapeDtypeStruct(cache_vs.shape, jnp.float32)]
+        scratch += [pltpu.VMEM((b, kvn, 1, ps), jnp.float32),
+                    pltpu.VMEM((b, kvn, 1, ps), jnp.float32)]
+        operands.append((offsets % ps).astype(jnp.int32))   # rel_ps
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((m_pad, h), const2),                  # x
-            pl.BlockSpec((1, 1, h), const3),                   # norm w
-            pl.BlockSpec((1, bk1, bn1), w_index),              # wqkv int8
-            pl.BlockSpec((1, 1, bn1), s_index),                # scales
-            pl.BlockSpec((m_pad, d // 2), const2),             # sin
-            pl.BlockSpec((m_pad, d // 2), const2),             # cos
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),    # cache k in
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),    # cache v in
-        ],
-        out_specs=[
-            pl.BlockSpec((m_pad, n * d), const2),              # q
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),
-            pl.BlockSpec((1, 1, kvn, _ROWS, d), win_index),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((k1, m_pad, bk1), jnp.bfloat16),   # xn slabs
-            pltpu.VMEM((m_pad, bn1), jnp.float32),        # acc
-            pltpu.VMEM((n1, m_pad, bn1), jnp.float32),    # qkv blocks
-            pltpu.VMEM((b, kvn, _ROWS, d), cache_k.dtype),  # k window slabs
-            pltpu.VMEM((b, kvn, _ROWS, d), cache_v.dtype),  # v window slabs
-        ],
-    )
+        num_scalar_prefetch=nsp, grid=grid,
+        in_specs=in_specs, out_specs=out_specs, scratch_shapes=scratch)
 
-    q, ck, cv = pl.pallas_call(
+    aliases = ({11: 1, 12: 2, 13: 3, 14: 4} if quant
+               else {10: 1, 11: 2})
+    operands += [x2, nw3, wq, ws3, sc, cc, cache_k, cache_v]
+    if quant:
+        operands += [cache_ks, cache_vs]
+    outs = pl.pallas_call(
         functools.partial(_kernel, eps=eps, k1=k1, n1=n1, bk1=bk1,
                           bn1=bn1, n_heads=n, kv_heads=kvh, d=d,
-                          m_rows=m_pad, b_rows=b, out_dtype=x.dtype),
+                          m_rows=m_pad, b_rows=b, out_dtype=x.dtype,
+                          quant=quant),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((m_pad, n * d), x.dtype),
-            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
-            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
-        ],
-        input_output_aliases={10: 1, 11: 2},
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(layer, page, wblk, rel, x2, nw3, wq, ws3, sc, cc, cache_k, cache_v)
+    )(*operands)
+    if quant:
+        q, ck, cv, cks, cvs = outs
+        return q[:b].reshape(b, n, d), ck, cv, cks, cvs
+    q, ck, cv = outs
     return q[:b].reshape(b, n, d), ck, cv
 
 

@@ -29,17 +29,30 @@ NEG_INF = -1e30
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                   axis_name: str, causal: bool = True) -> jax.Array:
+                   axis_name: str, causal: bool = True,
+                   window: int | None = None,
+                   sm_scale: float | None = None,
+                   logit_cap: float | None = None,
+                   sinks: jax.Array | None = None) -> jax.Array:
     """q/k/v: [B, Sl, N, D] / [B, Sl, kvN, D] — the LOCAL sequence chunk
     of each shard along ``axis_name`` (global S = Sl * axis_size).
     Returns the local [B, Sl, N, D] attention output. GQA via head
-    grouping (N a multiple of kvN)."""
+    grouping (N a multiple of kvN).
+
+    ``window``: sliding-window attention (Mistral/Gemma/GPT-OSS class)
+    — query at global position p attends keys in (p - window, p]. The
+    windowed mask composes with the global-position causal mask per
+    rotated block; blocks entirely outside a query's window contribute
+    exp(NEG_INF - m) = 0 through the online-softmax merge (every query
+    always sees at least itself, so the normalizer never vanishes).
+    The rotation still visits every block (a ppermute must execute on
+    all shards) — the win is memory, not skipped compute."""
     b, sl, n, d = q.shape
     kvn = k.shape[2]
     group = n // kvn
     ring = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
-    scale = d ** -0.5
+    scale = d ** -0.5 if sm_scale is None else sm_scale
 
     qf = q.astype(jnp.float32) * scale
     # local positions once; block offsets added per ring step
@@ -53,9 +66,13 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # scores [B, kvN, G, Sq, Sk]
         qg = qf.reshape(b, sl, kvn, group, d)
         s = jnp.einsum("bqhgd,bkhd->bhgqk", qg, kf)
-        if causal:
+        if logit_cap:   # Gemma-2 attention soft cap
+            s = logit_cap * jnp.tanh(s * (1.0 / logit_cap))
+        if causal or window is not None:
             k_pos = src * sl + k_loc
             mask = k_pos[None, :] <= q_pos[:, None]            # [Sq, Sk]
+            if window is not None:
+                mask &= q_pos[:, None] - k_pos[None, :] < window
             s = jnp.where(mask[None, None, None], s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)                 # [...,Sq,1]
         p = jnp.exp(s - m)
@@ -89,6 +106,13 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     (_, _, (m, l, o)), _ = jax.lax.scan(
         step, (k, v, (m0, l0, o0)), jnp.arange(ring, dtype=jnp.int32))
 
+    if sinks is not None:
+        # GPT-OSS attention sinks: a learned per-head logit in the
+        # softmax denominator with no value contribution — fold into
+        # the final normalizer (exactly the online-softmax identity the
+        # paged decode kernel uses, ops/attention/paged_decode.py)
+        sk = sinks.astype(jnp.float32).reshape(kvn, group)
+        l = l + jnp.exp(sk[None, :, :, None] - m)
     out = o / jnp.maximum(l, 1e-30)[..., None]                 # normalize
     # [B, kvN, G, Sq, D] -> [B, Sq, N, D]
     out = out.transpose(0, 3, 1, 2, 4).reshape(b, sl, n, d)

@@ -149,8 +149,6 @@ def quantized_params_from_fetcher(
         raise ValueError(f"unsupported quant_method {method!r}")
     if bits != 4:
         raise NotImplementedError(f"{method} bits={bits} (only 4 supported)")
-    if cfg.num_experts:
-        raise NotImplementedError("quantized MoE checkpoints not supported")
 
     dtype = jnp.dtype(dtype or cfg.dtype)
     pmap = W.llama_hf_param_map(cfg)
@@ -183,17 +181,27 @@ def quantized_params_from_fetcher(
             and has("lm_head.qweight"))
         stacked_q, stacked_zs, stacked_s, stacked_plain = [], [], [], []
         for li in layers:
+            if quantized and not isinstance(hf_names, (tuple, str)):
+                raise NotImplementedError(
+                    f"{path}: quantized import of transform-mapped "
+                    "(stacked-expert) checkpoints is not supported")
             names = hf_names if isinstance(hf_names, tuple) else (hf_names,)
             names = tuple(nm.format(i=li) if li is not None else nm
                           for nm in names)
             if quantized:
                 qs, zss, ss = zip(*(load_q(nm) for nm in names))
-                # multi-projection fusion (q/k/v, gate/up) concatenates
-                # along N; K (and the group rows) are shared
-                q = np.concatenate(qs, axis=-1) if len(qs) > 1 else qs[0]
-                zsc = (np.concatenate(zss, axis=-1)
+                # multi-projection fusion concatenates along N (q/k/v,
+                # gate/up — including the folded-expert [gate_e | up_e]
+                # column blocks of MoE w_gate_up); per-expert w_down
+                # blocks stack along K with their group rows (the
+                # folded-expert row layout ops/moe.py consumes — the
+                # dense decode matmul and the grouped-prefill dequant
+                # both treat the result as one [E*Ie, H] matrix).
+                ax = 0 if path in W._ROW_CONCAT else -1
+                q = np.concatenate(qs, axis=ax) if len(qs) > 1 else qs[0]
+                zsc = (np.concatenate(zss, axis=ax)
                        if len(zss) > 1 else zss[0])
-                sc = np.concatenate(ss, axis=-1) if len(ss) > 1 else ss[0]
+                sc = np.concatenate(ss, axis=ax) if len(ss) > 1 else ss[0]
                 k, g = q.shape[0], sc.shape[0]
                 gs = k // g
                 if gs != k and (k // 2) % gs != 0:

@@ -108,6 +108,7 @@ class TokenIndex:
                 node = nxt
             node.token_ids.append(tid)
         self._masks: dict[int, np.ndarray] = {}
+        self._succ: dict[int, tuple[list[int], np.ndarray]] = {}
 
     def allowed(self, state: int) -> np.ndarray:
         """Boolean [vocab] mask of tokens legal from ``state``."""
@@ -135,3 +136,40 @@ class TokenIndex:
         if text is None:
             return state if token_id == self.eos_id else -1
         return self.fsm.step_string(state, text)
+
+    def successors(self, state: int) -> tuple[list[int], np.ndarray]:
+        """(distinct successor states, token->successor-index map) for
+        one FSM step from ``state``.
+
+        The engine's pipelined guided decoding uploads the successor
+        states' masks as a fan-out table and selects the next step's
+        mask IN-GRAPH from the device-carried sampled token, so a guided
+        row never forces a host sync between bursts. Computed by the
+        same pruned trie walk as :meth:`allowed` (a token's successor is
+        the FSM state at its trie node); tokens illegal from ``state``
+        map to index 0 (they cannot be sampled — the mask bans them).
+        EOS (legal only at accepting states) maps to ``state`` itself,
+        matching :meth:`advance`. Cached per state."""
+        hit = self._succ.get(state)
+        if hit is not None:
+            return hit
+        t2s = np.zeros(self.vocab, np.int32)
+        succ: dict[int, int] = {}
+        self._walk_succ(self._root, state, succ, t2s)
+        if self.fsm.accepting(state) and 0 <= self.eos_id < self.vocab:
+            idx = succ.setdefault(state, len(succ))
+            t2s[self.eos_id] = idx
+        states = [s for s, _ in sorted(succ.items(), key=lambda kv: kv[1])]
+        self._succ[state] = (states, t2s)
+        return states, t2s
+
+    def _walk_succ(self, node: _TrieNode, state: int,
+                   succ: dict[int, int], t2s: np.ndarray):
+        for ch, child in node.children.items():
+            nxt = self.fsm.step(state, ch)
+            if nxt < 0:
+                continue
+            if child.token_ids:
+                idx = succ.setdefault(nxt, len(succ))
+                t2s[child.token_ids] = idx
+            self._walk_succ(child, nxt, succ, t2s)

@@ -273,3 +273,115 @@ def test_awq_checkpoint_roundtrip_preserves_zs(rng, tmp_path):
     assert qw2.zs is not None
     np.testing.assert_array_equal(np.asarray(qw.q), np.asarray(qw2.q))
     np.testing.assert_allclose(np.asarray(qw.zs), np.asarray(qw2.zs))
+
+
+# ---------------------------------------------------------------------------
+# quantized MoE import (Mixtral-AWQ class, VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+
+def _write_awq_mixtral_checkpoint(tmp_path, rng, gs=32):
+    """Random tiny Mixtral as an AWQ checkpoint (per-expert quantized
+    w1/w3/w2, fp16-style router); returns the dequant oracle in OUR
+    folded-expert layouts."""
+    from safetensors.numpy import save_file
+
+    cd = dict(
+        architectures=["MixtralForCausalLM"], model_type="mixtral",
+        vocab_size=256, hidden_size=128, intermediate_size=64,
+        num_local_experts=4, num_experts_per_tok=2,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=128, torch_dtype="float32",
+        tie_word_embeddings=False)
+    cd["quantization_config"] = dict(quant_method="awq", bits=4,
+                                     group_size=gs, version="gemm",
+                                     zero_point=True)
+    (tmp_path / "config.json").write_text(json.dumps(cd))
+
+    h, inter, v = 128, 64, 256
+    nd, kvd = 4 * 32, 2 * 32
+    tensors, oracle = {}, {}
+
+    def plain(name, shape, scale=0.05):
+        t = (rng.standard_normal(shape) * scale).astype(np.float32)
+        tensors[name] = t
+        return t
+
+    def quantized(name, k, n):
+        w = (rng.standard_normal((k, n)) * 0.08 + 0.02).astype(np.float32)
+        q, z, s = asym_quantize(w, gs)
+        tensors[name + ".qweight"] = awq_pack(q)
+        tensors[name + ".qzeros"] = awq_pack(z)
+        tensors[name + ".scales"] = s
+        return dequant_oracle(q, z, s, gs)
+
+    plain("model.embed_tokens.weight", (v, h))
+    plain("model.norm.weight", (h,), 1.0)
+    plain("lm_head.weight", (v, h))
+    for i in range(2):
+        p = f"model.layers.{i}."
+        plain(p + "input_layernorm.weight", (h,), 1.0)
+        plain(p + "post_attention_layernorm.weight", (h,), 1.0)
+        qkv = [quantized(p + f"self_attn.{nm}_proj", h, nn)
+               for nm, nn in (("q", nd), ("k", kvd), ("v", kvd))]
+        oracle.setdefault("layers/wqkv", []).append(
+            np.concatenate(qkv, axis=-1))
+        oracle.setdefault("layers/wo", []).append(
+            quantized(p + "self_attn.o_proj", nd, h))
+        # AWQ keeps the router in fp (standard for Mixtral-AWQ)
+        plain(p + "block_sparse_moe.gate.weight", (4, h))
+        gu = [quantized(p + f"block_sparse_moe.experts.{e}.{w}", h, inter)
+              for e in range(4) for w in ("w1", "w3")]
+        oracle.setdefault("layers/w_gate_up", []).append(
+            np.concatenate(gu, axis=-1))            # [H, E*2I] folded
+        dn = [quantized(p + f"block_sparse_moe.experts.{e}.w2", inter, h)
+              for e in range(4)]
+        oracle.setdefault("layers/w_down", []).append(
+            np.concatenate(dn, axis=0))             # [E*I, H] folded
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+    return {k: np.stack(vv) for k, vv in oracle.items()}
+
+
+def test_load_awq_mixtral_dequant_exact(rng, tmp_path):
+    """Per-expert AWQ tensors land in the folded-expert layouts with
+    bit-exact dequantization (runtime/hf_quant.py MoE import)."""
+    oracle = _write_awq_mixtral_checkpoint(tmp_path, rng)
+    cfg, params = hf_quant.load_quantized_dir(str(tmp_path))
+    assert cfg.num_experts == 4
+    for path, want in oracle.items():
+        qw = params["layers"][path.split("/")[1]]
+        assert qw.bits == 4 and qw.zs is not None
+        got = np.asarray(qw.dequantize(jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # router stays full precision
+    assert not hasattr(params["layers"]["router"], "bits")
+
+
+def test_awq_mixtral_end_to_end_generation(rng, tmp_path):
+    """Loaded AWQ-Mixtral generates the same greedy tokens as a dense
+    model built from the checkpoint's own dequantized weights — through
+    the MoE decode path (folded dense-expert matmuls) AND the grouped
+    prefill path."""
+    import dataclasses
+
+    from simplellminference_tpu.core.config import SamplingParams
+    from simplellminference_tpu.runtime.generator import Generator
+
+    oracle = _write_awq_mixtral_checkpoint(tmp_path, rng)
+    cfg = dataclasses.replace(ModelConfig.from_pretrained_dir(str(tmp_path)),
+                              dtype="float32")
+    cfg, params = hf_quant.load_quantized_dir(str(tmp_path), cfg=cfg,
+                                              dtype="float32")
+    dense = dict(params)
+    dense["layers"] = dict(dense["layers"])
+    for path, w in oracle.items():
+        dense["layers"][path.split("/")[1]] = jnp.asarray(w, jnp.float32)
+
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    sp = SamplingParams(max_new_tokens=8)
+    g_q = Generator(cfg, params, max_batch=2, max_seq=64,
+                    kv_dtype=jnp.float32)
+    g_d = Generator(cfg, dense, max_batch=2, max_seq=64,
+                    kv_dtype=jnp.float32)
+    assert g_q.generate(prompts, sp).token_ids == \
+        g_d.generate(prompts, sp).token_ids

@@ -74,3 +74,112 @@ def test_fused_qkv_availability(rng):
     assert fused_qkv_available(lw, cfg, 4, 1, ck)
     assert not fused_qkv_available(lw, cfg, 4, 2, ck)        # prefill
     assert not fused_qkv_available({**lw, "wqkv_bias": 1}, cfg, 4, 1, ck)
+
+
+def test_fused_qkv_append_quant_matches_quantize_kv(rng):
+    """INT8-KV variant: in-kernel per-token-head quantization must match
+    memory/paged_kv.quantize_kv applied to the composed reference's
+    rope'd K (bf16) and raw V — int8 codes within 1 (f32 accumulation
+    order at the round boundary), scales within one bf16 ulp, untouched
+    slots untouched (VERDICT r3 item 3)."""
+    from simplellminference_tpu.memory.paged_kv import quantize_kv
+
+    B, H, N, KVN, D, L, PS, MP = 5, 256, 4, 2, 64, 3, 16, 4
+    P = B * MP                      # distinct pages per row
+    NQ = (N + 2 * KVN) * D
+    li = 1
+    x = jnp.asarray(rng.standard_normal((B, H)), jnp.bfloat16)
+    nw = jnp.asarray(rng.standard_normal((L, H)) * 0.1 + 1.0, jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (L, H, NQ)), jnp.int8)
+    ws = jnp.full((L, 1, NQ), 0.02, jnp.float32)
+    pos = jnp.asarray(rng.integers(0, MP * PS, B), jnp.int32)
+    sin, cos = ref_ops.rope_tables(pos, D, 10000.0)
+    tables = jnp.asarray(np.arange(P).reshape(B, MP), jnp.int32)
+    ck = jnp.zeros((L, P + 1, KVN, PS, D), jnp.int8)
+    cv = jnp.zeros((L, P + 1, KVN, PS, D), jnp.int8)
+    cks = jnp.zeros((L, P + 1, KVN, PS), jnp.float32)
+    cvs = jnp.zeros((L, P + 1, KVN, PS), jnp.float32)
+
+    q, ck2, cv2, cks2, cvs2 = fused_qkv_append(
+        x, nw, wq, ws, sin, cos, ck, cv, jnp.int32(li), pos,
+        n_heads=N, kv_heads=KVN, eps=1e-5, tables=tables,
+        cache_ks=cks, cache_vs=cvs, interpret=True)
+
+    xn = ref_ops.rmsnorm(x[:, None].astype(jnp.float32), nw[li], 1e-5)
+    qkv = ref_ops.quantized_matmul_ref(xn[:, 0].astype(jnp.bfloat16),
+                                       wq[li], ws[li],
+                                       out_dtype=jnp.float32)
+    kr = qkv[:, N * D:(N + KVN) * D].reshape(B, 1, KVN, D)
+    vr = qkv[:, (N + KVN) * D:].reshape(B, 1, KVN, D)
+    kr = ref_ops.apply_rope(kr.astype(jnp.bfloat16), sin[:, None],
+                            cos[:, None])[:, 0]
+    qk_ref, sk_ref = quantize_kv(kr)
+    qv_ref, sv_ref = quantize_kv(vr[:, 0].astype(jnp.bfloat16))
+
+    page = np.asarray(tables)[np.arange(B), np.asarray(pos) // PS]
+    slot = np.asarray(pos) % PS
+    for b in range(B):
+        gk = np.asarray(ck2[li, page[b], :, slot[b], :]).astype(int)
+        gv = np.asarray(cv2[li, page[b], :, slot[b], :]).astype(int)
+        assert np.abs(gk - np.asarray(qk_ref[b]).astype(int)).max() <= 1
+        assert np.abs(gv - np.asarray(qv_ref[b]).astype(int)).max() <= 1
+        gs = np.asarray(cks2[li, page[b], :, slot[b]])
+        np.testing.assert_allclose(gs, np.asarray(sk_ref[b]), rtol=1e-2)
+        gvs = np.asarray(cvs2[li, page[b], :, slot[b]])
+        np.testing.assert_allclose(gvs, np.asarray(sv_ref[b]), rtol=1e-2)
+    # untouched slots stay zero (scale pools and data pools)
+    m = np.ones((L, P + 1, KVN, PS), bool)
+    m[li, page, :, slot] = False
+    assert np.abs(np.asarray(cks2)[m]).max() == 0.0
+    md = np.ones((L, P + 1, KVN, PS, D), bool)
+    md[li, page, :, slot, :] = False
+    assert np.abs(np.asarray(ck2)[md].astype(int)).max() == 0
+
+
+def test_engine_int8_kv_fused_path_token_match(rng, monkeypatch):
+    """Engine with int8 KV, fused megakernel (interpret) vs the unfused
+    CPU path: same tokens (the in-kernel quantizing append is
+    serving-equivalent to the standalone quantized append)."""
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    ModelConfig,
+                                                    QuantConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine import Engine
+    from simplellminference_tpu.models import llama as llama_mod
+    from simplellminference_tpu.runtime.weights import quantize_params
+
+    # head_dim must satisfy qkv_tiles (d % 2 == 0, bn1 % d == 0) and
+    # weights must be per-channel int8 for the fused gate to engage
+    cfg = ModelConfig.tiny_test()
+    params = quantize_params(
+        llama_mod.init_params(cfg, jax.random.PRNGKey(0)),
+        QuantConfig(mode="int8", group_size=0))
+    assert qkv_tiles(cfg.hidden_size,
+                     (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim,
+                     cfg.head_dim, 16) is not None
+    ecfg = EngineConfig(
+        max_batch_size=2,
+        kv=KVCacheConfig(page_size=16, num_pages=24, max_pages_per_seq=8,
+                         kv_dtype="int8"))
+    prompts = [rng.integers(1, cfg.vocab_size, 12).tolist()
+               for _ in range(2)]
+    samp = SamplingParams(max_new_tokens=12)
+
+    eng = Engine(cfg, params, ecfg, decode_burst=4)
+    want = eng.generate(prompts, samp)
+
+    calls = []
+    import simplellminference_tpu.ops.qkv_fused as qf
+    orig = qf.fused_qkv_append
+
+    def spy(*a, **kw):
+        calls.append(kw.get("cache_ks") is not None)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(llama_mod, "FORCE_FUSED_INTERPRET", True)
+    monkeypatch.setattr(qf, "fused_qkv_append", spy)
+    eng2 = Engine(cfg, params, ecfg, decode_burst=4)
+    got = eng2.generate(prompts, samp)
+    assert got == want
+    assert calls and all(calls)   # the QUANT megakernel actually ran

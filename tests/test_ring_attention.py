@@ -85,3 +85,154 @@ def test_sp_prefill_forward_matches_dense():
     got = fwd(params, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4+ devices")
+@pytest.mark.parametrize("window", [8, 24, 40])
+def test_ring_attention_sliding_window(window):
+    """Windowed ring == dense sliding-window attention (VERDICT r3
+    item 7): the window mask composes with global-position causality
+    across rotated KV chunks, including windows smaller than, equal to,
+    and larger than the per-shard chunk (s=64, ring=4 -> Sl=16)."""
+    rng = np.random.default_rng(2)
+    b, s, n, kvn, d = 1, 64, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    mask = np.asarray(ref_ops.causal_mask(s, s, window=window))[None, None]
+    want = ref_ops.attention(q, k, v, jnp.asarray(mask))
+    mesh = _mesh(4)
+    f = shard_map(
+        lambda q_, k_, v_: ring_attention(q_, k_, v_, "seq",
+                                          window=window),
+        mesh=mesh,
+        in_specs=(P(None, "seq"),) * 3,
+        out_specs=P(None, "seq"), check_vma=False)
+    got = f(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4+ devices")
+def test_ring_attention_sinks_and_softcap():
+    """GPT-OSS sinks + Gemma-2 soft cap through the ring's online
+    softmax == the dense reference."""
+    rng = np.random.default_rng(3)
+    b, s, n, kvn, d = 1, 32, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, kvn, d)), jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    mask = np.asarray(ref_ops.causal_mask(s, s))[None, None]
+    want = ref_ops.attention(q, k, v, jnp.asarray(mask), logit_cap=30.0,
+                             sinks=sinks)
+    mesh = _mesh(4)
+    f = shard_map(
+        lambda q_, k_, v_: ring_attention(q_, k_, v_, "seq",
+                                          logit_cap=30.0, sinks=sinks),
+        mesh=mesh,
+        in_specs=(P(None, "seq"),) * 3,
+        out_specs=P(None, "seq"), check_vma=False)
+    got = f(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4+ devices")
+def test_sp_prefill_sliding_window_model():
+    """A Mistral-style sliding-window model prefills under the SP ring
+    (llama_sp no longer rejects cfg.sliding_window)."""
+    from simplellminference_tpu.core.config import ModelConfig
+    from simplellminference_tpu.models import llama, llama_sp
+
+    cfg = ModelConfig.tiny_test(max_seq_len=128, sliding_window=24)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(6)
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 64)),
+                         jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[None],
+                                 (2, 64))
+    want, _ = llama.forward(cfg, params, tokens, positions)
+    fwd = llama_sp.make_sp_prefill(cfg, llama_sp.seq_mesh(4))
+    got = fwd(params, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sp_tp_prefill_matches_dense():
+    """2-D (seq x model) ring prefill: weights/heads sharded over model,
+    sequence over seq — logits match the single-device dense forward
+    (VERDICT r3 item 4, first half)."""
+    from simplellminference_tpu.core.config import ModelConfig
+    from simplellminference_tpu.models import llama, llama_sp
+    from simplellminference_tpu.parallel import sharding
+
+    cfg = ModelConfig.tiny_test(max_seq_len=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 64)),
+                         jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[None],
+                                 (2, 64))
+    want, _ = llama.forward(cfg, params, tokens, positions)
+
+    mesh = llama_sp.sp_tp_mesh(4, 2)
+    tp_params, pfx = llama_sp.make_sp_tp_prefill(cfg, mesh, params)
+    tp_params = sharding.shard_params(cfg, tp_params, mesh)
+    logits, ks, vs = pfx(tp_params, tokens)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+    assert ks.shape == (cfg.num_layers, 2, 64, cfg.num_kv_heads,
+                        cfg.head_dim)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sp_tp_handoff_to_paged_engine():
+    """Full SP -> TP -> paged-decode handoff (VERDICT r3 item 4): a
+    prompt prefilled under SP(4) x TP(2) hands its K/V to the TP paged
+    engine via Engine.adopt_prefill and decode continues — tokens equal
+    the single-device engine's end to end."""
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    ModelConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine import Engine
+    from simplellminference_tpu.models import llama, llama_sp
+    from simplellminference_tpu.parallel import sharding
+
+    cfg = ModelConfig.tiny_test(max_seq_len=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(1, cfg.vocab_size, 32).tolist()
+    samp = SamplingParams(max_new_tokens=8)
+
+    # reference: single-device engine end to end
+    kv = KVCacheConfig(page_size=8, num_pages=32, max_pages_per_seq=8,
+                       kv_dtype="f32")
+    ref_eng = Engine(cfg, params,
+                     EngineConfig(max_batch_size=2, kv=kv),
+                     decode_burst=4)
+    want = ref_eng.generate([prompt], samp)[0]
+
+    # SP(4) x TP(2) ring prefill
+    mesh = llama_sp.sp_tp_mesh(4, 2)
+    tp_params, pfx = llama_sp.make_sp_tp_prefill(cfg, mesh, params)
+    tp_params_sh = sharding.shard_params(cfg, tp_params, mesh)
+    tokens = jnp.asarray(np.asarray(prompt)[None], jnp.int32)
+    logits, ks, vs = pfx(tp_params_sh, tokens)
+    first = int(np.argmax(np.asarray(logits[0, -1])))
+
+    # decode on the TP paged engine (data=4 x model=2 over the same 8
+    # devices; pools replicate over data, shard kv heads over model)
+    eng = Engine(cfg, params,
+                 EngineConfig(max_batch_size=2,
+                              mesh_shape={"data": 4, "model": 2}, kv=kv),
+                 decode_burst=4)
+    req = eng.adopt_prefill(
+        prompt, first,
+        lambda cache, tables: llama_sp.sp_kv_to_paged(cache, ks, vs,
+                                                      tables),
+        sampling=samp)
+    eng.run()
+    assert req.output_ids == want, (req.output_ids, want)

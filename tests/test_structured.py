@@ -340,3 +340,113 @@ def test_engine_guided_then_pipelined(guided_model):
     got = eng.generate([tok.encode("after")],
                        SamplingParams(max_new_tokens=10))
     assert got[0] == want
+
+
+# -------------------------------------------- pipelined fan-out bursts
+
+
+def test_successors_agree_with_advance(guided_model):
+    """TokenIndex.successors must agree token-by-token with advance()
+    for every state reachable under the constraint (the fan-out table's
+    correctness contract)."""
+    pat = r"(red|green|blue) (cat|dog)s?"
+    texts = token_strings(ByteTokenizer())
+    idx = TokenIndex(RegexFSM(pat), texts, ByteTokenizer().eos_id)
+    seen, todo = set(), [idx.fsm.start]
+    while todo:
+        s = todo.pop()
+        if s in seen:
+            continue
+        seen.add(s)
+        states, t2s = idx.successors(s)
+        allowed = idx.allowed(s)
+        for t in np.flatnonzero(allowed):
+            a = idx.advance(s, int(t))
+            assert a == states[t2s[t]], (s, t)
+            todo.append(a)
+    assert len(seen) > 3
+
+
+def test_engine_guided_cotenancy_fanout(guided_model):
+    """Unguided co-tenants keep pipelined multi-step bursts while a
+    guided request runs (VERDICT r3 item 2): the mixed batch dispatches
+    fan-out bursts (not serialized masked steps), and BOTH classes stay
+    token-exact vs their isolated runs."""
+    cfg, params = guided_model
+    tok = ByteTokenizer()
+    free = SamplingParams(max_new_tokens=16)
+    pat = r"[0-9]{1,12}"
+
+    # isolated references (same req ordering => same derived seeds)
+    eng_ref = make_guided_engine(cfg, params, max_batch=4, burst=4)
+    want_free = eng_ref.generate(
+        [tok.encode(f"p{i}") for i in range(3)], free)
+    eng_ref2 = make_guided_engine(cfg, params, max_batch=4, burst=4)
+    # guided reference run alone (serialized path: guided-only batch)
+    want_g = eng_ref2.generate(
+        [tok.encode("g")] * 1,
+        SamplingParams(max_new_tokens=12, guided_regex=pat))[0]
+    assert eng_ref2.metrics.guided_serial_steps > 0
+
+    # mixed batch: 3 unguided + 1 guided (admitted last => unguided
+    # req_ids, and thus their derived seeds, match the isolated run)
+    eng = make_guided_engine(cfg, params, max_batch=4, burst=4)
+    reqs = [eng.add_request(prompt_ids=tok.encode(f"p{i}"),
+                            sampling=free) for i in range(3)]
+    greq = eng.add_request(
+        prompt_ids=tok.encode("g"),
+        sampling=SamplingParams(max_new_tokens=12, guided_regex=pat))
+    eng.run()
+    for r, want in zip(reqs, want_free):
+        assert r.output_ids == want
+    # the guided row emitted 1 token per fan-out burst — but exactly
+    # the same tokens the serialized isolated run produced. NOTE: the
+    # isolated run has req_id 0; the mixed guided req_id is 3 — greedy
+    # (temp=0) sampling is seed-independent so outputs still match.
+    text = tok.decode([t for t in greq.output_ids if t < 256])
+    want_text = tok.decode([t for t in want_g if t < 256])
+    assert text == want_text
+    # co-tenancy property: while unguided rows were live the engine kept
+    # pipelined bursts (fan-out), never the serialized all-rows stall
+    assert eng.metrics.guided_fanout_bursts >= 4
+    # unguided rows (16 tokens @ 4/burst) finished inside fan-out bursts
+    assert eng.metrics.decode_bursts >= eng.metrics.guided_fanout_bursts
+
+
+def test_engine_guided_cotenancy_throughput(guided_model):
+    """7 unguided + 1 guided sustains >= 80% of the all-unguided burst
+    throughput for the unguided class (wall time to finish all unguided
+    requests; forwards are the cost driver on the CPU backend)."""
+    import time as _t
+    cfg, params = guided_model
+    tok = ByteTokenizer()
+    free = SamplingParams(max_new_tokens=24)
+
+    def run(with_guided):
+        eng = make_guided_engine(cfg, params, max_batch=8, burst=8)
+        done = {}
+        reqs = []
+        for i in range(7):
+            def cb(toks, finished, i=i):
+                if finished:
+                    done[i] = _t.perf_counter()
+            reqs.append(eng.add_request(prompt_ids=tok.encode(f"p{i}"),
+                                        sampling=free, on_tokens=cb))
+        if with_guided:
+            eng.add_request(
+                prompt_ids=tok.encode("g"),
+                sampling=SamplingParams(max_new_tokens=16,
+                                        guided_regex=r"[0-9]{1,16}"))
+        t0 = _t.perf_counter()
+        eng.run()
+        return max(done.values()) - t0, [r.output_ids for r in reqs], eng
+
+    # warm both graph variants (compile time must not pollute timing)
+    run(True)
+    run(False)
+    t_mixed, out_mixed, eng_m = run(True)
+    t_plain, out_plain, _ = run(False)
+    assert out_mixed == out_plain          # token-exact unguided rows
+    assert eng_m.metrics.guided_fanout_bursts > 0
+    # >= 80% of all-unguided throughput for the unguided class
+    assert t_mixed <= t_plain / 0.8 + 0.05, (t_mixed, t_plain)
