@@ -140,7 +140,10 @@ def _engine_decode_time(cfg, params, args, steps: int) -> float:
     submit()
     eng.run()           # compile all graphs (prefill batch + burst)
     best = None
-    for _ in range(2):
+    for _ in range(3):
+        # min-of-3: the differenced value 512/(te_full - te_half)
+        # amplifies wobble in either operand ~4x; a third rep halves
+        # the spread for ~8 s of extra bench time
         submit()
         t0 = time.perf_counter()
         eng.run()

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--burst", type=int, default=4)
     ap.add_argument("--pages", type=int, default=128)
     ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--kv-dtype", default="bf16",
+                    choices=["bf16", "f32", "int8", "fp8"])
     args = ap.parse_args()
 
     cfg = ModelConfig.llama2_7b(dtype="bfloat16")
@@ -45,6 +47,7 @@ def main():
     ecfg = EngineConfig(
         max_batch_size=8,
         kv=KVCacheConfig(page_size=args.page_size, num_pages=args.pages,
+                         kv_dtype=args.kv_dtype,
                          max_pages_per_seq=max(
                              (128 + max_new) // args.page_size + 2, 8)))
     eng = Engine(cfg, params, ecfg, decode_burst=args.burst)

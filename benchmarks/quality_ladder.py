@@ -3,7 +3,12 @@
 Teacher-forced decode perplexity at Llama-2-7B shape with FIXED-SEED
 pseudo-random weights, through the real paged decode path on the TPU:
 
-    bf16 (baseline) -> int8 -> int4 -> w8a8 -> int8-KV -> fp8-KV
+    bf16 (baseline) -> int8 -> int4 -> int8-KV -> fp8-KV
+
+(W8A8 activation quantization is absent from this ladder by design:
+``ModelConfig.act_quant`` applies only to compute-bound >=256-row
+prefill chunks, never decode steps — its quality evidence is the
+bit-exact integer-reference test in tests/test_w8a8.py.)
 
 No real 7B safetensors exist in this environment (BASELINE config #2's
 WikiText-2 gate needs real weights), so absolute PPL is meaningless —
@@ -54,7 +59,7 @@ def _hash_floats(shape, salt: int):
             / 32768.0 - 1.0)
 
 
-def _make_params(cfg, quant_mode: str, act_quant: bool):
+def _make_params(cfg, quant_mode: str):
     """Leaf-wise generate-then-quantize (peak memory stays ~one config,
     not fp + quantized simultaneously)."""
     from simplellminference_tpu.core.config import QuantConfig
@@ -64,15 +69,36 @@ def _make_params(cfg, quant_mode: str, act_quant: bool):
     n, kvn, d, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, \
         cfg.num_layers
     dtype = jnp.dtype(cfg.dtype)
-    qc = QuantConfig(mode=quant_mode, group_size=0, act_quant=act_quant) \
-        if quant_mode != "none" else None
+    qc = (QuantConfig(mode=quant_mode, group_size=0)
+          if quant_mode != "none" else None)
 
     def w(path, shape, salt, sigma):
-        x = (_hash_floats(shape, salt) * sigma).astype(dtype)
-        if qc is not None:
-            q = _maybe_quantize(path.replace("L/", "layers/"), x, qc)
-            return q
-        return x
+        # ALWAYS generate layer by layer with a per-layer salt: the
+        # iota hash only sees the last two dims, so a stacked generate
+        # would repeat one layer L times (degenerate compounding); the
+        # per-layer loop also keeps quantization temps at 1/L of the
+        # leaf (a whole-leaf f32 temp OOMs next to the built leaves).
+        # Every config regenerates the IDENTICAL pre-quant values.
+        path = path.replace("L/", "layers/")
+        if len(shape) == 2:
+            x = (_hash_floats(shape, salt) * sigma).astype(dtype)
+            return x if qc is None else _maybe_quantize(path, x, qc)
+        parts = []
+        for li in range(shape[0]):
+            x = (_hash_floats((1, *shape[1:]), salt + 7919 * li)
+                 * sigma).astype(dtype)
+            parts.append(x if qc is None else _maybe_quantize(path, x, qc))
+            del x
+        if qc is None:
+            out = jnp.concatenate(parts, axis=0)
+        else:
+            from simplellminference_tpu.ops.linear import QuantizedWeight
+            out = QuantizedWeight(
+                q=jnp.concatenate([p.q for p in parts], axis=0),
+                scales=jnp.concatenate([p.scales for p in parts], axis=0),
+                bits=parts[0].bits)
+        jax.block_until_ready(out)
+        return out
 
     params = {
         "embed": (_hash_floats((v, h), 1) * 0.02).astype(dtype),
@@ -138,13 +164,12 @@ def decode_ppl(cfg, params, ids, kv_dtype: str, prefill_len: int) -> float:
 
 
 LADDER = [
-    # (name, weight quant, act_quant, kv dtype)
-    ("bf16", "none", False, "bf16"),
-    ("int8", "int8", False, "bf16"),
-    ("int4", "int4", False, "bf16"),
-    ("w8a8", "int8", True, "bf16"),
-    ("int8-kv", "int8", False, "int8"),
-    ("fp8-kv", "int8", False, "fp8"),
+    # (name, weight quant, kv dtype)
+    ("bf16", "none", "bf16"),
+    ("int8", "int8", "bf16"),
+    ("int4", "int4", "bf16"),
+    ("int8-kv", "int8", "int8"),
+    ("fp8-kv", "int8", "fp8"),
 ]
 
 
@@ -154,25 +179,33 @@ def main():
                     help="total tokens (prefill 128 + teacher-forced rest)")
     ap.add_argument("--prefill", type=int, default=128)
     ap.add_argument("--json-out", default="QUALITY_LADDER.json")
+    ap.add_argument("--layers", type=int, default=16,
+                    help="layer count (full 7B dims; 32 layers of bf16 "
+                         "= 13.5 GB weights OOMs next to pools on one "
+                         "16 GB chip, so the ladder defaults to the "
+                         "half stack — same per-layer geometry, 16 "
+                         "layers of error compounding)")
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of ladder names")
     args = ap.parse_args()
 
     from simplellminference_tpu.core.config import ModelConfig
 
-    cfg = ModelConfig.llama2_7b(max_seq_len=1024, dtype="bfloat16")
+    import dataclasses as _dc
+    cfg = _dc.replace(
+        ModelConfig.llama2_7b(max_seq_len=1024, dtype="bfloat16"),
+        num_layers=args.layers)
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, args.ctx).tolist()
 
     want = set(args.only.split(",")) if args.only else None
     out, base = {}, None
-    for name, mode, aq, kvd in LADDER:
+    for name, mode, kvd in LADDER:
         if want and name not in want:
             continue
-        import dataclasses
-        c = dataclasses.replace(cfg, act_quant=aq)
+        c = cfg
         t0 = time.time()
-        params = _make_params(c, mode, aq)
+        params = _make_params(c, mode)
         ppl = decode_ppl(c, params, ids, kvd, args.prefill)
         del params
         if base is None:
@@ -182,7 +215,8 @@ def main():
         print(f"[{name}: ppl={ppl:.4f} delta={out[name]['delta_pct']:+.4f}%"
               f" ({time.time() - t0:.0f}s)]", file=sys.stderr, flush=True)
     rec = {"metric": "decode_ppl_ladder_llama2_7b_shape",
-           "ctx": args.ctx, "prefill": args.prefill, "ladder": out}
+           "ctx": args.ctx, "prefill": args.prefill,
+           "layers": args.layers, "ladder": out}
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(rec, f, indent=1)

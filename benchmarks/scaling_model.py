@@ -54,19 +54,27 @@ _DT_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "i32": 4, "ui32": 4, "i8": 1,
              "f64": 8, "i64": 8}
 
 
-def _allreduce_bytes(stablehlo: str) -> list[int]:
-    """Byte sizes of every all_reduce result tensor in the lowering."""
-    out = []
-    for m in re.finditer(
-            r'"?stablehlo\.all_reduce"?.*?tensor<([0-9x]*)x?([a-z0-9]+)>',
-            stablehlo):
-        dims, dt = m.group(1), m.group(2)
+def _allreduce_bytes(stablehlo: str) -> tuple[list[int], list[int]]:
+    """(bytes of all_reduces BEFORE the layer scan, bytes INSIDE it).
+
+    The TP body's per-layer psums sit inside the lowered ``while`` (the
+    lax.scan over stacked layers) and execute num_layers times per
+    step; collectives before it (the vocab-parallel embed psum) run
+    once. The result tensor type trails each op's region: search
+    forward for the `) -> tensor<...>` of its signature."""
+    wpos = stablehlo.find("stablehlo.while")
+    pre, body = [], []
+    for m in re.finditer(r'"stablehlo\.all_reduce"', stablehlo):
+        tail = stablehlo[m.end():m.end() + 2000]
+        t = re.search(r'\)\s*->\s*tensor<([0-9x]+)x([a-z0-9]+)>', tail)
+        if not t:
+            continue
         n = 1
-        for d in dims.split("x"):
-            if d:
-                n *= int(d)
-        out.append(n * _DT_BYTES.get(dt, 4))
-    return out
+        for d in t.group(1).split("x"):
+            n *= int(d)
+        size = n * _DT_BYTES.get(t.group(2), 4)
+        (body if wpos >= 0 and m.start() > wpos else pre).append(size)
+    return pre, body
 
 
 def measure_psum_bytes(cfg, tp: int, batch: int, seq: int,
@@ -99,8 +107,9 @@ def measure_psum_bytes(cfg, tp: int, batch: int, seq: int,
     from simplellminference_tpu.parallel import sharding
     real = sharding.shard_params(cfg, real, mesh)
     low = jax.jit(fwd).lower(real, toks, pos, cache, offs, lens)
-    sizes = _allreduce_bytes(low.as_text())
-    return sum(sizes), len(sizes)
+    pre, body = _allreduce_bytes(low.as_text())
+    total = sum(pre) + cfg.num_layers * sum(body)
+    return total, len(pre) + len(body)
 
 
 def main():

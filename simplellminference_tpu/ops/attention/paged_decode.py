@@ -78,11 +78,15 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, *refs, scale: float,
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [HB, G*W, D]
         k = kp_ref[0, 0].astype(jnp.float32)         # [HB, ps, D]
-        if quant_kv:
-            k = k * ks_ref[0, 0, 0][..., None]       # [HB, ps, 1]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # [HB, G*W, ps]
+        if quant_kv:
+            # LATE dequant: the scale is per (token, head), so it factors
+            # out of the D-contraction exactly — ps multiplies per score
+            # row instead of ps*D on the raw K page (the VPU cost that
+            # made int8-KV serving slower than its bandwidth win)
+            s = s * ks_ref[0, 0, 0][:, None, :]      # [HB, 1, ps]
         if logit_cap:  # Gemma-2 attention soft cap
             s = logit_cap * jnp.tanh(s * (1.0 / logit_cap))
         s = s.reshape(rows, ps)
@@ -107,11 +111,15 @@ def _paged_kernel(lens_ref, tables_ref, layer_ref, *refs, scale: float,
             v = k                                    # same latent row
         else:
             v = vp_ref[0, 0].astype(jnp.float32)     # [HB, ps, D]
-            if quant_kv:
-                v = v * vs_ref[0, 0, 0][..., None]
         gw = group * wins
+        pmat = p.reshape(hb, gw, ps)
+        if quant_kv:
+            # fold the per-token V scale into p (ps multiplies) instead
+            # of descaling the raw V page (ps*D) — exact: the scale is
+            # constant along the contracted token's D lanes
+            pmat = pmat * vs_ref[0, 0, 0][:, None, :]
         pv = jax.lax.dot_general(
-            p.reshape(hb, gw, ps), v, (((2,), (1,)), ((0,), (0,))),
+            pmat, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [HB, G*W, D]
         acc_ref[:] = acc_ref[:] * alpha.reshape(hb, gw, 1) + pv
         m_ref[:rows, :1] = m_new

@@ -76,7 +76,10 @@ def test_fused_qkv_availability(rng):
     assert not fused_qkv_available({**lw, "wqkv_bias": 1}, cfg, 4, 1, ck)
 
 
-def test_fused_qkv_append_quant_matches_quantize_kv(rng):
+def test_fused_qkv_append_quant_matches_quantize_kv():
+    rng = np.random.default_rng(11)   # dedicated stream: the shared
+    # session rng makes values (and rounding-boundary hits) depend on
+    # test ORDER
     """INT8-KV variant: in-kernel per-token-head quantization must match
     memory/paged_kv.quantize_kv applied to the composed reference's
     rope'd K (bf16) and raw V — int8 codes within 1 (f32 accumulation
@@ -136,16 +139,18 @@ def test_fused_qkv_append_quant_matches_quantize_kv(rng):
     assert np.abs(np.asarray(ck2)[md].astype(int)).max() == 0
 
 
-def test_engine_int8_kv_fused_path_token_match(rng, monkeypatch):
-    """Engine with int8 KV, fused megakernel (interpret) vs the unfused
-    CPU path: same tokens (the in-kernel quantizing append is
-    serving-equivalent to the standalone quantized append)."""
-    from simplellminference_tpu.core.config import (EngineConfig,
-                                                    KVCacheConfig,
-                                                    ModelConfig,
-                                                    QuantConfig,
-                                                    SamplingParams)
-    from simplellminference_tpu.engine import Engine
+def test_engine_int8_kv_fused_path_teacher_forced(monkeypatch):
+    """INT8-KV fused megakernel (interpret) vs the unfused CPU path,
+    TEACHER-FORCED: the same token stream decodes through both paths
+    and per-step logits + final dequantized pools must agree closely.
+    (Exact-token engine comparison is tie-fragile across numerically
+    different matmul/attention paths on random weights; the in-kernel
+    quantization itself is exact-checked above.)"""
+    rng = np.random.default_rng(12)
+    from simplellminference_tpu.core.config import (ModelConfig,
+                                                    QuantConfig)
+    from simplellminference_tpu.memory.allocator import PageAllocator
+    from simplellminference_tpu.memory.paged_kv import PagedKVCache
     from simplellminference_tpu.models import llama as llama_mod
     from simplellminference_tpu.runtime.weights import quantize_params
 
@@ -158,16 +163,10 @@ def test_engine_int8_kv_fused_path_token_match(rng, monkeypatch):
     assert qkv_tiles(cfg.hidden_size,
                      (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim,
                      cfg.head_dim, 16) is not None
-    ecfg = EngineConfig(
-        max_batch_size=2,
-        kv=KVCacheConfig(page_size=16, num_pages=24, max_pages_per_seq=8,
-                         kv_dtype="int8"))
-    prompts = [rng.integers(1, cfg.vocab_size, 12).tolist()
-               for _ in range(2)]
-    samp = SamplingParams(max_new_tokens=12)
-
-    eng = Engine(cfg, params, ecfg, decode_burst=4)
-    want = eng.generate(prompts, samp)
+    ps, npages = 16, 24
+    b = 2
+    stream = rng.integers(1, cfg.vocab_size, (b, 24))
+    plen = 12
 
     calls = []
     import simplellminference_tpu.ops.qkv_fused as qf
@@ -177,9 +176,49 @@ def test_engine_int8_kv_fused_path_token_match(rng, monkeypatch):
         calls.append(kw.get("cache_ks") is not None)
         return orig(*a, **kw)
 
+    def run(fused: bool):
+        alloc = PageAllocator(npages, ps, b, 8)
+        for i in range(b):
+            assert alloc.alloc_seq(i, stream.shape[1])
+        tables = jnp.asarray(alloc.table())
+        cache = PagedKVCache.create(cfg.num_layers, npages,
+                                    cfg.num_kv_heads, ps, cfg.head_dim,
+                                    jnp.int8)
+        toks = jnp.asarray(stream[:, :plen], jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(plen, dtype=jnp.int32), (b, plen))
+        logits, cache = llama_mod.forward_paged(
+            cfg, params, toks, pos, cache, tables,
+            jnp.full((b,), plen, jnp.int32), prefill=True,
+            last_token_only=True)
+        outs = [np.asarray(logits[:, -1], np.float32)]
+        for t in range(plen, stream.shape[1] - 1):
+            logits, cache = llama_mod.forward_paged(
+                cfg, params, jnp.asarray(stream[:, t:t + 1], jnp.int32),
+                jnp.full((b, 1), t, jnp.int32), cache, tables,
+                jnp.full((b,), t + 1, jnp.int32), prefill=False)
+            outs.append(np.asarray(logits[:, 0], np.float32))
+        return outs, cache
+
+    want, cache_ref = run(False)
     monkeypatch.setattr(llama_mod, "FORCE_FUSED_INTERPRET", True)
     monkeypatch.setattr(qf, "fused_qkv_append", spy)
-    eng2 = Engine(cfg, params, ecfg, decode_burst=4)
-    got = eng2.generate(prompts, samp)
-    assert got == want
+    got, cache_fused = run(True)
     assert calls and all(calls)   # the QUANT megakernel actually ran
+    sc = max(float(np.abs(w).max()) for w in want)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g / sc, w / sc, rtol=0, atol=4e-2)
+    # final pools: dequantized contents agree to a few int8 CODES (the
+    # two paths quantize slightly different bf16 pre-quant values —
+    # matmul/rope rounding shifts the row absmax, so a whole row's
+    # codes can shift by ~1; a handful of codes is quantization noise,
+    # a layout/indexing bug would be off by whole values)
+    for ref, fus, rs, fs in ((cache_ref.k, cache_fused.k,
+                              cache_ref.k_scale, cache_fused.k_scale),
+                             (cache_ref.v, cache_fused.v,
+                              cache_ref.v_scale, cache_fused.v_scale)):
+        dref = np.asarray(ref, np.float32) * np.asarray(rs)[..., None]
+        dfus = np.asarray(fus, np.float32) * np.asarray(fs)[..., None]
+        code = float(np.asarray(rs).max())          # one-LSB step
+        diff = np.abs(dfus - dref)
+        assert diff.max() <= 6 * code, (diff.max(), code)
+        assert np.mean(diff > 1.5 * code) < 0.02    # 98%+ within 1 code
