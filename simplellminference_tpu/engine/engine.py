@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import itertools
 from collections import deque
+import functools
 from functools import partial
 from typing import Optional, Sequence
 
@@ -54,6 +55,385 @@ from simplellminference_tpu.memory.paged_kv import PagedKVCache
 from simplellminference_tpu.models import llama
 from simplellminference_tpu.ops import sampling as sampling_ops
 from simplellminference_tpu.tokenizer.base import StreamingDetokenizer
+
+
+
+@functools.lru_cache(maxsize=64)
+def _engine_graphs(cfg, fwd, use_lora, topk_lp, spec_g, ngram, dcfg_):
+    """Jitted serving graphs (prefill / chunked prefill / burst /
+    speculative burst), memoized on the STATIC configuration.
+
+    Engine instances with the same (model config, forward fn, feature
+    flags) share traced-and-compiled executables: a fresh Engine (a
+    serving restart, or every engine-level test) reuses the compiled
+    graphs instead of re-tracing closures of its own — the graphs only
+    read per-call arguments, never engine state. TP engines pass a
+    per-instance shard_map forward closure, so they keep per-instance
+    caches (the closure IS the identity of the sharded graph)."""
+    use_draft = dcfg_ is not None
+
+    cfg_ = cfg
+    # fwd/use_lora/topk_lp arrive as factory args
+
+    def _pack_cols(logits_last, tok, lp):
+        """One packed sync row per emitted token:
+        [token, logprob, top-K ids..., top-K logprobs...]."""
+        cols = [tok.astype(jnp.float32)[:, None], lp[:, None]]
+        if topk_lp:
+            ids, lps = sampling_ops.top_logprobs(logits_last, topk_lp)
+            cols += [ids.astype(jnp.float32), lps]
+        return jnp.concatenate(cols, -1)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def _prefill_fn(params, cache, tokens, tables, kv_len,
+                    key, temp, top_k, top_p, min_p, counts, rp, fp,
+                    pp, seeds, bias_i, bias_v, lidx=None,
+                    allowed=None):
+        s = tokens.shape[1]
+        lkw = {"lora_idx": lidx} if use_lora else {}
+        positions = jnp.arange(s, dtype=jnp.int32)[None]
+        logits, cache = fwd(cfg_, params, tokens, positions, cache,
+                            tables, kv_len, prefill=True,
+                            last_token_only=True, **lkw)
+        # first token sampled in-graph: no separate sampling dispatch
+        # (~25 ms through the tunnel) per admitted request.
+        # seed_pos keys by the CONSUMED input token's position
+        # (kv_len-1), matching the burst recurrence (seed_pos=pos of
+        # the input token) — kv_len here would collide with the first
+        # burst step's key and repeat its Gumbel noise.
+        tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
+                                  top_p, min_p=min_p, counts=counts,
+                                  repetition_penalty=rp,
+                                  frequency_penalty=fp,
+                                  presence_penalty=pp, seeds=seeds,
+                                  seed_pos=kv_len - 1,
+                                  bias_ids=bias_i, bias_vals=bias_v,
+                                  allowed=allowed)
+        lp = sampling_ops.token_logprob(logits[:, -1], tok)
+        # ONE host sync object: a second np.asarray would cost another
+        # ~25 ms relay round trip per admit/burst
+        return _pack_cols(logits[:, -1], tok, lp), cache
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
+                          chunk_offset, key, temp, top_k, top_p,
+                          min_p, counts, rp, fp, pp, seeds, bias_i,
+                          bias_v, lidx=None, allowed=None):
+        # chunk_offset: [B] per-row start position (page-aligned) —
+        # batched prefix-cache suffixes start at different offsets
+        s = tokens.shape[1]
+        lkw = {"lora_idx": lidx} if use_lora else {}
+        positions = (chunk_offset[:, None]
+                     + jnp.arange(s, dtype=jnp.int32)[None])
+        logits, cache = fwd(cfg_, params, tokens, positions, cache,
+                            tables, kv_len, prefill=True,
+                            last_token_only=True,
+                            chunk_offset=chunk_offset, **lkw)
+        tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
+                                  top_p, min_p=min_p, counts=counts,
+                                  repetition_penalty=rp,
+                                  frequency_penalty=fp,
+                                  presence_penalty=pp, seeds=seeds,
+                                  seed_pos=kv_len - 1,
+                                  bias_ids=bias_i, bias_vals=bias_v,
+                                  allowed=allowed)
+        lp = sampling_ops.token_logprob(logits[:, -1], tok)
+        return _pack_cols(logits[:, -1], tok, lp), cache
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4, 5))
+    def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
+                  ov_tok, ov_pos, ov_counts, ov_mask, tables, active,
+                  key, temp, top_k, top_p, min_p, rp, fp, pp, seeds,
+                  bias_i, bias_v, lidx=None, allowed=None,
+                  live_steps=None, g_rows=None, g_t2s=None,
+                  g_masks=None):
+        lkw = {"lora_idx": lidx} if use_lora else {}
+        # Device-carried decode state: dev_tok/dev_pos/dev_counts come
+        # back from the PREVIOUS burst (still in flight when the host
+        # dispatches this one — the host never waits on them). ov_*
+        # override the slots the host changed since (admits): merged
+        # in-graph, so pipelining costs no extra dispatch.
+        tokens = jnp.where(ov_mask, ov_tok, dev_tok)
+        pos = jnp.where(ov_mask, ov_pos, dev_pos)
+        counts0 = jnp.where(ov_mask[:, None], ov_counts, dev_counts)
+        pen_on = ~(jnp.all(rp == 1.0) & jnp.all(fp == 0.0)
+                   & jnp.all(pp == 0.0))
+        if g_rows is not None:
+            # Guided fan-out (live_steps rides along): row g_rows[i]
+            # is a guided request live only at step 0; its mask is
+            # allowed(successor(state, t)) where t is the token the
+            # IN-FLIGHT burst emitted — selected here in-graph from
+            # the device-carried token via the uploaded successor
+            # table, so guided requests never stall the pipeline.
+            # Rows ride a spare row (index B) so padding entries of
+            # g_rows never clobber a live slot's all-True mask.
+            bsz = dev_tok.shape[0]
+            v = g_masks.shape[-1]
+            gtok = jnp.clip(tokens[g_rows], 0, g_t2s.shape[1] - 1)
+            sel = jnp.take_along_axis(g_t2s, gtok[:, None],
+                                      axis=1)[:, 0]
+            gm = jnp.take_along_axis(
+                g_masks, sel[:, None, None], axis=1)[:, 0]  # [G, V]
+            allowed = jnp.ones((bsz + 1, v), bool
+                               ).at[g_rows].set(gm)[:bsz]
+
+        def step(carry, i):
+            cache, tok, pos, counts, key = carry
+            if live_steps is None:
+                live = active
+            else:
+                live = active & (i < live_steps)
+            kv_lens = pos + 1
+            logits, cache = fwd(cfg_, params, tok[:, None],
+                                pos[:, None], cache, tables, kv_lens,
+                                prefill=False, **lkw)
+            key, sub = jax.random.split(key)
+            nxt = sampling_ops.sample(logits[:, 0], sub, temp, top_k,
+                                      top_p, min_p=min_p,
+                                      counts=counts,
+                                      repetition_penalty=rp,
+                                      frequency_penalty=fp,
+                                      presence_penalty=pp,
+                                      seeds=seeds, seed_pos=pos,
+                                      bias_ids=bias_i,
+                                      bias_vals=bias_v,
+                                      allowed=allowed)
+            # frozen guided rows keep their pending input token (the
+            # next burst re-reads it for the in-graph mask selection
+            # and as its step-0 input); plain inactive slots zero it
+            nxt = jnp.where(live, nxt,
+                            0 if live_steps is None else tok)
+            lp = sampling_ops.token_logprob(logits[:, 0], nxt)
+            counts = jax.lax.cond(
+                pen_on,
+                lambda c: c.at[jnp.arange(c.shape[0]), nxt].add(
+                    live.astype(c.dtype)),
+                lambda c: c, counts)
+            pos = pos + live.astype(jnp.int32)
+            return ((cache, nxt, pos, counts, key),
+                    _pack_cols(logits[:, 0], nxt, lp))
+
+        (cache, tok, pos, counts, _), rows = jax.lax.scan(
+            step, (cache, tokens, pos, counts0, key),
+            jnp.arange(steps, dtype=jnp.int32), length=steps)
+        # ONE sync object [B, steps, 2 (+2K top-logprob columns)]
+        packed = rows.transpose(1, 0, 2)
+        return packed, tok, pos, counts, cache
+
+
+
+    @partial(jax.jit, static_argnums=(0,),
+             donate_argnums=(3, 4, 5, 6, 7, 8))
+    def _spec_burst_fn(steps, params, dpar, cache, dcache, dev_tok,
+                       dev_pos, dev_counts, dev_hist, ov_tok, ov_pos,
+                       ov_counts, ov_hist, ov_mask, tables, active,
+                       key, temp, top_k, top_p, min_p, rp, fp, pp,
+                       seeds, bias_i, bias_v, lidx=None):
+        """Speculative burst: each step drafts ``spec_g`` tokens —
+        by prompt lookup (latest earlier occurrence of the context's
+        last n-gram) or, with a draft model configured, by a greedy
+        G+1-step rollout over the draft's dense KV arena — verifies
+        draft+1 positions in ONE forward (weight traffic ~= one
+        decode step), and emits the accepted prefix plus a bonus
+        token. Greedy rows accept by equality with the greedy
+        prediction; stochastic penalty-neutral rows accept by
+        rejection sampling against the shaped distribution (emitted
+        marginals match non-speculative sampling exactly); rows with
+        active penalties fall back to one sampled token per step.
+        Invariant: hist[0..pos] holds the context (hist[pos] == the
+        pending input token). The draft rollout runs G+1 steps so a
+        full accept leaves no KV gap (the G-th draft token's KV is
+        written by the extra step); rejected drafts' stale entries
+        sit above kv_len and are overwritten on the next pass."""
+        bsz = dev_tok.shape[0]
+        hl = dev_hist.shape[1]
+        tok0 = jnp.where(ov_mask, ov_tok, dev_tok)
+        pos0 = jnp.where(ov_mask, ov_pos, dev_pos)
+        counts0 = jnp.where(ov_mask[:, None], ov_counts, dev_counts)
+        hist0 = jnp.where(ov_mask[:, None], ov_hist, dev_hist)
+        pen_on = ~(jnp.all(rp == 1.0) & jnp.all(fp == 0.0)
+                   & jnp.all(pp == 0.0))
+        g1 = spec_g + 1
+        kidx = jnp.arange(g1, dtype=jnp.int32)[None]
+        idxs = jnp.arange(hl, dtype=jnp.int32)[None]
+
+        def find_draft(hist, pos):
+            # match windows ENDING at e < pos against the context's
+            # last n-gram (which ends at pos); continuation follows e
+            m = (idxs < pos[:, None]) & (idxs >= ngram - 1)
+            for j in range(ngram):
+                tj = jnp.take_along_axis(
+                    hist, jnp.clip(pos - j, 0, hl - 1)[:, None], 1)
+                hj = hist if j == 0 else jnp.concatenate(
+                    [jnp.full((bsz, j), -1, hist.dtype),
+                     hist[:, :hl - j]], 1)
+                m &= hj == tj
+            e = jnp.max(jnp.where(m, idxs, -1), axis=1)
+            found = (e >= 0) & (pos >= ngram)
+            gat = e[:, None] + 1 + jnp.arange(spec_g,
+                                              dtype=jnp.int32)[None]
+            draft = jnp.take_along_axis(hist,
+                                        jnp.clip(gat, 0, hl - 1), 1)
+            ok = found[:, None] & (gat <= pos[:, None])
+            return jnp.where(ok, draft, 0)
+
+        def model_draft(dcache, tok, pos):
+            # greedy G+1-step rollout; pad one trash row so the
+            # batch matches the arena's B+1 rows (row b absorbs
+            # prefill padding and this pad)
+            t0 = jnp.concatenate([tok, jnp.zeros((1,), tok.dtype)])
+            p0 = jnp.concatenate([pos, jnp.zeros((1,), pos.dtype)])
+
+            def dstep(c, _):
+                dc, t, p = c
+                lg, dc = llama.forward(dcfg_, dpar, t[:, None],
+                                       p[:, None], dc, p, p + 1)
+                nt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+                return (dc, nt, p + 1), nt
+
+            (dcache, _, _), ds = jax.lax.scan(
+                dstep, (dcache, t0, p0), None, length=spec_g + 1)
+            return ds[:spec_g, :bsz].T, dcache       # [B, G]
+
+        def step(carry, _):
+            cache, dcache, tok, pos, counts, hist, key = carry
+            if use_draft:
+                draft, dcache = model_draft(dcache, tok, pos)
+            else:
+                draft = find_draft(hist, pos)             # [B, G]
+            toks_in = jnp.concatenate([tok[:, None], draft], 1)
+            positions = pos[:, None] + kidx               # [B, G+1]
+            kv_lens = pos + g1
+            lkw = {"lora_idx": lidx} if use_lora else {}
+            logits, cache = fwd(cfg_, params, toks_in, positions,
+                                cache, tables, kv_lens, prefill=False,
+                                **lkw)
+            # logit_bias shapes every sampling DECISION (greedy
+            # acceptance must match the biased non-speculative greedy;
+            # rejection sampling must target the biased distribution);
+            # reported logprobs stay on the model's raw logits.
+            # None = no live bias rows (graph compiled scatter-free).
+            logits_b = (sampling_ops.apply_logit_bias(
+                logits, bias_i, bias_v)
+                if bias_i is not None else logits)
+            pred = jnp.argmax(logits_b, -1).astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            first = sampling_ops.sample(
+                logits_b[:, 0], sub, temp, top_k, top_p, min_p=min_p,
+                counts=counts, repetition_penalty=rp,
+                frequency_penalty=fp, presence_penalty=pp,
+                seeds=seeds, seed_pos=pos)
+            # Three acceptance regimes per row:
+            #  * greedy rows: accept drafts equal to the RAW greedy
+            #    prediction (token-exact vs non-speculative greedy);
+            #  * stochastic penalty-neutral rows: standard rejection
+            #    sampling against the SHAPED distribution — the
+            #    prompt-lookup draft is a point-mass proposal, so
+            #    accept draft d_k w.p. p_shaped(d_k), and on
+            #    rejection draw from the residual p|!=d_k. Emitted
+            #    marginals equal non-speculative sampling exactly;
+            #  * rows with active penalties fall back to one sampled
+            #    token per step (`first` applies penalty state like
+            #    the non-speculative burst).
+            pen_neutral = (rp == 1.0) & (fp == 0.0) & (pp == 0.0)
+            greedy_row = (temp <= 0.0) & pen_neutral
+            rs_row = (temp > 0.0) & pen_neutral
+            eq_g = draft == pred[:, :spec_g]
+
+            spec_pos = pos[:, None] + kidx[:, :spec_g]    # [B, G]
+
+            def rs_accept(_):
+                # p_shaped(d_k) per window position, one sort each
+                pd = jax.vmap(
+                    lambda lg, d: sampling_ops.shaped_token_prob(
+                        lg, d, temp, top_k, top_p, min_p),
+                    in_axes=(1, 1), out_axes=1)(
+                    logits_b[:, :spec_g], draft)         # [B, G]
+                # acceptance uniforms keyed by (seed, position) on a
+                # dedicated stream — deterministic per request, never
+                # shared with any categorical draw
+                ukeys = jax.vmap(sampling_ops.spec_row_keys,
+                                 in_axes=(None, 1, None),
+                                 out_axes=1)(
+                    seeds, spec_pos, 1)                  # [B, G, 2]
+                u = jax.vmap(
+                    lambda kk: jax.vmap(jax.random.uniform)(kk),
+                    in_axes=1, out_axes=1)(ukeys)        # [B, G]
+                return u < pd
+
+            any_rs = jnp.any(rs_row & active)
+            acc_rs = jax.lax.cond(
+                any_rs, rs_accept,
+                lambda _: jnp.zeros((bsz, spec_g), bool), None)
+            eq = jnp.where(greedy_row[:, None], eq_g,
+                           acc_rs & rs_row[:, None])
+            n_acc = jnp.cumprod(eq.astype(jnp.int32), 1).sum(1)
+            n_acc = jnp.where(greedy_row | rs_row, n_acc, 0)
+            bonus_g = jnp.take_along_axis(pred, n_acc[:, None],
+                                          1)[:, 0]
+
+            def rs_bonus(_):
+                # the bonus draw consumes window n_acc's logits: the
+                # residual p|!=d after a rejection, or the full
+                # shaped p after G straight accepts (no residual)
+                lg_b = jnp.take_along_axis(
+                    logits_b, n_acc[:, None, None], axis=1)[:, 0]
+                excl = jnp.where(
+                    n_acc < spec_g,
+                    jnp.take_along_axis(
+                        draft, jnp.minimum(n_acc, spec_g - 1)[:, None],
+                        1)[:, 0],
+                    -1)
+                bkeys = sampling_ops.spec_row_keys(
+                    seeds, pos + n_acc, 2)
+                return sampling_ops.sample_excluding(
+                    lg_b, temp, top_k, top_p, min_p, excl, bkeys)
+
+            bonus_rs = jax.lax.cond(
+                any_rs, rs_bonus, lambda _: jnp.zeros_like(tok), None)
+            bonus = jnp.where(greedy_row, bonus_g,
+                              jnp.where(rs_row, bonus_rs, first))
+            draft_p = jnp.concatenate(
+                [draft, jnp.zeros((bsz, 1), jnp.int32)], 1)
+            emitted = jnp.where(
+                kidx < n_acc[:, None], draft_p,
+                jnp.where(kidx == n_acc[:, None], bonus[:, None], -1))
+            emitted = jnp.where(active[:, None], emitted, -1)
+            n_em = jnp.where(active, n_acc + 1, 0)
+            # append emitted tokens at text positions pos+1+k
+            cols = jnp.where(kidx < n_em[:, None],
+                             pos[:, None] + 1 + kidx, hl - 1)
+            hist = hist.at[jnp.arange(bsz)[:, None], cols].set(
+                jnp.maximum(emitted, 0))
+            counts = jax.lax.cond(
+                pen_on,
+                lambda c: c.at[jnp.arange(bsz)[:, None],
+                               jnp.maximum(emitted, 0)].add(
+                    (kidx < n_em[:, None]).astype(c.dtype)),
+                lambda c: c, counts)
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            lps = jnp.take_along_axis(
+                lsm, jnp.maximum(emitted, 0)[..., None],
+                axis=-1)[..., 0]                       # [B, G+1]
+            tok = jnp.where(active, bonus, tok)
+            pos = pos + n_em
+            return (cache, dcache, tok, pos, counts, hist,
+                    key), (emitted, lps, n_em)
+
+        (cache, dcache, tok, pos, counts, hist, _), \
+            (ems, elps, nems) = jax.lax.scan(
+                step, (cache, dcache, tok0, pos0, counts0, hist0,
+                       key), None, length=steps)
+        # pack (emitted, logprobs, n_emitted) into ONE sync object
+        # [B, steps, 2(G+1)+1]
+        packed = jnp.concatenate(
+            [ems.transpose(1, 0, 2).astype(jnp.float32),
+             elps.transpose(1, 0, 2),
+             nems.T[..., None].astype(jnp.float32)], axis=-1)
+        return packed, tok, pos, counts, hist, cache, dcache
+
+    return (_prefill_fn, _prefill_chunk_fn, _burst_fn,
+            _spec_burst_fn if spec_g else None)
 
 
 class Engine:
@@ -270,380 +650,15 @@ class Engine:
 
             self._draft_prefill_fn = _draft_prefill_fn
 
-        cfg_ = cfg
-        fwd = self._fwd
-        use_lora = self.has_lora   # static: threads lora_idx into fwd
-        topk_lp = engine_cfg.top_logprobs
-        self.topk_lp = topk_lp
-        if topk_lp and engine_cfg.spec_tokens:
+        self.topk_lp = engine_cfg.top_logprobs
+        if engine_cfg.top_logprobs and engine_cfg.spec_tokens:
             raise ValueError("top_logprobs is incompatible with "
                              "speculative decoding (spec_tokens > 0)")
-
-        def _pack_cols(logits_last, tok, lp):
-            """One packed sync row per emitted token:
-            [token, logprob, top-K ids..., top-K logprobs...]."""
-            cols = [tok.astype(jnp.float32)[:, None], lp[:, None]]
-            if topk_lp:
-                ids, lps = sampling_ops.top_logprobs(logits_last, topk_lp)
-                cols += [ids.astype(jnp.float32), lps]
-            return jnp.concatenate(cols, -1)
-
-        @partial(jax.jit, donate_argnums=(1,))
-        def _prefill_fn(params, cache, tokens, tables, kv_len,
-                        key, temp, top_k, top_p, min_p, counts, rp, fp,
-                        pp, seeds, bias_i, bias_v, lidx=None,
-                        allowed=None):
-            s = tokens.shape[1]
-            lkw = {"lora_idx": lidx} if use_lora else {}
-            positions = jnp.arange(s, dtype=jnp.int32)[None]
-            logits, cache = fwd(cfg_, params, tokens, positions, cache,
-                                tables, kv_len, prefill=True,
-                                last_token_only=True, **lkw)
-            # first token sampled in-graph: no separate sampling dispatch
-            # (~25 ms through the tunnel) per admitted request.
-            # seed_pos keys by the CONSUMED input token's position
-            # (kv_len-1), matching the burst recurrence (seed_pos=pos of
-            # the input token) — kv_len here would collide with the first
-            # burst step's key and repeat its Gumbel noise.
-            tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
-                                      top_p, min_p=min_p, counts=counts,
-                                      repetition_penalty=rp,
-                                      frequency_penalty=fp,
-                                      presence_penalty=pp, seeds=seeds,
-                                      seed_pos=kv_len - 1,
-                                      bias_ids=bias_i, bias_vals=bias_v,
-                                      allowed=allowed)
-            lp = sampling_ops.token_logprob(logits[:, -1], tok)
-            # ONE host sync object: a second np.asarray would cost another
-            # ~25 ms relay round trip per admit/burst
-            return _pack_cols(logits[:, -1], tok, lp), cache
-
-        @partial(jax.jit, donate_argnums=(1,))
-        def _prefill_chunk_fn(params, cache, tokens, tables, kv_len,
-                              chunk_offset, key, temp, top_k, top_p,
-                              min_p, counts, rp, fp, pp, seeds, bias_i,
-                              bias_v, lidx=None, allowed=None):
-            # chunk_offset: [B] per-row start position (page-aligned) —
-            # batched prefix-cache suffixes start at different offsets
-            s = tokens.shape[1]
-            lkw = {"lora_idx": lidx} if use_lora else {}
-            positions = (chunk_offset[:, None]
-                         + jnp.arange(s, dtype=jnp.int32)[None])
-            logits, cache = fwd(cfg_, params, tokens, positions, cache,
-                                tables, kv_len, prefill=True,
-                                last_token_only=True,
-                                chunk_offset=chunk_offset, **lkw)
-            tok = sampling_ops.sample(logits[:, -1], key, temp, top_k,
-                                      top_p, min_p=min_p, counts=counts,
-                                      repetition_penalty=rp,
-                                      frequency_penalty=fp,
-                                      presence_penalty=pp, seeds=seeds,
-                                      seed_pos=kv_len - 1,
-                                      bias_ids=bias_i, bias_vals=bias_v,
-                                      allowed=allowed)
-            lp = sampling_ops.token_logprob(logits[:, -1], tok)
-            return _pack_cols(logits[:, -1], tok, lp), cache
-
-        @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4, 5))
-        def _burst_fn(steps, params, cache, dev_tok, dev_pos, dev_counts,
-                      ov_tok, ov_pos, ov_counts, ov_mask, tables, active,
-                      key, temp, top_k, top_p, min_p, rp, fp, pp, seeds,
-                      bias_i, bias_v, lidx=None, allowed=None,
-                      live_steps=None, g_rows=None, g_t2s=None,
-                      g_masks=None):
-            lkw = {"lora_idx": lidx} if use_lora else {}
-            # Device-carried decode state: dev_tok/dev_pos/dev_counts come
-            # back from the PREVIOUS burst (still in flight when the host
-            # dispatches this one — the host never waits on them). ov_*
-            # override the slots the host changed since (admits): merged
-            # in-graph, so pipelining costs no extra dispatch.
-            tokens = jnp.where(ov_mask, ov_tok, dev_tok)
-            pos = jnp.where(ov_mask, ov_pos, dev_pos)
-            counts0 = jnp.where(ov_mask[:, None], ov_counts, dev_counts)
-            pen_on = ~(jnp.all(rp == 1.0) & jnp.all(fp == 0.0)
-                       & jnp.all(pp == 0.0))
-            if g_rows is not None:
-                # Guided fan-out (live_steps rides along): row g_rows[i]
-                # is a guided request live only at step 0; its mask is
-                # allowed(successor(state, t)) where t is the token the
-                # IN-FLIGHT burst emitted — selected here in-graph from
-                # the device-carried token via the uploaded successor
-                # table, so guided requests never stall the pipeline.
-                # Rows ride a spare row (index B) so padding entries of
-                # g_rows never clobber a live slot's all-True mask.
-                bsz = dev_tok.shape[0]
-                v = g_masks.shape[-1]
-                gtok = jnp.clip(tokens[g_rows], 0, g_t2s.shape[1] - 1)
-                sel = jnp.take_along_axis(g_t2s, gtok[:, None],
-                                          axis=1)[:, 0]
-                gm = jnp.take_along_axis(
-                    g_masks, sel[:, None, None], axis=1)[:, 0]  # [G, V]
-                allowed = jnp.ones((bsz + 1, v), bool
-                                   ).at[g_rows].set(gm)[:bsz]
-
-            def step(carry, i):
-                cache, tok, pos, counts, key = carry
-                if live_steps is None:
-                    live = active
-                else:
-                    live = active & (i < live_steps)
-                kv_lens = pos + 1
-                logits, cache = fwd(cfg_, params, tok[:, None],
-                                    pos[:, None], cache, tables, kv_lens,
-                                    prefill=False, **lkw)
-                key, sub = jax.random.split(key)
-                nxt = sampling_ops.sample(logits[:, 0], sub, temp, top_k,
-                                          top_p, min_p=min_p,
-                                          counts=counts,
-                                          repetition_penalty=rp,
-                                          frequency_penalty=fp,
-                                          presence_penalty=pp,
-                                          seeds=seeds, seed_pos=pos,
-                                          bias_ids=bias_i,
-                                          bias_vals=bias_v,
-                                          allowed=allowed)
-                # frozen guided rows keep their pending input token (the
-                # next burst re-reads it for the in-graph mask selection
-                # and as its step-0 input); plain inactive slots zero it
-                nxt = jnp.where(live, nxt,
-                                0 if live_steps is None else tok)
-                lp = sampling_ops.token_logprob(logits[:, 0], nxt)
-                counts = jax.lax.cond(
-                    pen_on,
-                    lambda c: c.at[jnp.arange(c.shape[0]), nxt].add(
-                        live.astype(c.dtype)),
-                    lambda c: c, counts)
-                pos = pos + live.astype(jnp.int32)
-                return ((cache, nxt, pos, counts, key),
-                        _pack_cols(logits[:, 0], nxt, lp))
-
-            (cache, tok, pos, counts, _), rows = jax.lax.scan(
-                step, (cache, tokens, pos, counts0, key),
-                jnp.arange(steps, dtype=jnp.int32), length=steps)
-            # ONE sync object [B, steps, 2 (+2K top-logprob columns)]
-            packed = rows.transpose(1, 0, 2)
-            return packed, tok, pos, counts, cache
-
-        spec_g = engine_cfg.spec_tokens
-        ngram = engine_cfg.spec_ngram
-
-        use_draft = draft is not None
-        dcfg_ = draft[0] if use_draft else None
-
-        @partial(jax.jit, static_argnums=(0,),
-                 donate_argnums=(3, 4, 5, 6, 7, 8))
-        def _spec_burst_fn(steps, params, dpar, cache, dcache, dev_tok,
-                           dev_pos, dev_counts, dev_hist, ov_tok, ov_pos,
-                           ov_counts, ov_hist, ov_mask, tables, active,
-                           key, temp, top_k, top_p, min_p, rp, fp, pp,
-                           seeds, bias_i, bias_v, lidx=None):
-            """Speculative burst: each step drafts ``spec_g`` tokens —
-            by prompt lookup (latest earlier occurrence of the context's
-            last n-gram) or, with a draft model configured, by a greedy
-            G+1-step rollout over the draft's dense KV arena — verifies
-            draft+1 positions in ONE forward (weight traffic ~= one
-            decode step), and emits the accepted prefix plus a bonus
-            token. Greedy rows accept by equality with the greedy
-            prediction; stochastic penalty-neutral rows accept by
-            rejection sampling against the shaped distribution (emitted
-            marginals match non-speculative sampling exactly); rows with
-            active penalties fall back to one sampled token per step.
-            Invariant: hist[0..pos] holds the context (hist[pos] == the
-            pending input token). The draft rollout runs G+1 steps so a
-            full accept leaves no KV gap (the G-th draft token's KV is
-            written by the extra step); rejected drafts' stale entries
-            sit above kv_len and are overwritten on the next pass."""
-            bsz = dev_tok.shape[0]
-            hl = dev_hist.shape[1]
-            tok0 = jnp.where(ov_mask, ov_tok, dev_tok)
-            pos0 = jnp.where(ov_mask, ov_pos, dev_pos)
-            counts0 = jnp.where(ov_mask[:, None], ov_counts, dev_counts)
-            hist0 = jnp.where(ov_mask[:, None], ov_hist, dev_hist)
-            pen_on = ~(jnp.all(rp == 1.0) & jnp.all(fp == 0.0)
-                       & jnp.all(pp == 0.0))
-            g1 = spec_g + 1
-            kidx = jnp.arange(g1, dtype=jnp.int32)[None]
-            idxs = jnp.arange(hl, dtype=jnp.int32)[None]
-
-            def find_draft(hist, pos):
-                # match windows ENDING at e < pos against the context's
-                # last n-gram (which ends at pos); continuation follows e
-                m = (idxs < pos[:, None]) & (idxs >= ngram - 1)
-                for j in range(ngram):
-                    tj = jnp.take_along_axis(
-                        hist, jnp.clip(pos - j, 0, hl - 1)[:, None], 1)
-                    hj = hist if j == 0 else jnp.concatenate(
-                        [jnp.full((bsz, j), -1, hist.dtype),
-                         hist[:, :hl - j]], 1)
-                    m &= hj == tj
-                e = jnp.max(jnp.where(m, idxs, -1), axis=1)
-                found = (e >= 0) & (pos >= ngram)
-                gat = e[:, None] + 1 + jnp.arange(spec_g,
-                                                  dtype=jnp.int32)[None]
-                draft = jnp.take_along_axis(hist,
-                                            jnp.clip(gat, 0, hl - 1), 1)
-                ok = found[:, None] & (gat <= pos[:, None])
-                return jnp.where(ok, draft, 0)
-
-            def model_draft(dcache, tok, pos):
-                # greedy G+1-step rollout; pad one trash row so the
-                # batch matches the arena's B+1 rows (row b absorbs
-                # prefill padding and this pad)
-                t0 = jnp.concatenate([tok, jnp.zeros((1,), tok.dtype)])
-                p0 = jnp.concatenate([pos, jnp.zeros((1,), pos.dtype)])
-
-                def dstep(c, _):
-                    dc, t, p = c
-                    lg, dc = llama.forward(dcfg_, dpar, t[:, None],
-                                           p[:, None], dc, p, p + 1)
-                    nt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
-                    return (dc, nt, p + 1), nt
-
-                (dcache, _, _), ds = jax.lax.scan(
-                    dstep, (dcache, t0, p0), None, length=spec_g + 1)
-                return ds[:spec_g, :bsz].T, dcache       # [B, G]
-
-            def step(carry, _):
-                cache, dcache, tok, pos, counts, hist, key = carry
-                if use_draft:
-                    draft, dcache = model_draft(dcache, tok, pos)
-                else:
-                    draft = find_draft(hist, pos)             # [B, G]
-                toks_in = jnp.concatenate([tok[:, None], draft], 1)
-                positions = pos[:, None] + kidx               # [B, G+1]
-                kv_lens = pos + g1
-                lkw = {"lora_idx": lidx} if use_lora else {}
-                logits, cache = fwd(cfg_, params, toks_in, positions,
-                                    cache, tables, kv_lens, prefill=False,
-                                    **lkw)
-                # logit_bias shapes every sampling DECISION (greedy
-                # acceptance must match the biased non-speculative greedy;
-                # rejection sampling must target the biased distribution);
-                # reported logprobs stay on the model's raw logits.
-                # None = no live bias rows (graph compiled scatter-free).
-                logits_b = (sampling_ops.apply_logit_bias(
-                    logits, bias_i, bias_v)
-                    if bias_i is not None else logits)
-                pred = jnp.argmax(logits_b, -1).astype(jnp.int32)
-                key, sub = jax.random.split(key)
-                first = sampling_ops.sample(
-                    logits_b[:, 0], sub, temp, top_k, top_p, min_p=min_p,
-                    counts=counts, repetition_penalty=rp,
-                    frequency_penalty=fp, presence_penalty=pp,
-                    seeds=seeds, seed_pos=pos)
-                # Three acceptance regimes per row:
-                #  * greedy rows: accept drafts equal to the RAW greedy
-                #    prediction (token-exact vs non-speculative greedy);
-                #  * stochastic penalty-neutral rows: standard rejection
-                #    sampling against the SHAPED distribution — the
-                #    prompt-lookup draft is a point-mass proposal, so
-                #    accept draft d_k w.p. p_shaped(d_k), and on
-                #    rejection draw from the residual p|!=d_k. Emitted
-                #    marginals equal non-speculative sampling exactly;
-                #  * rows with active penalties fall back to one sampled
-                #    token per step (`first` applies penalty state like
-                #    the non-speculative burst).
-                pen_neutral = (rp == 1.0) & (fp == 0.0) & (pp == 0.0)
-                greedy_row = (temp <= 0.0) & pen_neutral
-                rs_row = (temp > 0.0) & pen_neutral
-                eq_g = draft == pred[:, :spec_g]
-
-                spec_pos = pos[:, None] + kidx[:, :spec_g]    # [B, G]
-
-                def rs_accept(_):
-                    # p_shaped(d_k) per window position, one sort each
-                    pd = jax.vmap(
-                        lambda lg, d: sampling_ops.shaped_token_prob(
-                            lg, d, temp, top_k, top_p, min_p),
-                        in_axes=(1, 1), out_axes=1)(
-                        logits_b[:, :spec_g], draft)         # [B, G]
-                    # acceptance uniforms keyed by (seed, position) on a
-                    # dedicated stream — deterministic per request, never
-                    # shared with any categorical draw
-                    ukeys = jax.vmap(sampling_ops.spec_row_keys,
-                                     in_axes=(None, 1, None),
-                                     out_axes=1)(
-                        seeds, spec_pos, 1)                  # [B, G, 2]
-                    u = jax.vmap(
-                        lambda kk: jax.vmap(jax.random.uniform)(kk),
-                        in_axes=1, out_axes=1)(ukeys)        # [B, G]
-                    return u < pd
-
-                any_rs = jnp.any(rs_row & active)
-                acc_rs = jax.lax.cond(
-                    any_rs, rs_accept,
-                    lambda _: jnp.zeros((bsz, spec_g), bool), None)
-                eq = jnp.where(greedy_row[:, None], eq_g,
-                               acc_rs & rs_row[:, None])
-                n_acc = jnp.cumprod(eq.astype(jnp.int32), 1).sum(1)
-                n_acc = jnp.where(greedy_row | rs_row, n_acc, 0)
-                bonus_g = jnp.take_along_axis(pred, n_acc[:, None],
-                                              1)[:, 0]
-
-                def rs_bonus(_):
-                    # the bonus draw consumes window n_acc's logits: the
-                    # residual p|!=d after a rejection, or the full
-                    # shaped p after G straight accepts (no residual)
-                    lg_b = jnp.take_along_axis(
-                        logits_b, n_acc[:, None, None], axis=1)[:, 0]
-                    excl = jnp.where(
-                        n_acc < spec_g,
-                        jnp.take_along_axis(
-                            draft, jnp.minimum(n_acc, spec_g - 1)[:, None],
-                            1)[:, 0],
-                        -1)
-                    bkeys = sampling_ops.spec_row_keys(
-                        seeds, pos + n_acc, 2)
-                    return sampling_ops.sample_excluding(
-                        lg_b, temp, top_k, top_p, min_p, excl, bkeys)
-
-                bonus_rs = jax.lax.cond(
-                    any_rs, rs_bonus, lambda _: jnp.zeros_like(tok), None)
-                bonus = jnp.where(greedy_row, bonus_g,
-                                  jnp.where(rs_row, bonus_rs, first))
-                draft_p = jnp.concatenate(
-                    [draft, jnp.zeros((bsz, 1), jnp.int32)], 1)
-                emitted = jnp.where(
-                    kidx < n_acc[:, None], draft_p,
-                    jnp.where(kidx == n_acc[:, None], bonus[:, None], -1))
-                emitted = jnp.where(active[:, None], emitted, -1)
-                n_em = jnp.where(active, n_acc + 1, 0)
-                # append emitted tokens at text positions pos+1+k
-                cols = jnp.where(kidx < n_em[:, None],
-                                 pos[:, None] + 1 + kidx, hl - 1)
-                hist = hist.at[jnp.arange(bsz)[:, None], cols].set(
-                    jnp.maximum(emitted, 0))
-                counts = jax.lax.cond(
-                    pen_on,
-                    lambda c: c.at[jnp.arange(bsz)[:, None],
-                                   jnp.maximum(emitted, 0)].add(
-                        (kidx < n_em[:, None]).astype(c.dtype)),
-                    lambda c: c, counts)
-                lsm = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-                lps = jnp.take_along_axis(
-                    lsm, jnp.maximum(emitted, 0)[..., None],
-                    axis=-1)[..., 0]                       # [B, G+1]
-                tok = jnp.where(active, bonus, tok)
-                pos = pos + n_em
-                return (cache, dcache, tok, pos, counts, hist,
-                        key), (emitted, lps, n_em)
-
-            (cache, dcache, tok, pos, counts, hist, _), \
-                (ems, elps, nems) = jax.lax.scan(
-                    step, (cache, dcache, tok0, pos0, counts0, hist0,
-                           key), None, length=steps)
-            # pack (emitted, logprobs, n_emitted) into ONE sync object
-            # [B, steps, 2(G+1)+1]
-            packed = jnp.concatenate(
-                [ems.transpose(1, 0, 2).astype(jnp.float32),
-                 elps.transpose(1, 0, 2),
-                 nems.T[..., None].astype(jnp.float32)], axis=-1)
-            return packed, tok, pos, counts, hist, cache, dcache
-
-        self._prefill_fn = _prefill_fn
-        self._prefill_chunk_fn = _prefill_chunk_fn
-        self._burst_fn = _burst_fn
-        self._spec_burst_fn = _spec_burst_fn if spec_g else None
+        (self._prefill_fn, self._prefill_chunk_fn, self._burst_fn,
+         self._spec_burst_fn) = _engine_graphs(
+            cfg, self._fwd, self.has_lora, engine_cfg.top_logprobs,
+            engine_cfg.spec_tokens, engine_cfg.spec_ngram,
+            draft[0] if draft is not None else None)
 
     # ------------- public API -------------
 

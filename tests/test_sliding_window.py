@@ -220,14 +220,22 @@ def test_engine_window_matches_dense_generator():
     assert got == want
 
 
-def test_sp_ring_prefill_rejects_window():
+def test_sp_ring_prefill_supports_window_rejects_moe():
+    """Sliding windows ride the SP ring since r4 (see
+    test_ring_attention.py::test_sp_prefill_sliding_window_model); the
+    remaining carve-outs are explicit."""
+    import dataclasses
+
+    from simplellminference_tpu.core.config import ModelConfig
     from simplellminference_tpu.models import llama_sp
 
     cfg = _mistral_cfg()
     mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]).reshape(8),
                              (llama_sp.SEQ_AXIS,))
-    with pytest.raises(NotImplementedError, match="sliding-window"):
-        llama_sp.make_sp_prefill(cfg, mesh)
+    llama_sp.make_sp_prefill(cfg, mesh)   # windowed models accepted
+    moe = ModelConfig.tiny_test(num_experts=4, num_experts_per_tok=2)
+    with pytest.raises(NotImplementedError, match="MoE"):
+        llama_sp.make_sp_prefill(moe, mesh)
 
 
 def test_qwen2_window_config_gates():
