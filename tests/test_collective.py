@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # ring collective matmul compiles
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 

@@ -12,6 +12,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # speculative engine e2e
+
 from simplellminference_tpu.core.config import (EngineConfig, KVCacheConfig,
                                                 ModelConfig, SamplingParams)
 from simplellminference_tpu.engine.engine import Engine

@@ -271,6 +271,7 @@ def test_engine_speculative_with_sampling_and_stops(model):
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
+@pytest.mark.slow  # shard_map TP engine compile
 def test_engine_tensor_parallel_matches_single(model):
     """TP-sharded paged engine (shard_map, pools sharded on kv heads)
     produces the same greedy tokens as the single-device engine."""
@@ -537,6 +538,7 @@ def test_engine_speculative_stochastic_rows_accept(model):
         "stochastic row accepted zero drafts (rejection sampling dead)"
 
 
+@pytest.mark.slow  # statistical sampling loop
 def test_engine_speculative_sampling_marginals(model):
     """Distribution preservation: the joint law of the first two sampled
     tokens under speculative decoding matches the non-speculative engine

@@ -8,6 +8,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # randomized scheduler chaos loops
+
 from simplellminference_tpu.core.config import (EngineConfig, KVCacheConfig,
                                                 ModelConfig, SamplingParams)
 from simplellminference_tpu.engine import Engine, RequestState

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # checkpoint+PPL harness e2e
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

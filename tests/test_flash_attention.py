@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel sweeps
+
 from simplellminference_tpu.ops import ref_ops
 from simplellminference_tpu.ops.attention.flash_decode import flash_decode
 from simplellminference_tpu.ops.attention.flash_prefill import flash_prefill

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # AWQ/GPTQ checkpoint e2e
+
 from simplellminference_tpu.core.config import ModelConfig
 from simplellminference_tpu.ops import ref_ops
 from simplellminference_tpu.ops.matmul import quantized_matmul

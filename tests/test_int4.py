@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # int4 kernel sweeps
+
 from simplellminference_tpu.ops import ref_ops
 from simplellminference_tpu.ops.linear import QuantizedWeight, linear
 from simplellminference_tpu.ops.matmul import quantized_matmul

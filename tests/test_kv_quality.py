@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # teacher-forced PPL ladders (per-dtype compiles)
+
 from simplellminference_tpu.core.config import ModelConfig, next_power_of_2
 from simplellminference_tpu.memory.allocator import PageAllocator
 from simplellminference_tpu.memory.paged_kv import (PagedKVCache,

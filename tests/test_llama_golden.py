@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # HF-golden layer/output comparison
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

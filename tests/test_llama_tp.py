@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # per-test shard_map TP compiles
+
 from simplellminference_tpu.core.config import ModelConfig
 from simplellminference_tpu.models import llama, llama_tp
 from simplellminference_tpu.parallel import mesh as mesh_lib, sharding

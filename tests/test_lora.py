@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-LoRA engine e2e
+
 from simplellminference_tpu.core.config import (EngineConfig, KVCacheConfig,
                                                 ModelConfig, SamplingParams)
 from simplellminference_tpu.engine import Engine, RequestState

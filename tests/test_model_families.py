@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # HF-golden family parity (torch model construction dominates)
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # MoE family + engine e2e
+
 from simplellminference_tpu.core.config import ModelConfig, SamplingParams
 from simplellminference_tpu.models import llama
 from simplellminference_tpu.ops import moe

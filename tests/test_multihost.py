@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # two-OS-process bootstrap
+
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
 

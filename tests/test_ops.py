@@ -137,12 +137,12 @@ def test_sampling_topp_renormalizes_after_topk(rng):
     logits = -np.arange(v, dtype=np.float32) * 1e-3  # strictly ordered
     lj = jnp.asarray(logits[None])
     t = jnp.asarray([1.0], jnp.float32)
+    samp = jax.jit(lambda key: S.sample(
+        lj, key, t, jnp.asarray([10], jnp.int32),
+        jnp.asarray([0.5], jnp.float32)))   # 1 compile, 64 dispatches
     draws = set()
     for i in range(64):
-        tok = S.sample(lj, jax.random.PRNGKey(i), t,
-                       jnp.asarray([10], jnp.int32),
-                       jnp.asarray([0.5], jnp.float32))
-        draws.add(int(tok[0]))
+        draws.add(int(samp(jax.random.PRNGKey(i))[0]))
     assert draws <= {0, 1, 2, 3, 4}, \
         f"top-p ran on un-renormalized probs: drew {sorted(draws)}"
     assert len(draws) > 1  # it is actually sampling, not argmaxing

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # pipeline-parallel GPipe compiles
+
 from simplellminference_tpu.core.config import ModelConfig
 from simplellminference_tpu.models import llama, llama_pp
 from simplellminference_tpu.runtime.kv_cache import DenseKVCache

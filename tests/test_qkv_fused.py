@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # megakernel interpret sweeps
+
 from simplellminference_tpu.ops import ref_ops
 from simplellminference_tpu.ops.qkv_fused import (fused_qkv_append,
                                                   fused_qkv_available,

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # blob roundtrip IO
+
 from simplellminference_tpu.core.config import ModelConfig, QuantConfig
 from simplellminference_tpu.models import llama
 from simplellminference_tpu.runtime import raw_blob

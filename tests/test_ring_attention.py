@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # SP ring + SP x TP + handoff compiles
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -10,6 +10,8 @@ import json
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # aiohttp server e2e
+
 aiohttp = pytest.importorskip("aiohttp")
 from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
 

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # GSPMD sharding compiles
+
 from simplellminference_tpu.core.config import ModelConfig, QuantConfig
 from simplellminference_tpu.models import llama
 from simplellminference_tpu.parallel import mesh as mesh_lib

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # windowed kernel sweeps + HF golden
+
 from simplellminference_tpu.core.config import (EngineConfig, KVCacheConfig,
                                                 ModelConfig, SamplingParams)
 from simplellminference_tpu.memory import paged_kv as pkv

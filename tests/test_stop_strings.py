@@ -14,6 +14,8 @@ import json
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # server + engine stop-string e2e
+
 from simplellminference_tpu.core.config import (EngineConfig, KVCacheConfig,
                                                 ModelConfig, SamplingParams)
 from simplellminference_tpu.engine import Engine

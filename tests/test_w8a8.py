@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # w8a8 kernel sweeps
+
 from simplellminference_tpu.ops import ref_ops
 from simplellminference_tpu.ops.linear import (ACT_QUANT_MIN_ROWS,
                                                QuantizedWeight, linear)
