@@ -140,10 +140,11 @@ def _engine_decode_time(cfg, params, args, steps: int) -> float:
     submit()
     eng.run()           # compile all graphs (prefill batch + burst)
     best = None
-    for _ in range(3):
-        # min-of-3: the differenced value 512/(te_full - te_half)
-        # amplifies wobble in either operand ~4x; a third rep halves
-        # the spread for ~8 s of extra bench time
+    for _ in range(5):
+        # min-of-5: the differenced value 512/(te_full - te_half)
+        # amplifies wobble in either operand ~4x, and the noise is
+        # one-sided (runs are only ever slower than physics), so the
+        # min converges with reps — ~15 s of extra bench time
         submit()
         t0 = time.perf_counter()
         eng.run()
@@ -159,7 +160,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=1024, help="KV capacity")
     ap.add_argument("--prompt-len", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=128,
+                    help="decode steps (128 = the cross-round "
+                         "comparable config; the differenced engine "
+                         "number has ~±1.3%% run-to-run spread at this "
+                         "length — longer runs average more KV context "
+                         "and page-granularity waste, which lowers the "
+                         "live-bytes roofline fraction, so do not "
+                         "compare across different --steps)")
     ap.add_argument("--burst", type=int, default=16,
                     help="engine decode-burst depth (16 is the measured "
                          "knee: 719 tok/s vs 715 at 8, flat at 32; "
