@@ -34,7 +34,9 @@ def main(argv=None):
                          "batch 8; +16%% at 8k context) with 2x the "
                          "cache capacity and a -0.08%% decode-PPL "
                          "delta — recommended for production serving; "
-                         "bf16 stays the bit-conservative default")
+                         "bf16 stays the bit-conservative default. "
+                         "fp8 is slow on v5e (no fast e4m3 vector "
+                         "loads: 456 tok/s measured) — use int8")
     ap.add_argument("--num-pages", type=int, default=2048)
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--max-pages-per-seq", type=int, default=64)
