@@ -107,6 +107,105 @@ class EngineMetrics:
         }
 
 
+#: Cumulative TTFT histogram bucket upper bounds (seconds), Prometheus
+#: convention (le-labeled, +Inf implicit). Spans interactive sub-100ms
+#: hits through multi-second long-prompt chunked prefills.
+TTFT_BUCKETS = (0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+
+def _prom_escape(v: str) -> str:
+    return v.replace("\\", "\\\\").replace("\n", "\\n").replace('"', '\\"')
+
+
+def prometheus_text(metrics: "EngineMetrics",
+                    extra_gauges: Optional[dict] = None) -> str:
+    """Render engine metrics in the Prometheus text exposition format
+    (version 0.0.4): ``# HELP``/``# TYPE`` headers, counters, gauges,
+    and a cumulative TTFT histogram.
+
+    The reference's whole observability story is a fatal LOG macro
+    (/root/reference/include/base.h:6-10); this is the serving-side
+    successor every scraper expects.
+    """
+    m = metrics
+    ns = "slli"  # simplellminference_tpu
+    lines: list = []
+
+    def counter(name, help_, value):
+        lines.append(f"# HELP {ns}_{name} {help_}")
+        lines.append(f"# TYPE {ns}_{name} counter")
+        lines.append(f"{ns}_{name} {value}")
+
+    def gauge(name, help_, value):
+        lines.append(f"# HELP {ns}_{name} {help_}")
+        lines.append(f"# TYPE {ns}_{name} gauge")
+        lines.append(f"{ns}_{name} {value}")
+
+    counter("tokens_generated_total",
+            "Decode tokens produced across all requests",
+            m.tokens_generated)
+    counter("prompt_tokens_total", "Prompt tokens prefilled",
+            m.prompt_tokens)
+    counter("prompt_tokens_cached_total",
+            "Prompt tokens served from shared prefix pages",
+            m.prompt_tokens_cached)
+    counter("requests_finished_total", "Requests finished successfully",
+            m.requests_finished)
+    counter("requests_failed_total", "Requests finished with an error",
+            m.requests_failed)
+    counter("requests_cancelled_total", "Requests cancelled by clients",
+            m.requests_cancelled)
+    counter("preemptions_total", "Requests preempted on KV pressure",
+            m.preemptions)
+    counter("engine_steps_total", "Engine scheduler steps",
+            m.engine_steps)
+    counter("decode_bursts_total", "Fused multi-token decode bursts",
+            m.decode_bursts)
+    counter("prefills_total", "Prefill dispatches", m.prefills)
+    counter("prefix_cache_hits_total", "Prefix cache hits",
+            m.prefix_cache_hits)
+    counter("prefix_cache_persistent_hits_total",
+            "Prefix hits against retained finished-request pages",
+            m.prefix_cache_persistent_hits)
+    counter("prefix_cache_evictions_total", "Persistent prefix evictions",
+            m.prefix_cache_evictions)
+    counter("spec_steps_total", "Speculative verify steps", m.spec_steps)
+    counter("spec_accepted_total", "Draft tokens accepted",
+            m.spec_accepted)
+    counter("guided_fanout_bursts_total",
+            "Guided-decoding pipelined fan-out bursts",
+            m.guided_fanout_bursts)
+    counter("guided_serial_steps_total",
+            "Guided-decoding serialized masked steps",
+            m.guided_serial_steps)
+
+    gauge("tokens_per_sec", "Decode tokens/s since engine start",
+          round(m.tokens_per_sec, 3))
+    gauge("batch_occupancy",
+          "Mean fraction of batch slots busy per step",
+          round(m.batch_occupancy, 6))
+    gauge("page_utilization", "Mean fraction of KV pages in use per step",
+          round(m.page_utilization, 6))
+    for name, (help_, value) in sorted((extra_gauges or {}).items()):
+        gauge(name, help_, value)
+
+    # TTFT histogram: cumulative le buckets + sum + count
+    lines.append(f"# HELP {ns}_ttft_seconds Time to first token")
+    lines.append(f"# TYPE {ns}_ttft_seconds histogram")
+    xs = sorted(m.ttfts)
+    i = 0
+    cum = 0
+    for le in TTFT_BUCKETS:
+        while i < len(xs) and xs[i] <= le:
+            i += 1
+        cum = i
+        lines.append(f'{ns}_ttft_seconds_bucket{{le="{le}"}} {cum}')
+    lines.append(f'{ns}_ttft_seconds_bucket{{le="+Inf"}} {len(xs)}')
+    lines.append(f"{ns}_ttft_seconds_sum {sum(xs)}")
+    lines.append(f"{ns}_ttft_seconds_count {len(xs)}")
+    return "\n".join(lines) + "\n"
+
+
 def log_event(event: str, **fields):
     """Structured engine event (admit/preempt/finish/oom)."""
     if logger.isEnabledFor(logging.INFO):

@@ -156,8 +156,26 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
     async def health(_request):
         return web.json_response({"status": "ok"})
 
-    async def metrics(_request):
+    async def metrics_json(_request):
         return web.json_response(engine.metrics.summary())
+
+    async def metrics(_request):
+        """Prometheus text exposition (scrapers); JSON at /metrics.json."""
+        from simplellminference_tpu.engine.metrics import prometheus_text
+
+        extra = {}
+        alloc = getattr(engine, "allocator", None)
+        ecfg = getattr(engine, "ecfg", None)
+        if alloc is not None and ecfg is not None:
+            extra["kv_pages_free"] = (
+                "KV pages currently free", alloc.num_free)
+            extra["kv_pages_total"] = (
+                "KV pages in the pool", ecfg.kv.num_pages)
+        text = prometheus_text(engine.metrics, extra_gauges=extra)
+        return web.Response(
+            body=text.encode("utf-8"),
+            headers={"Content-Type":
+                     "text/plain; version=0.0.4; charset=utf-8"})
 
     async def models(_request):
         data = [{"id": model_id, "object": "model",
@@ -498,6 +516,7 @@ def build_app(engine: Engine, tokenizer=None, model_id: str = "local",
     app = web.Application()
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics)
+    app.router.add_get("/metrics.json", metrics_json)
     app.router.add_get("/v1/models", models)
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/chat/completions", chat_completions)

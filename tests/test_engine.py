@@ -699,3 +699,51 @@ def test_engine_top_logprobs_rejects_spec():
                                          kv_dtype="f32"))
     with pytest.raises(ValueError, match="top_logprobs"):
         Engine(cfg, params, ecfg)
+
+
+def test_engine_fp8_kv_warns_on_selection(model):
+    """fp8 KV is a measured perf trap on v5e (456 vs 744 tok/s): picking
+    it at runtime must emit a loud warning naming int8 (VERDICT r4 #9)."""
+    cfg, params = model
+    ecfg = EngineConfig(
+        max_batch_size=2,
+        kv=KVCacheConfig(page_size=8, num_pages=32, max_pages_per_seq=8,
+                         kv_dtype="fp8"))
+    with pytest.warns(RuntimeWarning, match="int8"):
+        Engine(cfg, params, ecfg)
+
+
+def test_prometheus_text_exposition():
+    """Scrape-format contract: HELP/TYPE headers, counter/gauge/histogram
+    families, cumulative le buckets, sum/count."""
+    from simplellminference_tpu.engine.metrics import (EngineMetrics,
+                                                      prometheus_text)
+
+    m = EngineMetrics()
+    m.tokens_generated = 123
+    m.requests_finished = 4
+    m.ttfts = [0.02, 0.03, 0.3, 1.2]
+    m.observe_step(busy_slots=3, total_slots=4, used_pages=10,
+                   total_pages=64)
+    text = prometheus_text(m, extra_gauges={
+        "kv_pages_free": ("KV pages currently free", 54)})
+    lines = text.splitlines()
+    assert "slli_tokens_generated_total 123" in lines
+    assert "slli_requests_finished_total 4" in lines
+    assert "# TYPE slli_tokens_generated_total counter" in lines
+    assert "# TYPE slli_batch_occupancy gauge" in lines
+    assert "slli_batch_occupancy 0.75" in lines
+    assert "slli_kv_pages_free 54" in lines
+    # histogram: buckets are CUMULATIVE and ordered
+    assert 'slli_ttft_seconds_bucket{le="0.025"} 1' in lines
+    assert 'slli_ttft_seconds_bucket{le="0.05"} 2' in lines
+    assert 'slli_ttft_seconds_bucket{le="0.5"} 3' in lines
+    assert 'slli_ttft_seconds_bucket{le="2.5"} 4' in lines
+    assert 'slli_ttft_seconds_bucket{le="+Inf"} 4' in lines
+    assert "slli_ttft_seconds_count 4" in lines
+    [s] = [l for l in lines if l.startswith("slli_ttft_seconds_sum")]
+    assert abs(float(s.split()[1]) - 1.55) < 1e-9
+    # every sample line's family has exactly one TYPE header
+    for fam in ("slli_tokens_per_sec", "slli_page_utilization"):
+        assert sum(1 for l in lines
+                   if l.startswith(f"# TYPE {fam} ")) == 1

@@ -47,7 +47,18 @@ def test_health_and_metrics():
         r = await client.get("/health")
         assert r.status == 200
         assert (await r.json())["status"] == "ok"
+        # /metrics is Prometheus text exposition (scrape format)
         r = await client.get("/metrics")
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        assert "version=0.0.4" in r.headers["Content-Type"]
+        text = await r.text()
+        assert "# TYPE slli_tokens_generated_total counter" in text
+        assert "# TYPE slli_ttft_seconds histogram" in text
+        assert 'slli_ttft_seconds_bucket{le="+Inf"}' in text
+        assert "slli_kv_pages_total 64" in text
+        # JSON summary moved to /metrics.json
+        r = await client.get("/metrics.json")
         assert r.status == 200
         assert "tokens_per_sec" in await r.json()
     run_with_client(go)
