@@ -1,15 +1,24 @@
-"""Property tests for the native C++ page allocator (SURVEY.md §4.5 —
-the paged analog of the reference's pool invariants, alloc.cpp:73-201)."""
+"""Property tests for the page allocator (SURVEY.md §4.5 — the paged
+analog of the reference's pool invariants, alloc.cpp:73-201).
+
+Every test runs against BOTH engines: the native C++ allocator and the
+pure-Python fallback (identical semantics by contract); a final
+cross-check drives both with one random op stream and diffs state.
+"""
 
 import numpy as np
 import pytest
 
-from simplellminference_tpu.memory.allocator import PageAllocator
+from simplellminference_tpu.memory.allocator import (NativePageAllocator,
+                                                     PageAllocator,
+                                                     PyPageAllocator)
+
+IMPLS = [NativePageAllocator, PyPageAllocator]
 
 
-@pytest.fixture
-def pa():
-    return PageAllocator(num_pages=32, page_size=16, max_seqs=4,
+@pytest.fixture(params=IMPLS, ids=["native", "python"])
+def pa(request):
+    return request.param(num_pages=32, page_size=16, max_seqs=4,
                          max_pages_per_seq=16)
 
 
@@ -97,10 +106,11 @@ def test_cow_last_page(pa):
     assert pa.num_free == 32
 
 
-def test_randomized_invariants():
+@pytest.mark.parametrize("impl", IMPLS, ids=["native", "python"])
+def test_randomized_invariants(impl):
     rng = np.random.default_rng(0)
-    pa = PageAllocator(num_pages=64, page_size=8, max_seqs=8,
-                       max_pages_per_seq=32)
+    pa = impl(num_pages=64, page_size=8, max_seqs=8,
+              max_pages_per_seq=32)
     lens = {}
     for step in range(2000):
         slot = int(rng.integers(0, 8))
@@ -185,3 +195,62 @@ def test_prefix_handle_slot_reuse(pa):
     pa.free_seq(1)
     pa.prefix_release(h2)
     assert pa.num_free == 32
+
+
+def test_native_and_python_lockstep():
+    """One random op stream drives both engines; every observable
+    (num_free, seq lens, rows, prefix handles, return values) must
+    match at every step — the Python allocator is the executable spec
+    the native one is held to."""
+    rng = np.random.default_rng(7)
+    kw = dict(num_pages=48, page_size=8, max_seqs=6, max_pages_per_seq=16)
+    a, b = NativePageAllocator(**kw), PyPageAllocator(**kw)
+    handles = []
+    for step in range(3000):
+        op = rng.integers(0, 8)
+        slot = int(rng.integers(0, 6))
+        if op == 0:
+            t = int(rng.integers(0, 80))
+            assert a.alloc_seq(slot, t) == b.alloc_seq(slot, t)
+        elif op == 1:
+            t = int(rng.integers(0, 100))
+            assert a.extend(slot, t) == b.extend(slot, t)
+        elif op == 2:
+            assert a.free_seq(slot) == b.free_seq(slot)
+        elif op == 3:
+            dst = int(rng.integers(0, 6))
+            t = int(rng.integers(0, 64))
+            assert a.share_prefix(slot, dst, t) == \
+                b.share_prefix(slot, dst, t)
+        elif op == 4:
+            t = int(rng.integers(0, 64))
+            ha, hb = a.prefix_detach(slot, t), b.prefix_detach(slot, t)
+            assert ha == hb
+            if ha >= 0:
+                handles.append(ha)
+        elif op == 5 and handles:
+            h = handles[int(rng.integers(0, len(handles)))]
+            t = int(rng.integers(0, 64))
+            assert a.prefix_attach(h, slot, t) == b.prefix_attach(h, slot, t)
+        elif op == 6 and handles:
+            i = int(rng.integers(0, len(handles)))
+            h = handles.pop(i)
+            assert a.prefix_release(h) == b.prefix_release(h)
+        elif op == 7:
+            assert a.cow_last_page(slot) == b.cow_last_page(slot)
+        assert a.num_free == b.num_free, f"step {step}"
+        for s in range(6):
+            assert a.seq_len(s) == b.seq_len(s), f"step {step} slot {s}"
+        np.testing.assert_array_equal(a.table(), b.table(),
+                                      err_msg=f"step {step}")
+
+
+def test_factory_fallback_env(monkeypatch):
+    monkeypatch.setenv("SLI_PURE_PYTHON_ALLOCATOR", "1")
+    pa = PageAllocator(num_pages=8, page_size=4, max_seqs=2,
+                       max_pages_per_seq=4)
+    assert isinstance(pa, PyPageAllocator)
+    monkeypatch.delenv("SLI_PURE_PYTHON_ALLOCATOR")
+    pa = PageAllocator(num_pages=8, page_size=4, max_seqs=2,
+                       max_pages_per_seq=4)
+    assert isinstance(pa, NativePageAllocator)
