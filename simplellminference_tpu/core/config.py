@@ -762,6 +762,15 @@ class KVCacheConfig:
     num_pages: int = 1024          # total device pages (per layer tier)
     max_pages_per_seq: int = 512   # block-table width
     kv_dtype: str = "bf16"
+    # Sliding-window KV page reclamation: models with sliding layers
+    # (Mistral, Gemma-2/3, GPT-OSS) store those layers' KV in a separate
+    # RING pool of ceil(window/page)+1 pages per slot — out-of-window
+    # pages are overwritten in place, so sliding-layer memory is
+    # O(window) instead of O(context). Tradeoff: ring pages are
+    # slot-owned, so the prefix cache is disabled for such models while
+    # this is on. Set False to restore O(context) sliding pools (+
+    # prefix sharing). No effect on models without sliding layers.
+    sliding_reclaim: bool = True
 
     @property
     def max_seq_len(self) -> int:

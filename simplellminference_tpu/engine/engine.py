@@ -479,12 +479,61 @@ class Engine:
             kv.max_pages_per_seq)
         from simplellminference_tpu.memory.paged_kv import kv_storage_dtype
         kv_dtype = kv_storage_dtype(kv.kv_dtype)
-        # absorbed MLA: the cached latent row IS both K and V — ONE
-        # shared pool (half the memory; the attention kernels DMA each
-        # page once for score AND value)
-        self.cache = PagedKVCache.create(
-            cfg.num_layers, kv.num_pages, cfg.num_kv_heads, kv.page_size,
-            cfg.head_dim, kv_dtype, shared_kv=cfg.mla_absorbed)
+
+        # Sliding-window KV page reclamation (VERDICT r4 #2): sliding
+        # layers move to a separate RING pool — slot s owns ring pages
+        # [s*R, (s+1)*R) and table column j maps to s*R + j % R, so a
+        # page falling out of the window is overwritten in place. Memory
+        # for sliding layers is O(window) per sequence (R pages) instead
+        # of O(context); zero allocator churn and the ring tables are
+        # STATIC per width (never re-uploaded). The kernels never read
+        # out-of-window columns (their index maps clamp into the window
+        # band first), so aliased stale mappings are unreachable.
+        # Successor obligation of the reference allocator whose job was
+        # reclaiming memory (/root/reference/source/memory/alloc.cpp:
+        # 73-201) under its 1024-token cap (include/model/config.h:11).
+        ms_pre = engine_cfg.mesh_shape
+        n_mesh_pre = 1
+        if ms_pre:
+            for v_ in ms_pre.values():
+                n_mesh_pre *= int(v_)
+        self._grouped = False
+        self._window = None
+        self._ring = 0
+        self._ring_tables: dict = {}
+        self._tables_width = 0
+        period_, wins_, _ = cfg.scan_pattern()
+        w_set = {w for w in wins_ if w is not None}
+        if (kv.sliding_reclaim and len(w_set) == 1 and not cfg.mla
+                and not cfg.first_k_dense and forward_paged is None
+                and n_mesh_pre <= 1):
+            self._grouped = True
+            self._window = int(next(iter(w_set)))
+            cnt_w = sum(w is not None for w in wins_)
+            lw_layers = cfg.num_layers // period_ * cnt_w
+            lf_layers = cfg.num_layers - lw_layers
+            # the ring must absorb the largest single write span (a
+            # chunked-prefill chunk or a speculative verify window) plus
+            # the attention window without aliasing live columns
+            chunking = (engine_cfg.prefill_chunk
+                        and engine_cfg.prefill_chunk > 0
+                        and engine_cfg.prefill_chunk % kv.page_size == 0)
+            span = max(engine_cfg.spec_tokens + 1,
+                       max(engine_cfg.prefill_chunk, 128) if chunking
+                       else 1)
+            self._ring = (self._window + span - 1 - 1) // kv.page_size + 2
+            self.cache = PagedKVCache.create(
+                lf_layers, kv.num_pages, cfg.num_kv_heads, kv.page_size,
+                cfg.head_dim, kv_dtype).with_windowed(
+                    lw_layers, engine_cfg.max_batch_size * self._ring)
+        else:
+            # absorbed MLA: the cached latent row IS both K and V — ONE
+            # shared pool (half the memory; the attention kernels DMA
+            # each page once for score AND value)
+            self.cache = PagedKVCache.create(
+                cfg.num_layers, kv.num_pages, cfg.num_kv_heads,
+                kv.page_size, cfg.head_dim, kv_dtype,
+                shared_kv=cfg.mla_absorbed)
 
         # tensor-parallel serving: shard params + KV page pools over the
         # model axis and run the per-shard Pallas kernels inside a
@@ -787,6 +836,10 @@ class Engine:
         programmatic API — queueing externally-prefilled requests would
         hold their K/V alive host-side with no backpressure story).
         """
+        if self._grouped:
+            raise RuntimeError(
+                "adopt_prefill is unsupported with grouped sliding-window "
+                "pools (KVCacheConfig.sliding_reclaim=False to use it)")
         free = self._free_slots()
         if not free:
             raise RuntimeError("no free decode slot for adopt_prefill")
@@ -1075,7 +1128,7 @@ class Engine:
         store (refcounted — they survive the slot's free_seq) instead of
         letting a recurring system prompt re-prefill from scratch."""
         cap = self.ecfg.prefix_cache_entries
-        if cap <= 0 or req.slot < 0:
+        if cap <= 0 or req.slot < 0 or self._grouped:
             return
         ps = self.ecfg.kv.page_size
         n = (len(req.prompt_ids) // ps) * ps
@@ -1103,10 +1156,16 @@ class Engine:
             # prefix cache: share complete prompt-prefix pages with a
             # running request OR a retained (persistent) prefix handle —
             # whichever covers more — then allocate only the remainder.
-            # Prefill starts after the shared prefix.
+            # Prefill starts after the shared prefix. Grouped sliding
+            # pools: sharing is off — ring pages are slot-owned, and a
+            # shared full-group prefix would leave the sliding group's
+            # window unwritten.
             req.cached_len = 0
-            src, shareable = self._find_prefix_source(req, late)
-            pkey, ph, ph_tok = self._find_prefix_handle(req)
+            if self._grouped:
+                src, shareable, ph, ph_tok = -1, 0, -1, 0
+            else:
+                src, shareable = self._find_prefix_source(req, late)
+                pkey, ph, ph_tok = self._find_prefix_handle(req)
             if ph_tok > shareable:
                 shared = self.allocator.prefix_attach(ph, slot, ph_tok)
                 if shared > 0 and self.allocator.extend(slot,
@@ -1297,15 +1356,25 @@ class Engine:
                 else None)
         gm = self._guided_mask_rows(reqs, nb)
         gm = None if gm is None else jnp.asarray(gm)
+        tables_arg = jnp.asarray(tables)
+        if self._grouped:
+            # whole-prompt dispatch: ring rows masked to the in-window
+            # columns (suffix dispatches never happen grouped — the
+            # prefix cache is off)
+            assert not suffixes
+            tw = np.full((nb, mp), -1, np.int32)
+            for i, r in enumerate(reqs):
+                tw[i] = self._ring_row_masked(r.slot, int(kv_len[i]), mp)
+            tables_arg = (tables_arg, jnp.asarray(tw))
         if suffixes:
             packed, self.cache = self._prefill_chunk_fn(
                 self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(tables), jnp.asarray(kv_len),
+                tables_arg, jnp.asarray(kv_len),
                 jnp.asarray(offs), *samp, allowed=gm)
         else:
             packed, self.cache = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(tables), jnp.asarray(kv_len), *samp,
+                tables_arg, jnp.asarray(kv_len), *samp,
                 allowed=gm)
         return packed[:n]
 
@@ -1357,6 +1426,21 @@ class Engine:
         ln = len(ids)
         todo = ln - start
         tables = jnp.asarray(self.allocator.row(req.slot)[None])
+        mp = self.allocator.max_pages_per_seq
+        if self._grouped:
+            # chunked dispatches read back through the ring (paged
+            # prefill attention), so they take the UNMASKED ring row —
+            # the ring was sized for window + chunk span; whole-prompt
+            # dispatches (no pool reads) mask out-of-window columns.
+            chunk_ = self.ecfg.prefill_chunk
+            will_chunk = chunk_ and chunk_ > 0 and todo > chunk_ \
+                and chunk_ % self.ecfg.kv.page_size == 0
+            if start > 0 or will_chunk:
+                rw = (req.slot * self._ring
+                      + np.arange(mp, dtype=np.int32) % self._ring)[None]
+            else:
+                rw = self._ring_row_masked(req.slot, ln, mp)[None]
+            tables = (tables, jnp.asarray(rw))
         self._key, sub = jax.random.split(self._key)
         idx = np.asarray([req.slot])
         samp = (sub,
@@ -1817,10 +1901,41 @@ class Engine:
             width *= 2
         width = min(width, mp)
         if (self._tables_dirty or self._tables_dev is None
-                or self._tables_dev.shape[1] != width):
-            self._tables_dev = jnp.asarray(
-                self.allocator.table()[:, :width])
+                or self._tables_width != width):
+            full = jnp.asarray(self.allocator.table()[:, :width])
+            # grouped sliding pools: the ring table is a pure function
+            # of (slot, column) — cached per width, NEVER re-uploaded
+            self._tables_dev = ((full, self._ring_table(width))
+                                if self._grouped else full)
+            self._tables_width = width
             self._tables_dirty = False
+
+    def _ring_table(self, width: int):
+        """Static ring tables [B, width]: column j of slot s maps to ring
+        page s*R + j % R (stale out-of-window aliases are unreachable —
+        the paged kernels clamp column reads into the window band)."""
+        rt = self._ring_tables.get(width)
+        if rt is None:
+            r = self._ring
+            cols = np.arange(width, dtype=np.int32) % r
+            rows = np.arange(len(self.slots), dtype=np.int32)[:, None] * r
+            rt = jnp.asarray(rows + cols[None])
+            self._ring_tables[width] = rt
+        return rt
+
+    def _ring_row_masked(self, slot: int, kv_len: int,
+                         mp: int) -> np.ndarray:
+        """Ring table row for a FULL-prompt prefill dispatch: only the
+        in-window columns are mapped (older columns -> -1/trash — their
+        tokens can never be attended again, and masking keeps the ring
+        free of duplicate page writes within the one dispatch)."""
+        ps = self.ecfg.kv.page_size
+        row = np.full(mp, -1, np.int32)
+        lo = max(0, kv_len - self._window) // ps
+        hi = (kv_len - 1) // ps
+        cols = np.arange(lo, min(hi, mp - 1) + 1, dtype=np.int32)
+        row[cols] = slot * self._ring + cols % self._ring
+        return row
 
     def _get_zero_ov(self):
         """(tok, pos, mask) no-op override buffers — device-resident so

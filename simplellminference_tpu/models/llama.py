@@ -512,6 +512,21 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     b, s = tokens.shape
     n, kvn, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     dtype = jnp.dtype(cfg.dtype)
+    # Sliding-window page reclamation (engine grouped mode): ``tables``
+    # arrives as a (full_tables, ring_tables) pair and the cache carries
+    # the windowed group's ring pools (cache.k_w). Sliding sublayers
+    # read/write the ring pools at GROUP-LOCAL layer indices; full
+    # sublayers use the main pools likewise.
+    if isinstance(tables, (tuple, list)):
+        tables, tables_w = tables
+    else:
+        tables_w = None
+    grouped = tables_w is not None and cache.k_w is not None
+    assert (cache.k_w is None) == (tables_w is None), \
+        "windowed-group cache needs (full, ring) tables, and vice versa"
+    if grouped:
+        assert cfg.first_k_dense == 0 and not cfg.mla, \
+            "grouped sliding pools: dense-prefix/MLA stacks unsupported"
     if tp_axis is not None:
         # per-shard body under shard_map (models/llama_tp.py): local
         # heads/intermediate, vocab-parallel embedding, psum after the
@@ -578,10 +593,15 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             use_fqkv = qkv_fused.fused_qkv_available(lw, cfg, b, s, cache.k,
                                                      n_heads=n, kv_heads=kvn)
 
-        def sub_body(carry, li, window, mask, rope):
+        def sub_body(carry, li, window, mask, rope, tbl, kli):
+            """One decoder sublayer over ONE pool set.
+
+            ``carry`` = (x, pk, pv, pks, pvs) — the pools of whichever
+            layer GROUP this sublayer belongs to; ``tbl`` its block
+            tables; ``kli`` its (group-local) cache layer index. Weights
+            always index by the global ``li``."""
             x, pk, pv, pks, pvs = carry
             sin, cos = rope
-            kli = li + kv_off if kv_off else li
             if use_fqkv:
                 # decode hot path: rmsnorm + qkv dequant-matmul + RoPE +
                 # paged KV append as ONE pallas call (ops/qkv_fused.py)
@@ -590,20 +610,21 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 if quant_kv:
                     q2, pk, pv, pks, pvs = qkv_fused.fused_qkv_append(
                         x[:, 0], lw["_input_norm3"], w.q, w.scales,
-                        sin[:, 0], cos[:, 0], pk, pv, kli,
+                        sin[:, 0], cos[:, 0], pk, pv, li,
                         positions[:, 0], n_heads=n, kv_heads=kvn,
-                        eps=cfg.rms_norm_eps, tables=tables,
-                        cache_ks=pks, cache_vs=pvs,
+                        eps=cfg.rms_norm_eps, tables=tbl,
+                        cache_ks=pks, cache_vs=pvs, kv_layer=kli,
                         interpret=FORCE_FUSED_INTERPRET)
                 else:
                     q2, pk, pv = qkv_fused.fused_qkv_append(
                         x[:, 0], lw["_input_norm3"], w.q, w.scales,
-                        sin[:, 0], cos[:, 0], pk, pv, kli,
+                        sin[:, 0], cos[:, 0], pk, pv, li,
                         positions[:, 0], n_heads=n, kv_heads=kvn,
-                        eps=cfg.rms_norm_eps, tables=tables,
+                        eps=cfg.rms_norm_eps, tables=tbl,
+                        kv_layer=kli,
                         interpret=FORCE_FUSED_INTERPRET)
                 attn = dispatch.attention_paged(
-                    cfg, q2[:, None], pk, pv, tables, kv_lens,
+                    cfg, q2[:, None], pk, pv, tbl, kv_lens,
                     *((pks, pvs) if quant_kv else (None, None)),
                     layer=kli, window=window,
                     sinks=(norm_w(lw["sinks"], li) if "sinks" in lw
@@ -669,16 +690,16 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 # position, attend via the multi-window paged flash kernel
                 # (same page traffic as one decode step)
                 pk, pv, nks, nvs = pkv.write_span_stacked(
-                    pk, pv, k, v, tables, positions[:, 0], kli,
+                    pk, pv, k, v, tbl, positions[:, 0], kli,
                     *scale_args)
                 attn = dispatch.attention_paged(
-                    cfg, q, pk, pv, tables, kv_lens,
+                    cfg, q, pk, pv, tbl, kv_lens,
                     *((nks, nvs) if quant_kv else (None, None)),
                     layer=kli, window=window, sinks=sinks)
             elif chunked:
                 ps = pk.shape[3]
                 pk, pv, nks, nvs = pkv.write_prefill_stacked(
-                    pk, pv, k, v, tables, kli, *scale_args,
+                    pk, pv, k, v, tbl, kli, *scale_args,
                     page_offset=chunk_offset // ps)
                 # Attend the window's queries to everything cached so far
                 # (including the just-written chunk) THROUGH the page tables
@@ -686,20 +707,20 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 # materialization of the prefix (gather_dense only as the
                 # CPU/GSPMD fallback inside the dispatcher).
                 attn = dispatch.attention_paged_prefill(
-                    cfg, q, pk, pv, tables, kv_lens, chunk_offset,
+                    cfg, q, pk, pv, tbl, kv_lens, chunk_offset,
                     *((nks, nvs) if quant_kv else (None, None)),
                     layer=kli, window=window, sinks=sinks)
             elif prefill:
                 pk, pv, nks, nvs = pkv.write_prefill_stacked(
-                    pk, pv, k, v, tables, kli, *scale_args)
+                    pk, pv, k, v, tbl, kli, *scale_args)
                 attn = dispatch.attention(cfg, q, k, v, mask, window=window,
                                           sinks=sinks)
             else:
                 pk, pv, nks, nvs = pkv.write_decode_stacked(
-                    pk, pv, k[:, 0], v[:, 0], tables, positions[:, 0],
+                    pk, pv, k[:, 0], v[:, 0], tbl, positions[:, 0],
                     kli, *scale_args)
                 attn = dispatch.attention_paged(
-                    cfg, q, pk, pv, tables, kv_lens,
+                    cfg, q, pk, pv, tbl, kv_lens,
                     *((nks, nvs) if quant_kv else (None, None)),
                     layer=kli, window=window, sinks=sinks)
             if quant_kv:
@@ -741,7 +762,7 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 if cfg.residual_scale != 1.0:
                     out = cfg.residual_scale * out
                 x = x + out
-                return (x, pk, pv, pks, pvs), None
+                return (x, pk, pv, pks, pvs)
             lora_ffn = lora_t and ("w_gate_up" in lora_t
                                    or "w_down" in lora_t)
             if cfg.pre_norms and _use_fused_kernels() and not lora_ffn:
@@ -765,8 +786,8 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
                         xo = xf + jax.lax.psum(xo - xf, tp_axis)
                     if cfg.residual_scale != 1.0:
                         xo = xf + cfg.residual_scale * (xo - xf)
-                    return (xo.reshape(b, s, cfg.hidden_size), pk, pv, pks,
-                            pvs), None
+                    return (xo.reshape(b, s, cfg.hidden_size), pk, pv,
+                            pks, pvs)
             ffn_in = (ref_ops.rmsnorm(x, norm_w(lw["post_norm"], li),
                                       cfg.rms_norm_eps)
                       if cfg.pre_norms else x)
@@ -798,12 +819,47 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
             if cfg.residual_scale != 1.0:  # Granite residual_multiplier
                 down = cfg.residual_scale * down
             x = x + down
-            return (x, pk, pv, pks, pvs), None
+            return (x, pk, pv, pks, pvs)
+
+        if grouped:
+            # Per-sublayer group metadata: sliding sublayers index the
+            # ring pools (group-local layer t*cnt_w + rank), full ones
+            # the main pools (t*cnt_f + rank).
+            w_flags = [w is not None for w in wins]
+            cnt_w = sum(w_flags)
+            cnt_f = period - cnt_w
+            rank_w, rank_f = [], []
+            iw = if_ = 0
+            for f in w_flags:
+                rank_w.append(iw)
+                rank_f.append(if_)
+                iw += 1 if f else 0
+                if_ += 0 if f else 1
+
+            def body(carry, base_li):
+                x, pk, pv, pks, pvs, pkw, pvw, pksw, pvsw = carry
+                t = base_li // period
+                for j, w in enumerate(wins):
+                    li = base_li + j
+                    if w_flags[j]:
+                        sub = sub_body((x, pkw, pvw, pksw, pvsw), li, w,
+                                       masks[w], ropes_j[j], tables_w,
+                                       t * cnt_w + rank_w[j])
+                        x, pkw, pvw, pksw, pvsw = sub
+                    else:
+                        sub = sub_body((x, pk, pv, pks, pvs), li, w,
+                                       masks[w], ropes_j[j], tables,
+                                       t * cnt_f + rank_f[j])
+                        x, pk, pv, pks, pvs = sub
+                return (x, pk, pv, pks, pvs, pkw, pvw, pksw, pvsw), None
+            return body
 
         def body(carry, base_li):
             for j, w in enumerate(wins):
-                carry, _ = sub_body(carry, base_li + j, w, masks[w],
-                                    ropes_j[j])
+                li = base_li + j
+                kli = li + kv_off if kv_off else li
+                carry = sub_body(carry, li, w, masks[w], ropes_j[j],
+                                 tables, kli)
             return carry, None
         return body
 
@@ -813,17 +869,27 @@ def forward_paged(cfg: ModelConfig, params: Params, tokens: jax.Array,
     carry0 = (x, cache.k, cache.v,
               cache.k_scale if quant_kv else None,
               cache.v_scale if quant_kv else None)
+    if grouped:
+        carry0 += (cache.k_w, cache.v_w,
+                   cache.k_w_scale if quant_kv else None,
+                   cache.v_w_scale if quant_kv else None)
     if kd:
         dense_body = make_group(params["dense_layers"], 0, 0, n)
         carry0, _ = jax.lax.scan(dense_body, carry0,
                                  jnp.arange(kd, dtype=jnp.int32))
     steps = jnp.arange((cfg.num_layers - kd) // period,
                        dtype=jnp.int32) * period
-    (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
-        body, carry0, steps)
+    carry_out, _ = jax.lax.scan(body, carry0, steps)
+    (x, new_k, new_v, new_ks, new_vs), rest = carry_out[:5], carry_out[5:]
     cache = PagedKVCache(k=new_k, v=new_v,
                          k_scale=new_ks if quant_kv else None,
-                         v_scale=new_vs if quant_kv else None)
+                         v_scale=new_vs if quant_kv else None,
+                         k_w=rest[0] if grouped else None,
+                         v_w=rest[1] if grouped else None,
+                         k_w_scale=(rest[2] if grouped and quant_kv
+                                    else None),
+                         v_w_scale=(rest[3] if grouped and quant_kv
+                                    else None))
 
     if last_token_only and s > 1:
         # Last valid slot = kv_len-1 (absolute) -> chunk-local index.

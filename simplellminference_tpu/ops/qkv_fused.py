@@ -197,7 +197,8 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
                      eps: float = 1e-5, interpret: bool = False,
                      tables: jax.Array | None = None,
                      cache_ks: jax.Array | None = None,
-                     cache_vs: jax.Array | None = None):
+                     cache_vs: jax.Array | None = None,
+                     kv_layer: jax.Array | None = None):
     """x: [B, H]; wq: [L, H, (N+2kvN)*D] int8 + per-channel ws [L, 1, Nq];
     sin/cos: [B, D/2]; cache_k/v: [L, B, kvN, Smax, D] (aliased in/out) —
     or, with ``tables`` [B, MP], the PAGED pools [L, P, kvN, ps, D]
@@ -245,7 +246,14 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
     quant = cache_ks is not None
     assert not quant or tables is not None, \
         "in-kernel quantizing append is a paged-pool path"
-    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    # layer rides as a 2-vector [weight_layer, cache_layer]: the grouped
+    # sliding-window pools (memory/paged_kv.py k_w) index the cache by a
+    # GROUP-LOCAL layer while weights stay globally indexed — kv_layer
+    # decouples them (defaults to layer: the classic coupled path).
+    wli = jnp.asarray(layer, jnp.int32).reshape(())
+    kli = (wli if kv_layer is None
+           else jnp.asarray(kv_layer, jnp.int32).reshape(()))
+    layer = jnp.stack([wli, kli])
     offsets = jnp.asarray(offsets, jnp.int32)
     if tables is None:
         page = jnp.arange(b, dtype=jnp.int32)   # dense: row b = "page" b
@@ -271,7 +279,7 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
 
     def win_index(i, li, pg, wb, rl):
         bi = jnp.clip(i - t1, 0, b - 1)
-        return (li[0], pg[bi], 0, wb[bi], 0)
+        return (li[1], pg[bi], 0, wb[bi], 0)
 
     nsp = 5 if quant else 4
 
@@ -319,7 +327,7 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
     if quant:
         ps = smax
         spage_index = arg(lambda i, li, pg, wb, rl: (
-            li[0], pg[jnp.clip(i - t1, 0, b - 1)], 0, 0))
+            li[1], pg[jnp.clip(i - t1, 0, b - 1)], 0, 0))
         in_specs += [pl.BlockSpec((1, 1, kvn, ps), spage_index),
                      pl.BlockSpec((1, 1, kvn, ps), spage_index)]
         out_specs += [pl.BlockSpec((1, 1, kvn, ps), spage_index),
