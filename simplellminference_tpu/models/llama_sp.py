@@ -65,15 +65,17 @@ def sp_tp_mesh(seq: int, tp: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devs).reshape(seq, tp), (SEQ_AXIS, MODEL_AXIS))
 
 
-def _check_sp_supported(cfg: ModelConfig):
-    if cfg.mla:
-        raise NotImplementedError("MLA under the SP ring is not wired up")
-    if not cfg.pre_norms:
-        raise NotImplementedError("post-norm stacks under SP")
-    if cfg.partial_rotary_factor != 1.0 or cfg.rope_interleaved:
-        raise NotImplementedError("partial/interleaved rotary under SP")
-    if cfg.num_experts:
-        raise NotImplementedError("MoE FFN under the SP ring")
+def _check_sp_supported(cfg: ModelConfig, handoff: bool = False):
+    """r5: the r4 carve-outs (MoE, MLA, post-norm stacks, partial/
+    interleaved rotary) are lifted — DeepSeek and Mixtral ring-prefill
+    now (VERDICT r4 #3). The one remaining gate: the K/V->paged handoff
+    computes naive per-head K/V, which does not feed an absorbed-MLA
+    latent pool — MLA models ring-prefill via :func:`make_sp_prefill`
+    (logits/scoring) but hand decode off by re-prefill."""
+    if handoff and cfg.mla:
+        raise NotImplementedError(
+            "SP->paged handoff for MLA: the ring computes naive per-head "
+            "K/V, not the absorbed latent rows the paged MLA pools store")
 
 
 def _local_forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
@@ -112,58 +114,91 @@ def _local_forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
     positions = jnp.broadcast_to(positions, (b, sl))
     period, wins, nope = cfg.scan_pattern()
     ropes = ref_ops.rope_tables_by_sublayer(cfg, positions, wins, nope)
-    lw = params["layers"]
     sm_scale = (None if cfg.query_pre_attn_scalar is None
                 else cfg.query_pre_attn_scalar ** -0.5)
 
     def norm_w(w, li):
         return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
 
-    def sublayer(x, li, window, rope):
+    def sublayer(x, lw, subcfg, li, window, rope):
+        """One decoder sublayer on the local sequence chunk. ``subcfg``
+        differs from cfg only for DeepSeek's dense-prefix group
+        (num_experts=0); attention geometry is shared."""
         sin, cos = rope
-        attn_in = ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
-                                  cfg.rms_norm_eps)
-        qkv = linear(attn_in, lw["wqkv"], layer=li)
-        if "wqkv_bias" in lw:
-            qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
-        if "q_norm" in lw and cfg.qk_norm_full:
-            q = ref_ops.rmsnorm(qkv[..., :n * d],
-                                norm_w(lw["q_norm"], li),
-                                cfg.rms_norm_eps).reshape(b, sl, n, d)
-            k = ref_ops.rmsnorm(qkv[..., n * d:(n + kvn) * d],
-                                norm_w(lw["k_norm"], li),
-                                cfg.rms_norm_eps).reshape(b, sl, kvn, d)
+        # OLMo-2 (pre_norms=False): raw residual stream into attention
+        attn_in = (ref_ops.rmsnorm(x, norm_w(lw["input_norm"], li),
+                                   cfg.rms_norm_eps)
+                   if cfg.pre_norms else x)
+        if cfg.mla:
+            # DeepSeek MLA rides the ring in NAIVE form: per-head K/V
+            # padded to the cache lane dim are ordinary ring operands
+            # (the latent compression is a projection detail upstream
+            # of attention).
+            from simplellminference_tpu.models import mla as mla_mod
+            q, k, v = mla_mod.mla_qkv(cfg, lw, li, attn_in, sin, cos,
+                                      n_heads=n)
         else:
-            q = qkv[..., :n * d].reshape(b, sl, n, d)
-            k = qkv[..., n * d:(n + kvn) * d].reshape(b, sl, kvn, d)
-            if "q_norm" in lw:      # Qwen3/Gemma-3: per-head q/k norms
-                q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
-                                    cfg.rms_norm_eps)
-                k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
-                                    cfg.rms_norm_eps)
-        v = qkv[..., (n + kvn) * d:].reshape(b, sl, kvn, d)
-        q = ref_ops.apply_rope(q, sin, cos)
-        k = ref_ops.apply_rope(k, sin, cos)
+            qkv = linear(attn_in, lw["wqkv"], layer=li)
+            if "wqkv_bias" in lw:
+                qkv = qkv + norm_w(lw["wqkv_bias"], li).astype(qkv.dtype)
+            if "q_norm" in lw and cfg.qk_norm_full:
+                q = ref_ops.rmsnorm(qkv[..., :n * d],
+                                    norm_w(lw["q_norm"], li),
+                                    cfg.rms_norm_eps).reshape(b, sl, n, d)
+                k = ref_ops.rmsnorm(qkv[..., n * d:(n + kvn) * d],
+                                    norm_w(lw["k_norm"], li),
+                                    cfg.rms_norm_eps).reshape(b, sl, kvn,
+                                                              d)
+            else:
+                q = qkv[..., :n * d].reshape(b, sl, n, d)
+                k = qkv[..., n * d:(n + kvn) * d].reshape(b, sl, kvn, d)
+                if "q_norm" in lw:      # Qwen3/Gemma-3: per-head norms
+                    q = ref_ops.rmsnorm(q, norm_w(lw["q_norm"], li),
+                                        cfg.rms_norm_eps)
+                    k = ref_ops.rmsnorm(k, norm_w(lw["k_norm"], li),
+                                        cfg.rms_norm_eps)
+            v = qkv[..., (n + kvn) * d:].reshape(b, sl, kvn, d)
+            if (cfg.partial_rotary_factor < 1.0
+                    or cfg.rope_interleaved):  # GLM-4 / Helium / Ernie
+                q = ref_ops.apply_rope_partial(q, sin, cos,
+                                               cfg.rope_interleaved)
+                k = ref_ops.apply_rope_partial(k, sin, cos,
+                                               cfg.rope_interleaved)
+            else:
+                q = ref_ops.apply_rope(q, sin, cos)
+                k = ref_ops.apply_rope(k, sin, cos)
 
         sinks = norm_w(lw["sinks"], li) if "sinks" in lw else None
         attn = ring_attention(q, k, v, SEQ_AXIS, causal=True,
                               window=window, sm_scale=sm_scale,
                               logit_cap=cfg.attn_logit_softcap,
                               sinks=sinks)
-
-        attn = linear(attn.reshape(b, sl, n * d), lw["wo"], layer=li)
+        if cfg.mla and cfg.v_head_dim < d:
+            # naive-MLA pads v to the cache lane dim; drop the zeros
+            attn = attn[..., :cfg.v_head_dim]
+        attn = linear(attn.reshape(b, sl, -1), lw["wo"], layer=li)
         if tp_axis is not None:
             attn = jax.lax.psum(attn, tp_axis)
         if "wo_bias" in lw:
             attn = attn + norm_w(lw["wo_bias"], li).astype(attn.dtype)
-        if "post_attn_norm" in lw:   # Gemma-2 pre-residual attn norm
+        if "post_attn_norm" in lw:   # Gemma-2/OLMo-2 pre-residual norm
             attn = ref_ops.rmsnorm(attn, norm_w(lw["post_attn_norm"], li),
                                    cfg.rms_norm_eps)
         if cfg.residual_scale != 1.0:
             attn = cfg.residual_scale * attn
         x2 = x + attn
-        ffn_in = ref_ops.rmsnorm(x2, norm_w(lw["post_norm"], li),
-                                 cfg.rms_norm_eps)
+        ffn_in = (ref_ops.rmsnorm(x2, norm_w(lw["post_norm"], li),
+                                  cfg.rms_norm_eps)
+                  if cfg.pre_norms else x2)
+        if subcfg.num_experts:
+            # MoE is per-token — orthogonal to the sequence ring. Under
+            # SP x TP each model shard owns whole experts (folded
+            # layout) and moe_ffn psums over tp_axis internally.
+            from simplellminference_tpu.ops import moe
+            out = moe.moe_ffn(subcfg, lw, li, ffn_in, tp_axis=tp_axis)
+            if cfg.residual_scale != 1.0:
+                out = cfg.residual_scale * out
+            return x2 + out, (k, v)
         gate_up = linear(ffn_in, lw["w_gate_up"], layer=li)
         if "w_gate_up_bias" in lw:
             gate_up = gate_up + norm_w(lw["w_gate_up_bias"],
@@ -176,17 +211,36 @@ def _local_forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             down = jax.lax.psum(down, tp_axis)
         if "w_down_bias" in lw:
             down = down + norm_w(lw["w_down_bias"], li).astype(down.dtype)
-        if "post_ffn_norm" in lw:    # Gemma-2 pre-residual ffn norm
+        if "post_ffn_norm" in lw:    # Gemma-2/OLMo-2 pre-residual norm
             down = ref_ops.rmsnorm(down, norm_w(lw["post_ffn_norm"], li),
                                    cfg.rms_norm_eps)
         if cfg.residual_scale != 1.0:
             down = cfg.residual_scale * down
         return x2 + down, (k, v)
 
+    lw = params["layers"]
+    kd = cfg.first_k_dense
+    if kd:
+        # DeepSeek dense-prefix layers: own stacked group scanned first
+        # (same layout as llama.forward). collect_kv is MLA-gated and
+        # kd only occurs on MLA configs, so no k/v collection here.
+        import dataclasses as _dc
+        assert not collect_kv
+        cfgd = _dc.replace(cfg, num_experts=0, first_k_dense=0)
+        lwd = params["dense_layers"]
+
+        def dense_body(x, li):
+            x, _ = sublayer(x, lwd, cfgd, li, wins[0], ropes[0])
+            return x, None
+
+        x, _ = jax.lax.scan(dense_body, x,
+                            jnp.arange(kd, dtype=jnp.int32))
+
     def body(x, gi):
         kvs = []
         for j in range(period):
-            x, kv = sublayer(x, gi * period + j, wins[j], ropes[j])
+            x, kv = sublayer(x, lw, cfg, gi * period + j, wins[j],
+                             ropes[j])
             kvs.append(kv)
         if collect_kv:
             ks = jnp.stack([k_ for k_, _ in kvs])   # [period, B, Sl, kvn, D]
@@ -194,7 +248,7 @@ def _local_forward(cfg: ModelConfig, params: Params, tokens: jax.Array,
             return x, (ks, vs)
         return x, None
 
-    groups = cfg.num_layers // period
+    groups = (cfg.num_layers - kd) // period
     x, kv_out = jax.lax.scan(body, x, jnp.arange(groups, dtype=jnp.int32))
     x = ref_ops.rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
@@ -255,7 +309,7 @@ def make_sp_tp_prefill(cfg: ModelConfig, mesh: Mesh, params: Params):
     from simplellminference_tpu.models import llama_tp
     from simplellminference_tpu.parallel import sharding
 
-    _check_sp_supported(cfg)
+    _check_sp_supported(cfg, handoff=True)
     ring = mesh.shape[SEQ_AXIS]
     tp = mesh.shape[MODEL_AXIS]
     assert cfg.vocab_size % tp == 0 and cfg.num_kv_heads % tp == 0, (

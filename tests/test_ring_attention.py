@@ -238,3 +238,132 @@ def test_sp_tp_handoff_to_paged_engine():
         sampling=samp)
     eng.run()
     assert req.output_ids == want, (req.output_ids, want)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4+ devices")
+def test_sp_prefill_moe_matches_dense():
+    """Mixtral-shape MoE under the SP ring (r4 carve-out lifted): the
+    expert FFN is per-token, so it rides each shard's local chunk; ring
+    logits == dense forward logits."""
+    from simplellminference_tpu.core.config import ModelConfig
+    from simplellminference_tpu.models import llama, llama_sp
+
+    cfg = ModelConfig.tiny_test(max_seq_len=128, num_experts=4,
+                                num_experts_per_tok=2,
+                                moe_intermediate_size=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(6)
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 64)),
+                         jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[None],
+                                 (2, 64))
+    want, _ = llama.forward(cfg, params, tokens, positions)
+    fwd = llama_sp.make_sp_prefill(cfg, llama_sp.seq_mesh(4))
+    got = fwd(params, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sp_tp_prefill_moe_matches_dense():
+    """Mixtral-shape MoE over the 2-D (seq x model) mesh: experts shard
+    over model (folded layout), sequence rings over seq."""
+    from simplellminference_tpu.core.config import ModelConfig
+    from simplellminference_tpu.models import llama, llama_sp
+
+    cfg = ModelConfig.tiny_test(max_seq_len=128, num_experts=4,
+                                num_experts_per_tok=2,
+                                moe_intermediate_size=64,
+                                vocab_size=256, num_heads=4,
+                                num_kv_heads=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 64)),
+                         jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[None],
+                                 (2, 64))
+    want, _ = llama.forward(cfg, params, tokens, positions)
+    mesh = llama_sp.sp_tp_mesh(4, 2)
+    tp_params, fwd = llama_sp.make_sp_tp_prefill(cfg, mesh, params)
+    got, ks, vs = fwd(tp_params, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+    assert ks.shape == (cfg.num_layers, 2, 64, cfg.num_kv_heads,
+                        cfg.head_dim)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4+ devices")
+def test_sp_prefill_mla_deepseek_matches_dense():
+    """DeepSeek-shape MLA + MoE + dense-prefix stack under the SP ring
+    (r4 carve-out lifted): the ring runs naive per-head K/V (the latent
+    compression is upstream of attention); logits == the dense absorbed
+    forward."""
+    from simplellminference_tpu.core.config import ModelConfig
+    from simplellminference_tpu.models import llama, llama_sp
+
+    cfg = ModelConfig.tiny_test(
+        num_heads=8, hidden_size=256, intermediate_size=512,
+        vocab_size=256, num_layers=3, dtype="float32",
+        model_type="deepseek_v2", kv_lora_rank=64, q_lora_rank=96,
+        qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+        query_pre_attn_scalar=48.0, mla_absorbed=True, head_dim=128,
+        num_kv_heads=1, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=64,
+        shared_expert_intermediate_size=64, first_k_dense=1,
+        max_seq_len=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(8)
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 64)),
+                         jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32)[None],
+                                 (2, 64))
+    want, _ = llama.forward(cfg, params, tokens, positions)
+    fwd = llama_sp.make_sp_prefill(cfg, llama_sp.seq_mesh(4))
+    got = fwd(params, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-3, atol=3e-3)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4+ devices")
+def test_sp_prefill_postnorm_and_partial_rotary():
+    """OLMo-2-shape post-norm stacks and GLM-4-shape partial interleaved
+    rotary under the SP ring (r4 carve-outs lifted)."""
+    from simplellminference_tpu.core.config import ModelConfig
+    from simplellminference_tpu.models import llama, llama_sp
+
+    rng = np.random.default_rng(9)
+    for kw in (
+        dict(pre_norms=False, sandwich_norms=True, qk_norm=True,
+             qk_norm_full=True),                      # OLMo-2 shape
+        dict(partial_rotary_factor=0.5, rope_interleaved=True,
+             attention_bias=True),                    # GLM-4 shape
+        dict(rope_interleaved=True),                  # Helium shape
+    ):
+        cfg = ModelConfig.tiny_test(max_seq_len=128, **kw)
+        params = llama.init_params(cfg, jax.random.PRNGKey(5))
+        tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 64)),
+                             jnp.int32)
+        positions = jnp.broadcast_to(
+            jnp.arange(64, dtype=jnp.int32)[None], (2, 64))
+        want, _ = llama.forward(cfg, params, tokens, positions)
+        fwd = llama_sp.make_sp_prefill(cfg, llama_sp.seq_mesh(4))
+        got = fwd(params, tokens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4, err_msg=str(kw))
+
+
+def test_sp_handoff_still_rejects_mla():
+    """The one remaining gate: naive ring K/V cannot feed absorbed-MLA
+    latent pools; the handoff path says so loudly."""
+    from simplellminference_tpu.core.config import ModelConfig
+    from simplellminference_tpu.models import llama, llama_sp
+
+    cfg = ModelConfig.tiny_test(
+        num_heads=8, hidden_size=256, model_type="deepseek_v2",
+        kv_lora_rank=64, q_lora_rank=None, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, head_dim=128,
+        num_kv_heads=1, query_pre_attn_scalar=48.0, mla_absorbed=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(6))
+    mesh = llama_sp.sp_tp_mesh(4, 2)
+    with pytest.raises(NotImplementedError, match="latent"):
+        llama_sp.make_sp_tp_prefill(cfg, mesh, params)

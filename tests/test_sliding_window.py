@@ -222,12 +222,11 @@ def test_engine_window_matches_dense_generator():
     assert got == want
 
 
-def test_sp_ring_prefill_supports_window_rejects_moe():
-    """Sliding windows ride the SP ring since r4 (see
-    test_ring_attention.py::test_sp_prefill_sliding_window_model); the
-    remaining carve-outs are explicit."""
-    import dataclasses
-
+def test_sp_ring_prefill_supports_window_and_moe():
+    """Sliding windows ride the SP ring since r4; the r4 MoE/MLA/
+    post-norm/rotary carve-outs are lifted in r5 (see
+    test_ring_attention.py::test_sp_prefill_moe_matches_dense etc.) —
+    every model class now constructs a ring prefill."""
     from simplellminference_tpu.core.config import ModelConfig
     from simplellminference_tpu.models import llama_sp
 
@@ -236,8 +235,7 @@ def test_sp_ring_prefill_supports_window_rejects_moe():
                              (llama_sp.SEQ_AXIS,))
     llama_sp.make_sp_prefill(cfg, mesh)   # windowed models accepted
     moe = ModelConfig.tiny_test(num_experts=4, num_experts_per_tok=2)
-    with pytest.raises(NotImplementedError, match="MoE"):
-        llama_sp.make_sp_prefill(moe, mesh)
+    llama_sp.make_sp_prefill(moe, mesh)   # MoE accepted since r5
 
 
 def test_qwen2_window_config_gates():
