@@ -788,6 +788,14 @@ class EngineConfig:
     # TTFT-fairness scheduling granularity). 0 = always whole-prompt
     # (fastest for prompts that fit — the default).
     prefill_chunk: int = 0
+    # Engine-native SP x TP prefill: on a (data x model) mesh with
+    # data >= 2, prompts at least this long ring-prefill over the full
+    # mesh (the data axis doubles as the sequence ring), their K/V
+    # scatter into the TP paged pools, and decode continues normally —
+    # no caller orchestration (successor of the sequential prefill,
+    # model.cpp:159-165; VERDICT r4 #4). 0 = off. Requires bf16/f32 KV
+    # and a non-MLA model (llama_sp handoff gate).
+    sp_prefill_threshold: int = 0
     max_queue: int = 256
     # Speculative decoding (prompt-lookup self-drafting): propose
     # spec_tokens continuations from the last spec_ngram-gram's previous

@@ -29,6 +29,7 @@ class EngineMetrics:
     engine_steps: int = 0
     decode_bursts: int = 0
     prefills: int = 0
+    sp_prefills: int = 0           # engine-native SP x TP ring prefills
     prefix_cache_hits: int = 0
     prefix_cache_persistent_hits: int = 0  # hits from RETAINED (finished)
     prefix_cache_evictions: int = 0
@@ -89,6 +90,7 @@ class EngineMetrics:
             "engine_steps": self.engine_steps,
             "decode_bursts": self.decode_bursts,
             "prefills": self.prefills,
+            "sp_prefills": self.sp_prefills,
             "prefix_cache_hits": self.prefix_cache_hits,
             "prefix_cache_persistent_hits":
             self.prefix_cache_persistent_hits,
@@ -162,6 +164,9 @@ def prometheus_text(metrics: "EngineMetrics",
     counter("decode_bursts_total", "Fused multi-token decode bursts",
             m.decode_bursts)
     counter("prefills_total", "Prefill dispatches", m.prefills)
+    counter("sp_prefills_total",
+            "Engine-native SP x TP ring prefills of long prompts",
+            m.sp_prefills)
     counter("prefix_cache_hits_total", "Prefix cache hits",
             m.prefix_cache_hits)
     counter("prefix_cache_persistent_hits_total",

@@ -291,7 +291,8 @@ def make_sp_prefill(cfg: ModelConfig, mesh: Mesh):
     return forward_fn
 
 
-def make_sp_tp_prefill(cfg: ModelConfig, mesh: Mesh, params: Params):
+def make_sp_tp_prefill(cfg: ModelConfig, mesh: Mesh, params: Params,
+                       params_permuted: bool = False):
     """SP × TP ring prefill over a 2-D (seq × model) mesh.
 
     Weights, heads, and the vocabulary shard over ``model`` (the
@@ -315,7 +316,11 @@ def make_sp_tp_prefill(cfg: ModelConfig, mesh: Mesh, params: Params):
     assert cfg.vocab_size % tp == 0 and cfg.num_kv_heads % tp == 0, (
         cfg.vocab_size, cfg.num_kv_heads, tp)
     vocab_shard = cfg.vocab_size // tp
-    tp_params = llama_tp.permute_params_for_tp(cfg, params, tp)
+    # params_permuted: caller already holds megatron-permuted (possibly
+    # device-sharded) params — e.g. the TP serving engine reusing its
+    # own weights for engine-native SP prefill (engine/engine.py).
+    tp_params = (params if params_permuted
+                 else llama_tp.permute_params_for_tp(cfg, params, tp))
     pspecs = sharding.spec_tree(cfg, tp_params)
 
     def prefill_fn(params, tokens):

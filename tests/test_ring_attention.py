@@ -367,3 +367,42 @@ def test_sp_handoff_still_rejects_mla():
     mesh = llama_sp.sp_tp_mesh(4, 2)
     with pytest.raises(NotImplementedError, match="latent"):
         llama_sp.make_sp_tp_prefill(cfg, mesh, params)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_engine_native_sp_prefill_matches_single_device():
+    """Engine-native long-prompt SP x TP prefill (r5): with
+    `sp_prefill_threshold` set and a (data x model) mesh, a long prompt
+    admitted NORMALLY rings over the whole mesh, its K/V scatter into
+    the TP paged pools, and tokens match the single-device engine —
+    no adopt_prefill orchestration."""
+    from simplellminference_tpu.core.config import (EngineConfig,
+                                                    KVCacheConfig,
+                                                    ModelConfig,
+                                                    SamplingParams)
+    from simplellminference_tpu.engine import Engine
+    from simplellminference_tpu.models import llama
+
+    cfg = ModelConfig.tiny_test(max_seq_len=512)
+    params = llama.init_params(cfg, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(1, cfg.vocab_size, 96).tolist(),  # SP path
+               [5, 6, 7],                                     # batched
+               rng.integers(1, cfg.vocab_size, 60).tolist()]  # SP path
+
+    def mk(mesh_shape, thresh=0):
+        ecfg = EngineConfig(
+            max_batch_size=4, mesh_shape=mesh_shape,
+            sp_prefill_threshold=thresh,
+            kv=KVCacheConfig(page_size=8, num_pages=128,
+                             max_pages_per_seq=32, kv_dtype="f32"))
+        return Engine(cfg, params, ecfg, decode_burst=3)
+
+    want = mk(None).generate(prompts, SamplingParams(max_new_tokens=8))
+    eng = mk({"data": 4, "model": 2}, thresh=48)
+    assert eng._sp_prefill_fn is not None and eng._sp_ring == 4
+    got = eng.generate(prompts, SamplingParams(max_new_tokens=8))
+    assert got == want
+    m = eng.metrics.summary()
+    assert m["sp_prefills"] == 2          # the two >=48-token prompts
+    assert m["prefills"] >= 3             # short one took the batch path
