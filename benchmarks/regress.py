@@ -4,7 +4,7 @@ VERDICT r3 item 1: round 3's model-family generalization silently cost
 the vanilla-Llama hot path 2.2% (734.3 -> 717.8 tok/s) because nothing
 compared bench output against a floor. This script is that guard:
 
-    python benchmarks/regress.py              # full bench, floor 0.86
+    python benchmarks/regress.py              # full bench, pinned floor
     python benchmarks/regress.py --floor 0.87 --steps 64
 
 Exit code 1 if ``vs_baseline`` lands under the floor. Pair with the
@@ -24,9 +24,14 @@ import sys
 # THROUGH the engine) — the BASELINE config-#3 gate. History: r2 0.8758
 # (a favorable-noise draw: its engine read ABOVE the fused-loop ceiling),
 # r3 0.8562 (the logit_bias-scatter regression this guard exists to
-# catch), r4 0.86 +- 0.005 across runs with the engine AT the fused
-# ceiling (and int8-KV serving ABOVE it, 751 tok/s).
-FLOOR = 0.85
+# catch), r4 0.8624 driver-captured, r5 0.8612 same-code re-measure.
+# Steady state is 0.861 +- 0.005; the floor sits one noise band below
+# it so a real slide (>0.6%) trips while run-to-run wobble does not.
+# (r5 also re-confirmed the operating point is a local optimum: sub-page
+# 32-row KV chunking 0.762 — grid-step overhead dominates dead-row DMA
+# savings — 256-token pages 0.857, kv-head packing 32 0.857, burst 32
+# 0.855.)
+FLOOR = 0.855
 
 
 def main():
