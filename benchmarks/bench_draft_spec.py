@@ -44,6 +44,18 @@ def main():
     ap.add_argument("--spec", type=int, default=4)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--page-size", type=int, default=128,
+                    help="64 keeps the 7B-as-draft yield-curve mode "
+                         "inside 16 GB (pools + draft arena)")
+    ap.add_argument("--yield-curve", action="store_true",
+                    help="MEASURE the acceptance-yield curve instead of "
+                         "projecting it (VERDICT r4 #5): run the 7B as "
+                         "its OWN draft (greedy acceptance = 1 by "
+                         "construction) and with noise-perturbed scale "
+                         "copies for mid/low-acceptance points — same "
+                         "draft cost at every point, so measured tok/s "
+                         "ratios must track (1 + a*G) if the linear "
+                         "yield model is right")
     args = ap.parse_args()
 
     cfg = ModelConfig.llama2_7b(max_seq_len=1024, dtype="bfloat16")
@@ -63,7 +75,9 @@ def main():
         """Decode tokens/s isolated by differencing steps vs steps/2 runs
         (cancels prefill, compile, and the fixed relay sync cost — the
         bench.py engine-path methodology)."""
-        ps = 128
+        import gc
+        gc.collect()   # free the previous run's pools/draft arena
+        ps = args.page_size
         cap = args.prompt_len + steps + 2 * 8 * (args.spec + 1) + ps
         pps = -(-cap // ps)
         kvc = KVCacheConfig(page_size=ps,
@@ -85,6 +99,55 @@ def main():
         t_full = min(timed(steps) for _ in range(2))
         m = eng.metrics
         return args.batch * (steps - half) / (t_full - t_half), m
+
+    if args.yield_curve:
+        import jax.numpy as jnp
+        from simplellminference_tpu.ops.linear import QuantizedWeight
+
+        def perturbed(sigma: float):
+            """Target params with per-channel scale noise: same cost,
+            lower draft/target argmax agreement as sigma grows."""
+            if sigma == 0.0:
+                return params
+            key = [jax.random.PRNGKey(int(sigma * 1e4))]
+
+            def f(leaf):
+                if isinstance(leaf, QuantizedWeight):
+                    key[0], k2 = jax.random.split(key[0])
+                    noise = 1.0 + sigma * jax.random.normal(
+                        k2, leaf.scales.shape, jnp.float32)
+                    return QuantizedWeight(q=leaf.q,
+                                           scales=leaf.scales * noise,
+                                           bits=leaf.bits, zs=leaf.zs)
+                return leaf
+            return jax.tree.map(
+                f, params,
+                is_leaf=lambda x: isinstance(x, QuantizedWeight))
+
+        tps_std, _ = run(0, None, args.steps)
+        points = []
+        for sigma in (0.0, 0.02, 0.2):
+            tps, m = run(args.spec, (cfg, perturbed(sigma)), args.steps)
+            a = m.spec_accepted / max(1, m.spec_steps) / args.spec
+            points.append({"sigma": sigma, "acceptance": round(a, 3),
+                           "measured_toks_s": round(tps, 1),
+                           "yield_1_aG": round(1 + a * args.spec, 3)})
+        # the linearity check: measured tok/s ratios vs (1+aG) ratios,
+        # anchored at the a=1 (sigma=0) point
+        anchor = points[0]
+        for p in points:
+            pred = anchor["measured_toks_s"] * p["yield_1_aG"] \
+                / anchor["yield_1_aG"]
+            p["model_pred_toks_s"] = round(pred, 1)
+            p["model_error_pct"] = round(
+                100 * (p["measured_toks_s"] - pred) / pred, 1)
+        print(json.dumps({
+            "std_toks_s": round(tps_std, 1),
+            "spec_g": args.spec,
+            "draft": "target-as-draft (7B cost at every point)",
+            "points": points,
+        }))
+        return
 
     tps_std, _ = run(0, None, args.steps)
     tps_spec, m = run(args.spec, (dcfg, dparams), args.steps)

@@ -44,6 +44,19 @@ def main(argv=None):
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (shards params + KV "
                          "pools over the model mesh axis)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel mesh axis; with "
+                         "--sp-prefill-threshold it doubles as the "
+                         "sequence ring for long-prompt SP prefill")
+    ap.add_argument("--sp-prefill-threshold", type=int, default=0,
+                    help="prompts at least this long ring-prefill over "
+                         "the whole (dp x tp) mesh inside the engine "
+                         "(0 = off; needs --dp >= 2, bf16/f32 KV, "
+                         "non-MLA model)")
+    ap.add_argument("--no-sliding-reclaim", action="store_true",
+                    help="disable the O(window) ring pools for sliding-"
+                         "window models (restores prefix-cache sharing "
+                         "at O(context) sliding-layer memory)")
     ap.add_argument("--spec-tokens", type=int, default=0,
                     help="speculative decoding draft length (0 = off)")
     ap.add_argument("--top-logprobs", type=int, default=0,
@@ -89,15 +102,20 @@ def main(argv=None):
         import dataclasses
         cfg = dataclasses.replace(cfg, act_quant="int8")
 
+    mesh_shape = None
+    if args.tp > 1 or args.dp > 1:
+        mesh_shape = {"data": args.dp, "model": args.tp}
     ecfg = EngineConfig(
         max_batch_size=args.max_batch,
-        mesh_shape={"model": args.tp} if args.tp > 1 else None,
+        mesh_shape=mesh_shape,
         spec_tokens=args.spec_tokens,
+        sp_prefill_threshold=args.sp_prefill_threshold,
         top_logprobs=args.top_logprobs,
         kv=KVCacheConfig(page_size=args.page_size,
                          num_pages=args.num_pages,
                          max_pages_per_seq=args.max_pages_per_seq,
-                         kv_dtype=args.kv_dtype))
+                         kv_dtype=args.kv_dtype,
+                         sliding_reclaim=not args.no_sliding_reclaim))
     loras = None
     if args.lora:
         from simplellminference_tpu.runtime.lora import load_peft_adapter
