@@ -59,9 +59,11 @@ def _hash_floats(shape, salt: int):
             / 32768.0 - 1.0)
 
 
-def _make_params(cfg, quant_mode: str):
+def _make_params(cfg, quant_mode: str, seed: int = 0):
     """Leaf-wise generate-then-quantize (peak memory stays ~one config,
-    not fp + quantized simultaneously)."""
+    not fp + quantized simultaneously). ``seed`` offsets every hash salt
+    so each seed draws an independent weight sample (identical across
+    quant configs within a seed, by construction)."""
     from simplellminference_tpu.core.config import QuantConfig
     from simplellminference_tpu.runtime.weights import _maybe_quantize
 
@@ -72,7 +74,10 @@ def _make_params(cfg, quant_mode: str):
     qc = (QuantConfig(mode=quant_mode, group_size=0)
           if quant_mode != "none" else None)
 
+    soff = seed * 104729          # distinct prime stride per seed
+
     def w(path, shape, salt, sigma):
+        salt = salt + soff
         # ALWAYS generate layer by layer with a per-layer salt: the
         # iota hash only sees the last two dims, so a stacked generate
         # would repeat one layer L times (degenerate compounding); the
@@ -101,7 +106,7 @@ def _make_params(cfg, quant_mode: str):
         return out
 
     params = {
-        "embed": (_hash_floats((v, h), 1) * 0.02).astype(dtype),
+        "embed": (_hash_floats((v, h), 1 + soff) * 0.02).astype(dtype),
         "layers": {
             "input_norm": jnp.ones((L, h), dtype),
             "post_norm": jnp.ones((L, h), dtype),
@@ -187,6 +192,10 @@ def main():
                          "layers of error compounding)")
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of ladder names")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent (weights, tokens) samples per tier; "
+                         ">1 reports mean±std per tier (VERDICT r4 #8: "
+                         "one seed cannot order deltas of 0.005-0.03%%)")
     args = ap.parse_args()
 
     from simplellminference_tpu.core.config import ModelConfig
@@ -195,27 +204,43 @@ def main():
     cfg = _dc.replace(
         ModelConfig.llama2_7b(max_seq_len=1024, dtype="bfloat16"),
         num_layers=args.layers)
-    rng = np.random.default_rng(0)
-    ids = rng.integers(1, cfg.vocab_size, args.ctx).tolist()
 
     want = set(args.only.split(",")) if args.only else None
-    out, base = {}, None
-    for name, mode, kvd in LADDER:
-        if want and name not in want:
-            continue
-        c = cfg
-        t0 = time.time()
-        params = _make_params(c, mode)
-        ppl = decode_ppl(c, params, ids, kvd, args.prefill)
-        del params
-        if base is None:
-            base = ppl
-        out[name] = {"ppl": round(ppl, 4),
-                     "delta_pct": round((ppl - base) / base * 100, 4)}
-        print(f"[{name}: ppl={ppl:.4f} delta={out[name]['delta_pct']:+.4f}%"
-              f" ({time.time() - t0:.0f}s)]", file=sys.stderr, flush=True)
+    # per-tier lists of (ppl, delta_pct-vs-that-seed's-bf16): the delta
+    # is paired WITHIN a seed (same weights, same tokens), so its spread
+    # across seeds is the quantization effect's sampling noise, not the
+    # (huge) seed-to-seed absolute-PPL variation.
+    samples: dict[str, list[tuple[float, float]]] = {}
+    for seed in range(args.seeds):
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(1, cfg.vocab_size, args.ctx).tolist()
+        base = None
+        for name, mode, kvd in LADDER:
+            if want and name not in want:
+                continue
+            t0 = time.time()
+            params = _make_params(cfg, mode, seed=seed)
+            ppl = decode_ppl(cfg, params, ids, kvd, args.prefill)
+            del params
+            if base is None:
+                base = ppl
+            d = (ppl - base) / base * 100
+            samples.setdefault(name, []).append((ppl, d))
+            print(f"[seed {seed} {name}: ppl={ppl:.4f} delta={d:+.4f}%"
+                  f" ({time.time() - t0:.0f}s)]", file=sys.stderr,
+                  flush=True)
+    out = {}
+    for name, vals in samples.items():
+        ppls = np.array([v[0] for v in vals])
+        ds = np.array([v[1] for v in vals])
+        out[name] = {"ppl": round(float(ppls.mean()), 4),
+                     "delta_pct": round(float(ds.mean()), 4)}
+        if args.seeds > 1:
+            out[name].update(
+                ppl_std=round(float(ppls.std(ddof=1)), 4),
+                delta_pct_std=round(float(ds.std(ddof=1)), 4))
     rec = {"metric": "decode_ppl_ladder_llama2_7b_shape",
-           "ctx": args.ctx, "prefill": args.prefill,
+           "ctx": args.ctx, "prefill": args.prefill, "seeds": args.seeds,
            "layers": args.layers, "ladder": out}
     if args.json_out:
         with open(args.json_out, "w") as f:

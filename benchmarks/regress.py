@@ -24,14 +24,17 @@ import sys
 # THROUGH the engine) — the BASELINE config-#3 gate. History: r2 0.8758
 # (a favorable-noise draw: its engine read ABOVE the fused-loop ceiling),
 # r3 0.8562 (the logit_bias-scatter regression this guard exists to
-# catch), r4 0.8624 driver-captured, r5 0.8612 same-code re-measure.
-# Steady state is 0.861 +- 0.005; the floor sits one noise band below
-# it so a real slide (>0.6%) trips while run-to-run wobble does not.
-# (r5 also re-confirmed the operating point is a local optimum: sub-page
-# 32-row KV chunking 0.762 — grid-step overhead dominates dead-row DMA
-# savings — 256-token pages 0.857, kv-head packing 32 0.857, burst 32
-# 0.855.)
-FLOOR = 0.855
+# catch), r4 0.8624 driver-captured, r5 0.8612 same-code re-measure,
+# then r5's kernel round — qkv kv-first overlapped append walk, FFN
+# 256-row K ramp, per-channel K-split for wo/lm_head — measured 0.8813
+# (738.9 tok/s, 97.5% of the practical DMA ceiling). Steady state is
+# now 0.878 +- 0.005; the floor sits one noise band below it so a real
+# slide (>0.6%) trips while run-to-run wobble does not.
+# (r5 also re-confirmed the page-size operating point is a local
+# optimum: sub-page 32-row KV chunking 0.762 — grid-step overhead
+# dominates dead-row DMA savings — 256-token pages 0.857, kv-head
+# packing 32 0.857, burst 32 0.855.)
+FLOOR = 0.87
 
 
 def main():

@@ -106,7 +106,10 @@ def ffn_tiles(h: int, inter: int, m_pad: int) -> tuple[int, int, int] | None:
     the down-weight block). VMEM: both weight streams' double buffers are
     live at once, so target ~10 MB total.
     """
-    bk1 = _largest_divisor(h, 512, 128)
+    # 256-row K blocks measured ~0.3% faster than 512 on the 7B decode
+    # stream (half the first-block DMA ramp; the gate_up stream is long
+    # enough that steady-state efficiency is unchanged)
+    bk1 = _largest_divisor(h, 256, 128)
     if h % bk1:  # the fallback (128) need not divide h: silent K-column
         return None  # truncation otherwise
     # VMEM residents independent of bn1: gate_up scratch (2I·m f32),

@@ -575,7 +575,13 @@ def quantized_matmul(x: jax.Array, q: jax.Array, scales: jax.Array,
     # N tile: nearest divisor to the target in log space, vetoing tiles
     # whose double-buffered blocks + fp32 accumulator bust the ~16 MB VMEM
     # (the decode path bm=16 affords bn≈5504; prefill bm=256 does not).
-    bk_eff = _largest_divisor(k, bk, max(group_size, 128))
+    # Per-channel scales span all of K, so they put no floor on the K
+    # block — split K at the normal 512 target (the raw f32 accumulator
+    # carries across K steps; the scale applies once at write-out).
+    # Without this the K block clamps to the whole K and e.g. the 7B wo
+    # runs as 4x4 MB single-K-step blocks with a double-size DMA ramp.
+    gmult = 128 if group_size == k else max(group_size, 128)
+    bk_eff = _largest_divisor(k, bk, gmult)
 
     def fits(d: int) -> bool:
         vmem = (2 * bm * bk_eff * 2          # x blocks (bf16)

@@ -37,7 +37,15 @@ _ROWS = 8
 def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, *refs, eps: float,
             k1: int, n1: int, bk1: int, bn1: int, n_heads: int,
             kv_heads: int, d: int, m_rows: int, b_rows: int, out_dtype,
-            quant: bool = False):
+            quant: bool = False, q_blocks: int = 0):
+    """``q_blocks`` > 0 enables the kv-first overlapped walk: the grid
+    visits the K/V weight blocks first and the Q blocks last, K/V rope +
+    window staging runs as soon as the K/V columns complete, and the
+    b per-row cache-window RMW steps ride ON the last b Q matmul steps —
+    the tiny append DMAs overlap the Q weight stream instead of forming
+    a latency-serial tail after it (measured ~670 -> ~710 GB/s on the
+    7B decode qkv stream). Requires bn1 | n_heads*d and q_blocks*k1 >=
+    b_rows; q_blocks == 0 is the classic walk (+b trailing steps)."""
     if quant:
         # INT8-KV: full-page slot index + scale-pool page blocks ride
         # along; K/V quantize in-kernel (per-row-per-head symmetric
@@ -54,6 +62,12 @@ def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, *refs, eps: float,
     i = pl.program_id(0)
     t1 = n1 * k1
     half = d // 2
+    kv_first = q_blocks > 0
+    # kv-first: logical walk j1 visits physical N block (j1+q_blocks)%n1
+    # (K/V columns first, Q columns last); staging fires when the K/V
+    # blocks complete, window RMW rides the last b_rows Q matmul steps.
+    kv_end = (n1 - q_blocks) * k1 - 1 if kv_first else t1 - 1
+    win0 = t1 - b_rows if kv_first else t1
 
     @pl.when(i == 0)
     def _():
@@ -78,73 +92,81 @@ def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, *refs, eps: float,
 
         @pl.when(kk1 == k1 - 1)
         def _():
-            qkv_ref[j1] = (acc_ref[:]
+            pj = (j1 + q_blocks) % n1 if kv_first else j1
+            qkv_ref[pj] = (acc_ref[:]
                            * ws_ref[0, 0][None].astype(jnp.float32))
+
+    def head_cols(c0):
+        blk = c0 // bn1
+        off = c0 % bn1
+        h1 = qkv_ref[blk][:, off:off + half]
+        h2 = qkv_ref[blk][:, off + half:off + d]
+        return h1, h2
+
+    def rot(c0, sin, cos):
+        x1, x2 = head_cols(c0)
+        return x1 * cos - x2 * sin, x2 * cos + x1 * sin
 
     @pl.when(i == t1 - 1)
     def _():
         sin = sin_ref[:].astype(jnp.float32)          # [m, half]
         cos = cos_ref[:].astype(jnp.float32)
-
-        def head_cols(c0):
-            blk = c0 // bn1
-            off = c0 % bn1
-            h1 = qkv_ref[blk][:, off:off + half]
-            h2 = qkv_ref[blk][:, off + half:off + d]
-            return h1, h2
-
-        def rot(c0):
-            x1, x2 = head_cols(c0)
-            return x1 * cos - x2 * sin, x2 * cos + x1 * sin
-
         q_parts = []
         for h in range(n_heads):
-            r1, r2 = rot(h * d)
+            r1, r2 = rot(h * d, sin, cos)
             q_parts += [r1, r2]
         q_out[:] = jnp.concatenate(q_parts, axis=1).astype(out_dtype)
 
+    @pl.when(i == kv_end)
+    def _():
+        sin = sin_ref[:].astype(jnp.float32)
+        cos = cos_ref[:].astype(jnp.float32)
         # Stage K/V as per-row 8-slot window slabs (the new token row at
         # its window slot, zeros elsewhere): static (row, head) unrolled
         # stores — no lane->sublane reshapes (Mosaic rejects them for
-        # d < 128), and phase B reads a whole [kvN, 8, D] block by one
-        # dynamic LEADING index.
-        slot8 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+        # d < 128), and the window steps read a whole [kvN, 8, D] block
+        # by one dynamic LEADING index.
+        slot8 = jax.lax.broadcasted_iota(jnp.int32, (1, _ROWS, 1), 1)
         ps_lanes = 0 if not quant else ksc_ref.shape[-1]
+        kr_parts, vr_parts = [], []
         for h in range(kv_heads):
-            r1, r2 = rot((n_heads + h) * d)
+            r1, r2 = rot((n_heads + h) * d, sin, cos)
             v1, v2 = head_cols((n_heads + kv_heads + h) * d)
-            kr = jnp.concatenate([r1, r2], axis=1)    # [m, d]
-            vr = jnp.concatenate([v1, v2], axis=1)
+            kr_parts.append(jnp.concatenate([r1, r2], axis=1)[:, None])
+            vr_parts.append(jnp.concatenate([v1, v2], axis=1)[:, None])
+        kr = jnp.concatenate(kr_parts, axis=1)        # [m, kvN, d]
+        vr = jnp.concatenate(vr_parts, axis=1)
+        if quant:
+            # match the unfused path bit-for-bit: it quantizes the
+            # bf16 rope output (apply_rope casts back to x.dtype)
+            kr = kr.astype(jnp.bfloat16).astype(jnp.float32)
+            vr = vr.astype(jnp.bfloat16).astype(jnp.float32)
+            ksc = jnp.maximum(
+                jnp.max(jnp.abs(kr), axis=2, keepdims=True) / 127.0,
+                1e-8)                                  # [m, kvN, 1]
+            vsc = jnp.maximum(
+                jnp.max(jnp.abs(vr), axis=2, keepdims=True) / 127.0,
+                1e-8)
+            kr = jnp.clip(jnp.round(kr / ksc), -127, 127)
+            vr = jnp.clip(jnp.round(vr / vsc), -127, 127)
+        for bi in range(b_rows):
+            # one vectorized select per row over all heads: [kvN, 8, d]
+            sel = slot8 == rel_ref[bi]                 # [1, 8, 1]
+            krot_ref[bi] = jnp.where(
+                sel, kr[bi][:, None], 0.0).astype(krot_ref.dtype)
+            vloc_ref[bi] = jnp.where(
+                sel, vr[bi][:, None], 0.0).astype(vloc_ref.dtype)
             if quant:
-                # match the unfused path bit-for-bit: it quantizes the
-                # bf16 rope output (apply_rope casts back to x.dtype)
-                kr = kr.astype(jnp.bfloat16).astype(jnp.float32)
-                vr = vr.astype(jnp.bfloat16).astype(jnp.float32)
-                ksc = jnp.maximum(
-                    jnp.max(jnp.abs(kr), axis=1, keepdims=True) / 127.0,
-                    1e-8)                              # [m, 1]
-                vsc = jnp.maximum(
-                    jnp.max(jnp.abs(vr), axis=1, keepdims=True) / 127.0,
-                    1e-8)
-                kr = jnp.clip(jnp.round(kr / ksc), -127, 127)
-                vr = jnp.clip(jnp.round(vr / vsc), -127, 127)
-            for bi in range(b_rows):
-                sel = slot8 == rel_ref[bi]
-                krot_ref[bi, h] = jnp.where(
-                    sel, kr[bi:bi + 1], 0.0).astype(krot_ref.dtype)
-                vloc_ref[bi, h] = jnp.where(
-                    sel, vr[bi:bi + 1], 0.0).astype(vloc_ref.dtype)
-                if quant:
-                    # scale slabs: the row's scale splat over the page
-                    # lanes; phase B masks in the one live lane
-                    ksc_ref[bi, h] = jnp.broadcast_to(
-                        ksc[bi:bi + 1, 0:1], (1, ps_lanes))
-                    vsc_ref[bi, h] = jnp.broadcast_to(
-                        vsc[bi:bi + 1, 0:1], (1, ps_lanes))
+                # scale slabs: the row's scale splat over the page
+                # lanes; the window step masks in the one live lane
+                ksc_ref[bi] = jnp.broadcast_to(
+                    ksc[bi][:, None], (kv_heads, 1, ps_lanes))
+                vsc_ref[bi] = jnp.broadcast_to(
+                    vsc[bi][:, None], (kv_heads, 1, ps_lanes))
 
-    @pl.when(i >= t1)
+    @pl.when(i >= win0)
     def _():
-        bi = i - t1
+        bi = i - win0
         rel = rel_ref[bi]
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (ck_in.shape[2], _ROWS, 1), 1)
@@ -162,9 +184,16 @@ def _kernel(layer_ref, page_ref, wblk_ref, rel_ref, *refs, eps: float,
                                       cvs_in[0, 0])
 
 
-def qkv_tiles(h: int, nq: int, d: int, m_pad: int) -> tuple[int, int] | None:
+def qkv_tiles(h: int, nq: int, d: int, m_pad: int,
+              nd_q: int | None = None) -> tuple[int, int] | None:
     """(bk1, bn1): bn1 divides nq AND is a multiple of the head_dim (each
-    head's columns stay within one block for the RoPE assembly)."""
+    head's columns stay within one block for the RoPE assembly).
+
+    ``nd_q`` (= n_heads * d): when given, prefer a bn1 that ALSO divides
+    the q-column span — that lets the kernel walk the K/V blocks first
+    and overlap the cache-window append with the Q weight stream (see
+    _kernel kv_first). Falls back to the plain choice when no such
+    divisor exists in budget."""
     if d % 2 or d > 512:
         return None
     bk1 = _largest_divisor(h, 512, 128)
@@ -180,7 +209,16 @@ def qkv_tiles(h: int, nq: int, d: int, m_pad: int) -> tuple[int, int] | None:
     def n1_bytes(bn: int) -> int:
         return (nq // bn) * m_pad * bn * 4  # qkv scratch = nq*m f32
 
-    bn1 = _best_tile(nq, 4096, max(d, 128), hard_cap=8192, fits=fits)
+    bn1 = None
+    if nd_q and 0 < nd_q < nq:
+        import math
+        g = math.gcd(nd_q, nq)
+        cand = _best_tile(g, 4096, max(d, 128), hard_cap=8192, fits=fits)
+        if (g % cand == 0 and nq % cand == 0 and cand % d == 0
+                and cand >= max(d, 128)):
+            bn1 = cand
+    if bn1 is None:
+        bn1 = _best_tile(nq, 4096, max(d, 128), hard_cap=8192, fits=fits)
     if nq % bn1 or bn1 % d:
         return None
     return bk1, bn1
@@ -232,16 +270,22 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
         sc = jnp.pad(sc, pad)
         cc = jnp.pad(cc, pad)
 
-    tiles = qkv_tiles(h, nq, d, m_pad)
+    tiles = qkv_tiles(h, nq, d, m_pad, nd_q=n * d)
     assert tiles is not None, (h, nq, d)
     bk1, bn1 = tiles
     k1 = h // bk1
     n1 = nq // bn1
     t1 = n1 * k1
-    # phase B: one window per REAL row only — a padding step would
-    # revisit the last real row's window block and overwrite it with the
+    # kv-first overlapped walk (see _kernel): needs the Q columns to be
+    # whole blocks and enough Q matmul steps to carry the b window RMWs
+    q_blocks = (n * d) // bn1 if (n * d) % bn1 == 0 else 0
+    if not (0 < q_blocks < n1 and q_blocks * k1 >= b):
+        q_blocks = 0
+    # window steps: one per REAL row only — a padding step would revisit
+    # the last real row's window block and overwrite it with the
     # pre-write bytes still sitting in the (un-re-DMA'd) input buffer
-    grid = (t1 + b,)
+    grid = (t1 if q_blocks else t1 + b,)
+    win0 = t1 - b if q_blocks else t1
 
     quant = cache_ks is not None
     assert not quant or tables is not None, \
@@ -270,15 +314,18 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
     nw3 = norm_w if norm_w.ndim == 3 else norm_w.reshape(l_, 1, h)
     ws3 = ws.reshape(l_, 1, nq)
 
+    def phys(j1):
+        return (j1 + q_blocks) % n1 if q_blocks else j1
+
     def w_index(i, li, pg, wb, rl):
         ic = jnp.minimum(i, t1 - 1)
-        return (li[0], ic % k1, ic // k1)
+        return (li[0], ic % k1, phys(ic // k1))
 
     def s_index(i, li, pg, wb, rl):
-        return (li[0], 0, jnp.minimum(i, t1 - 1) // k1)
+        return (li[0], 0, phys(jnp.minimum(i, t1 - 1) // k1))
 
     def win_index(i, li, pg, wb, rl):
-        bi = jnp.clip(i - t1, 0, b - 1)
+        bi = jnp.clip(i - win0, 0, b - 1)
         return (li[1], pg[bi], 0, wb[bi], 0)
 
     nsp = 5 if quant else 4
@@ -327,7 +374,7 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
     if quant:
         ps = smax
         spage_index = arg(lambda i, li, pg, wb, rl: (
-            li[1], pg[jnp.clip(i - t1, 0, b - 1)], 0, 0))
+            li[1], pg[jnp.clip(i - win0, 0, b - 1)], 0, 0))
         in_specs += [pl.BlockSpec((1, 1, kvn, ps), spage_index),
                      pl.BlockSpec((1, 1, kvn, ps), spage_index)]
         out_specs += [pl.BlockSpec((1, 1, kvn, ps), spage_index),
@@ -351,7 +398,7 @@ def fused_qkv_append(x: jax.Array, norm_w: jax.Array, wq: jax.Array,
         functools.partial(_kernel, eps=eps, k1=k1, n1=n1, bk1=bk1,
                           bn1=bn1, n_heads=n, kv_heads=kvh, d=d,
                           m_rows=m_pad, b_rows=b, out_dtype=x.dtype,
-                          quant=quant),
+                          quant=quant, q_blocks=q_blocks),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
@@ -386,4 +433,5 @@ def fused_qkv_available(lw, cfg, b: int, s: int, cache_k,
     if (n + 2 * kv) * cfg.head_dim != nq:
         return False  # shard layout mismatch
     return qkv_tiles(cfg.hidden_size, nq, cfg.head_dim,
-                     max(16, -(-b // 8) * 8)) is not None
+                     max(16, -(-b // 8) * 8),
+                     nd_q=n * cfg.head_dim) is not None

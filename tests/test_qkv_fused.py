@@ -13,7 +13,12 @@ from simplellminference_tpu.ops.qkv_fused import (fused_qkv_append,
                                                   qkv_tiles)
 
 
-@pytest.mark.parametrize("n,kvn,d,b", [(8, 8, 64, 4), (8, 2, 64, 3)])
+@pytest.mark.parametrize("n,kvn,d,b", [(8, 8, 64, 4), (8, 2, 64, 3),
+                                       # (8, 4, 64, 1): bn1=512 divides
+                                       # n*d -> kv-first overlapped walk
+                                       # (q_blocks=1, window RMW rides
+                                       # the Q matmul step)
+                                       (8, 4, 64, 1)])
 def test_fused_qkv_append_matches_ref(rng, n, kvn, d, b):
     L, h, smax = 2, 512, 64
     li = 1
